@@ -148,7 +148,7 @@ def dequant_mxfp4(data, n):
     b = _rows(data, GGMLType.MXFP4, n).reshape(-1, 17)
     e = b[:, 0:1].astype(np.int32)
     # E8M0 exponent: value = 2^(e-127); LUT values are doubled e2m1 so halve once.
-    d = np.float32(2.0) ** (e - 127) * np.float32(0.5)
+    d = (np.float32(2.0) ** (e - 127)).astype(np.float32) * np.float32(0.5)
     qs = b[:, 1:]
     lo = luts.KVALUES_MXFP4[qs & 0x0F].astype(np.float32)
     hi = luts.KVALUES_MXFP4[qs >> 4].astype(np.float32)
@@ -344,8 +344,8 @@ def dequant_iq2_k(data, n):
     for ib32 in range(8):
         blk = qs[:, 32 * (ib32 // 4):32 * (ib32 // 4) + 32]
         q2 = (blk >> (2 * (ib32 % 4))) & 3
-        dl1 = d * ((scales[:, ib32] & 0x0F).astype(np.int32) - 8)
-        dl2 = d * ((scales[:, ib32] >> 4).astype(np.int32) - 8)
+        dl1 = d * np.asarray(((scales[:, ib32] & 0x0F).astype(np.int32) - 8), dtype=np.float32)
+        dl2 = d * np.asarray(((scales[:, ib32] >> 4).astype(np.int32) - 8), dtype=np.float32)
         off1 = ((extra >> (2 * ib32)) & 1) * 4
         off2 = ((extra >> (2 * ib32 + 1)) & 1) * 4
         v1 = luts.IQ2NL_VALUES[q2[:, :16] + off1[:, None]].astype(np.float32)
@@ -368,8 +368,8 @@ def dequant_iq2_ks(data, n):
     y = np.empty((nr, nb, QK_K), dtype=np.float32)
     for ib64 in range(4):
         sh = extra >> (2 * ib64)
-        ls1 = ((scales[..., ib64] & 0x0F).astype(np.int32) | ((sh >> 4) & 0x10)) - 16
-        ls2 = ((scales[..., ib64] >> 4).astype(np.int32) | ((sh >> 5) & 0x10)) - 16
+        ls1 = d[:, None] * np.asarray((((scales[..., ib64] & 0x0F).astype(np.int32) | ((sh >> 4) & 0x10)) - 16), dtype=np.float32)
+        ls2 = d[:, None] * np.asarray((((scales[..., ib64] >> 4).astype(np.int32) | ((sh >> 5) & 0x10)) - 16), dtype=np.float32)
         off1 = (sh & 1) * 4
         off2 = ((sh >> 1) & 1) * 4
         blk = qs[..., 32 * (ib64 // 2):32 * (ib64 // 2) + 32]
@@ -380,8 +380,7 @@ def dequant_iq2_ks(data, n):
         v2 = luts.IQ2NL_VALUES[q2 + off2[..., None]].astype(np.float32)
         y[..., 64 * ib64:64 * ib64 + 32] = ls1[..., None] * v1
         y[..., 64 * ib64 + 32:64 * ib64 + 64] = ls2[..., None] * v2
-    y *= d[:, None, None]
-    return y.reshape(-1, n) if n == nb * QK_K else y.reshape(rows.shape[0], n)
+    return y.reshape(rows.shape[0], n)
 
 
 def dequant_iq2_kl(data, n):
@@ -398,8 +397,8 @@ def dequant_iq2_kl(data, n):
     for ib64 in range(4):
         sl1 = (scales_l[..., (2 * ib64) % 4] >> (4 * (ib64 // 2))) & 0x0F
         sl2 = (scales_l[..., (2 * ib64 + 1) % 4] >> (4 * (ib64 // 2))) & 0x0F
-        dl1 = (sl1.astype(np.int32) | (((scales_h >> (4 * ib64)) & 3) << 4)) - 32
-        dl2 = (sl2.astype(np.int32) | (((scales_h >> (4 * ib64 + 2)) & 3) << 4)) - 32
+        dl1 = d[:, None] * np.asarray(((sl1.astype(np.int32) | (((scales_h >> (4 * ib64)) & 3) << 4)) - 32), dtype=np.float32)
+        dl2 = d[:, None] * np.asarray(((sl2.astype(np.int32) | (((scales_h >> (4 * ib64 + 2)) & 3) << 4)) - 32), dtype=np.float32)
         blk = qs[..., 16 * ib64:16 * ib64 + 16]
         idx1 = (blk & 0x0F).astype(np.int32) | (((qh >> (2 * ib64)) & 1).astype(np.int32) << 4)
         idx2 = (blk >> 4).astype(np.int32) | (((qh >> (2 * ib64 + 1)) & 1).astype(np.int32) << 4)
@@ -407,7 +406,6 @@ def dequant_iq2_kl(data, n):
         pair2 = luts.IQ2KL_PAIRS[idx2].astype(np.float32)
         y[..., 64 * ib64:64 * ib64 + 32] = (dl1[..., None, None] * pair1).reshape(nr, nb, 32)
         y[..., 64 * ib64 + 32:64 * ib64 + 64] = (dl2[..., None, None] * pair2).reshape(nr, nb, 32)
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -455,8 +453,8 @@ def dequant_iq3_ks(data, n):
     for j in range(4):
         ls1 = (scales[..., j] & 0x0F).astype(np.int32) | (((extra >> j) & 1) << 4)
         ls2 = (scales[..., j] >> 4).astype(np.int32) | (((extra >> (j + 4)) & 1) << 4)
-        dl[..., j] = ls1 - 16
-        dl[..., j + 4] = ls2 - 16
+        dl[..., j] = d[:, None] * np.asarray(ls1 - 16, dtype=np.float32)
+        dl[..., j + 4] = d[:, None] * np.asarray(ls2 - 16, dtype=np.float32)
     for i128 in range(2):
         blk = qs[..., 32 * i128:32 * i128 + 32]
         for ib in range(4):
@@ -465,7 +463,6 @@ def dequant_iq3_ks(data, n):
             q3 = ((blk >> (2 * ib)) & 3).astype(np.int32) | (((qh >> k) & 1).astype(np.int32) << 2)
             v = luts.IQ3NL_VALUES[q3 + off[..., None]].astype(np.float32)
             y[..., 32 * k:32 * k + 32] = dl[..., k:k + 1] * v
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -481,8 +478,8 @@ def dequant_iq4_k(data, n):
     y = np.empty((nb, QK_K), dtype=np.float32)
     for ib in range(8):
         sh = (scales_h[:, ib // 2] >> (4 * (ib % 2))).astype(np.int32)
-        dl1 = d * (((scales_l[:, ib] & 0x0F).astype(np.int32) | ((sh << 4) & 0x30)) - 32)
-        dl2 = d * (((scales_l[:, ib] >> 4).astype(np.int32) | ((sh << 2) & 0x30)) - 32)
+        dl1 = d * np.asarray((((scales_l[:, ib] & 0x0F).astype(np.int32) | ((sh << 4) & 0x30)) - 32), dtype=np.float32)
+        dl2 = d * np.asarray((((scales_l[:, ib] >> 4).astype(np.int32) | ((sh << 2) & 0x30)) - 32), dtype=np.float32)
         off1 = ((extra >> (2 * ib)) & 1) * 16
         off2 = ((extra >> (2 * ib + 1)) & 1) * 16
         blk = qs[:, 16 * ib:16 * (ib + 1)]
@@ -503,14 +500,13 @@ def dequant_iq4_ks(data, n):
     nr, nb = blocks.shape[:2]
     y = np.empty((nr, nb, QK_K), dtype=np.float32)
     for ib in range(8):
-        dl = (scales[..., ib] & 254).astype(np.int32) - 127
+        dl = d[:, None] * np.asarray(((scales[..., ib] & 254).astype(np.int32) - 127), dtype=np.float32)
         off = (scales[..., ib] & 1).astype(np.int32) * 16
         blk = qs[..., 16 * ib:16 * (ib + 1)]
         v1 = luts.IQ4K_VALUES[(blk & 0x0F) + off[..., None]].astype(np.float32)
         v2 = luts.IQ4K_VALUES[(blk >> 4) + off[..., None]].astype(np.float32)
         y[..., 32 * ib:32 * ib + 16] = dl[..., None] * v1
         y[..., 32 * ib + 16:32 * ib + 32] = dl[..., None] * v2
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -519,25 +515,24 @@ def dequant_iq4_kss(data, n):
     rows = _rows(data, GGMLType.IQ4_KSS, n)
     d = _f32le(rows[:, 0:4])[:, 0]
     blocks = rows[:, 4:].reshape(rows.shape[0], -1, 128)
-    qs = _u32le(blocks.reshape(rows.shape[0], -1)).reshape(rows.shape[0], -1, 32)
+    qs = _u16le(blocks.reshape(rows.shape[0], -1)).reshape(rows.shape[0], -1, 64)
     nr, nb = qs.shape[:2]
     y = np.empty((nr, nb, QK_K), dtype=np.float32)
     for ib in range(8):
-        w = qs[..., 8 * ib:8 * ib + 8]  # (nr, nb, 8) u32
-        aux16 = (w & np.uint32(0xFFFE)).astype(np.uint16)
+        w = qs[..., 8 * ib:8 * ib + 8]  # (nr, nb, 8) u16
+        aux16 = (w & np.uint16(0xFFFE)).astype(np.uint16)
         aux16 ^= aux16 >> 1
         lsbits = (w & 1).astype(np.int32)
         ls = np.zeros(lsbits.shape[:-1], dtype=np.int32)
         for k in range(8):
             ls |= lsbits[..., k] << k
         aux8 = aux16.view(np.uint8).reshape(nr, nb, 16)
-        dl = (ls & 254) - 127
+        dl = d[:, None] * np.asarray(((ls & 254) - 127), dtype=np.float32)
         off = (ls & 1) * 16
         v1 = luts.IQ4K_VALUES[(aux8 & 0x0F) + off[..., None]].astype(np.float32)
         v2 = luts.IQ4K_VALUES[(aux8 >> 4) + off[..., None]].astype(np.float32)
         y[..., 32 * ib:32 * ib + 16] = dl[..., None] * v1
         y[..., 32 * ib + 16:32 * ib + 32] = dl[..., None] * v2
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -592,8 +587,8 @@ def dequant_iq5_ks(data, n):
     for ib64 in range(4):
         s1 = scales[..., 2 * ib64].astype(np.int32)
         s2 = scales[..., 2 * ib64 + 1].astype(np.int32)
-        dl1 = (s1 & 254) - 127
-        dl2 = (s2 & 254) - 127
+        dl1 = d[:, None] * np.asarray(((s1 & 254) - 127), dtype=np.float32)
+        dl2 = d[:, None] * np.asarray(((s2 & 254) - 127), dtype=np.float32)
         off1 = (s1 & 1) * 32
         off2 = (s2 & 1) * 32
         blk = qs[..., 32 * ib64:32 * ib64 + 32]
@@ -603,7 +598,6 @@ def dequant_iq5_ks(data, n):
         v2 = luts.IQ5NL_VALUES[q2 + off2[..., None]].astype(np.float32)
         y[..., 64 * ib64:64 * ib64 + 32] = dl1[..., None] * v1
         y[..., 64 * ib64 + 32:64 * ib64 + 64] = dl2[..., None] * v2
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -617,7 +611,11 @@ def dequant_iq6_k(data, n):
     qh = b[:, 148:212]
     nb = b.shape[0]
     y = np.empty((nb, QK_K), dtype=np.float32)
-    A, B, C, D, S = luts.IQ6K_A, luts.IQ6K_B, luts.IQ6K_C, luts.IQ6K_D, luts.IQ6K_S
+    A = np.float32(luts.IQ6K_A)
+    B = np.float32(luts.IQ6K_B)
+    C = np.float32(luts.IQ6K_C)
+    D = np.float32(luts.IQ6K_D)
+    S = np.float32(luts.IQ6K_S)
     for ib64 in range(4):
         shift = 4 * (ib64 % 2)
         qhb = qh[:, 32 * (ib64 // 2):32 * (ib64 // 2) + 32]
@@ -633,8 +631,13 @@ def dequant_iq6_k(data, n):
         for k in range(4):
             dl = d * sl[:, 4 * ib64 + k]
             m = ((extra >> (4 * ib64 + k)) & 1).astype(np.float32) * S
-            qq = q[k]
-            val = A + qq * (B + qq * (-C + qq * D)) + m[:, None]
+            qq = q[k].astype(np.float64)
+            # gcc -O3 contracts the Horner chain into FMAs; emulate each
+            # fma(q, t, c) as an exact f64 mul-add rounded once to f32
+            t = (qq * np.float64(D) - np.float64(C)).astype(np.float32)
+            t = (qq * t.astype(np.float64) + np.float64(B)).astype(np.float32)
+            t = (qq * t.astype(np.float64) + np.float64(A)).astype(np.float32)
+            val = t + m[:, None]
             o = 64 * ib64 + 16 * k
             y[:, o:o + 16] = dl[:, None] * val
     return y.reshape(-1, n)
@@ -674,7 +677,7 @@ def dequant_iq1_kt(data, n):
     nr, nb = blocks.shape[:2]
     y = np.empty((nr, nb, QK_K), dtype=np.float32)
     for ib in range(8):  # kNblock=8 blocks of 32
-        sl = luts.IQ4K_VALUES[sh[..., ib] & 0x0F].astype(np.float32)
+        sl = d[:, None] * luts.IQ4K_VALUES[sh[..., ib] & 0x0F].astype(np.float32)
         for ig in range(4):  # kNg=4 groups of 8
             idx = ql[..., ib * 4 + ig].astype(np.int32) \
                 | ((qh[..., (ib % 4) * 4 + ig].astype(np.int32) << (8 - 4 * (ib // 4))) & 0xF00) \
@@ -682,7 +685,6 @@ def dequant_iq1_kt(data, n):
             vals = _kt_values(idx + 4096, 8)
             o = ib * 32 + ig * 8
             y[..., o:o + 8] = sl[..., None] * vals
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -696,15 +698,14 @@ def dequant_iq2_kt(data, n):
     nr, nb = blocks.shape[:2]
     y = np.empty((nr, nb, QK_K), dtype=np.float32)
     for ib in range(4):  # kNblock/2
-        sl = luts.IQ4K_VALUES[scales[..., ib] & 0x0F].astype(np.float32)
-        shi = luts.IQ4K_VALUES[scales[..., ib] >> 4].astype(np.float32)
+        sl = d[:, None] * luts.IQ4K_VALUES[scales[..., ib] & 0x0F].astype(np.float32)
+        shi = d[:, None] * luts.IQ4K_VALUES[scales[..., ib] >> 4].astype(np.float32)
         for ig in range(4):
             idx_l = ql[..., ib * 4 + ig].astype(np.int32)
             idx_h = ql[..., 16 + ib * 4 + ig].astype(np.int32)
             ol = ib * 32 + ig * 8
             y[..., ol:ol + 8] = sl[..., None] * _kt_values(idx_l + 4096, 8)
             y[..., 128 + ol:128 + ol + 8] = shi[..., None] * _kt_values(idx_h + 4096, 8)
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -719,8 +720,8 @@ def dequant_iq3_kt(data, n):
     nr, nb = blocks.shape[:2]
     y = np.empty((nr, nb, QK_K), dtype=np.float32)
     for ib in range(4):
-        sl = (scales[..., ib] & 0x0F).astype(np.float32)
-        shi = (scales[..., ib] >> 4).astype(np.float32)
+        sl = d[:, None] * (scales[..., ib] & 0x0F).astype(np.float32)
+        shi = d[:, None] * (scales[..., ib] >> 4).astype(np.float32)
         for ig in range(4):
             idx_l = ql[..., ib * 4 + ig].astype(np.int32)
             idx_h = ql[..., 16 + ib * 4 + ig].astype(np.int32)
@@ -732,7 +733,6 @@ def dequant_iq3_kt(data, n):
             ol = ib * 32 + ig * 8
             y[..., ol:ol + 8] = sl[..., None] * vl * sgn_l
             y[..., 128 + ol:128 + ol + 8] = shi[..., None] * vh * sgn_h
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
@@ -750,7 +750,7 @@ def dequant_iq4_kt(data, n):
         word = shb[..., ib].astype(np.int64)
         offset = np.where(word & 1, 32768 + 4096, 4096).astype(np.int32)
         ls = ((word & 0xFF) >> 1).astype(np.int32) - 64
-        sl = ls.astype(np.float32)
+        sl = d[:, None] * ls.astype(np.float32)
         for ig in range(8):  # kNg = 8 groups of 4
             jj = ib * 8 + ig
             idx = ql[..., jj] | ((qh[..., jj % 32] << (8 - 4 * (jj // 32))) & 0xF00) \
@@ -758,7 +758,6 @@ def dequant_iq4_kt(data, n):
             vals = _kt_values(idx + offset, 4)
             o = ib * 32 + ig * 4
             y[..., o:o + 4] = sl[..., None] * vals
-    y *= d[:, None, None]
     return y.reshape(rows.shape[0], n)
 
 
