@@ -1,0 +1,63 @@
+"""Differential tests: Pallas fused dequant-matmul vs jnp oracle vs f32 numpy.
+
+The TPU analogue of the reference's test-backend-ops.cpp cross-backend harness:
+random planar weights, kernel output compared to the reference computation
+with NMSE thresholds, plus exact comparison against the same-precision oracle.
+Runs in Pallas interpret mode on CPU.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ik_llama_cpp_tpu.ops.qmatmul import qmatmul, qmatmul_ref
+
+
+def nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = (a * a).mean() or 1.0
+    return float(((a - b) ** 2).mean() / denom)
+
+
+def make_case(m, k, n, group, bias, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    codes = rng.integers(-127, 128, size=(k, n), dtype=np.int8)
+    scale = (rng.standard_normal((k // group, n)) * 0.01).astype(np.float32)
+    b = (rng.standard_normal((k // group, n)) * 0.02).astype(np.float32) if bias else None
+    return x, codes, scale, b
+
+
+@pytest.mark.parametrize("m,k,n", [(16, 256, 128), (8, 512, 256), (1, 256, 384), (33, 768, 128)])
+@pytest.mark.parametrize("group", [16, 32])
+@pytest.mark.parametrize("bias", [False, True])
+def test_qmatmul_matches_oracle(m, k, n, group, bias):
+    x, codes, scale, b = make_case(m, k, n, group, bias)
+    got = qmatmul(x, codes, scale, b, group=group, interpret=True,
+                  block_m=32, block_n=128, block_k=256)
+    ref = qmatmul_ref(jnp.asarray(x), jnp.asarray(codes), jnp.asarray(scale),
+                      None if b is None else jnp.asarray(b), group=group)
+    assert got.shape == (m, n)
+    assert nmse(ref, got) < 1e-8, f"kernel vs oracle NMSE too high"
+
+
+def test_qmatmul_vs_f32_reference():
+    """End to end: planar-decoded weight matmul error vs full f32 math."""
+    m, k, n, g = 16, 512, 256, 32
+    x, codes, scale, b = make_case(m, k, n, g, True, seed=3)
+    w = codes.astype(np.float32) * np.repeat(scale, g, axis=0) + np.repeat(b, g, axis=0)
+    ref = x @ w
+    got = qmatmul(x, codes, scale, b, group=g, interpret=True,
+                  block_m=32, block_n=128, block_k=256)
+    # bf16 mantissa: expect ~1e-5 NMSE
+    assert nmse(ref, got) < 1e-4
+
+
+def test_qmatmul_unaligned_shapes():
+    x, codes, scale, b = make_case(5, 256, 96 + 32, 32, False, seed=7)
+    got = qmatmul(x, codes, scale, group=32, interpret=True,
+                  block_m=16, block_n=128, block_k=256)
+    ref = qmatmul_ref(jnp.asarray(x), jnp.asarray(codes), jnp.asarray(scale), group=32)
+    assert got.shape == (5, 128)
+    assert nmse(ref, got) < 1e-8
