@@ -1,0 +1,125 @@
+"""Model hyperparameters from GGUF metadata.
+
+The TPU analogue of llm_load_hparams (src/llama.cpp:2593) + llama_hparams
+(src/llama-hparams.h): every field read from the same `{arch}.*` GGUF keys
+the reference reads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _get(md: dict, arch: str, key: str, default=None):
+    v = md.get(f"{arch}.{key}", default)
+    if hasattr(v, "item"):
+        v = v.item()
+    return v
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str
+    n_layer: int
+    n_embd: int
+    n_head: int
+    n_head_kv: int
+    n_ff: int
+    n_vocab: int
+    n_ctx_train: int
+    head_dim: int
+    rms_eps: float = 1e-5
+    rope_freq_base: float = 10000.0
+    rope_type: int = 2  # NEOX default; llama family overrides to NORM
+    rope_dim: int = 0   # rotary dims (0 = full head_dim)
+    rope_scaling: str | None = None
+    rope_scale_factor: float = 1.0
+    rope_orig_ctx: int = 0
+    # qk norms (qwen3, gemma3 style)
+    use_qk_norm: bool = False
+    # MoE
+    n_expert: int = 0
+    n_expert_used: int = 0
+    expert_gating_func: int = 1  # 1=softmax, 2=sigmoid (llama.h)
+    n_ff_exp: int = 0
+    n_ff_shexp: int = 0
+    norm_topk_prob: bool = False
+    expert_weights_scale: float = 1.0
+    # MLA (deepseek2)
+    n_lora_q: int = 0
+    n_lora_kv: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # misc
+    f_logit_scale: float = 0.0
+    f_attention_scale: float = 0.0
+    tie_word_embeddings: bool = False
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    swa_window: int = 0
+    swa_pattern: int = 1  # every Nth layer is full-attention (gemma-style)
+    extra: dict = field(default_factory=dict, hash=False, compare=False)
+
+    @property
+    def n_gqa(self) -> int:
+        return self.n_head // max(self.n_head_kv, 1)
+
+
+# archs whose GGUF weights use ggml NORM rope (consecutive-pair rotation);
+# mirrors llama_rope_type (src/llama.cpp) — everything else here is NEOX.
+_NORM_ROPE_ARCHS = {"llama", "llama4", "deci", "baichuan", "starcoder", "plamo",
+                    "orion", "internlm2", "minicpm", "granite", "granitemoe", "chameleon"}
+
+
+def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
+    arch = md["general.architecture"]
+    a = lambda key, default=None: _get(md, arch, key, default)
+
+    n_embd = int(a("embedding_length"))
+    n_head = int(a("attention.head_count"))
+    n_head_kv = int(a("attention.head_count_kv", n_head))
+    head_dim = int(a("attention.key_length", n_embd // max(n_head, 1)))
+    n_vocab = int(a("vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
+
+    rope_type = 0 if arch in _NORM_ROPE_ARCHS else 2
+    scaling = a("rope.scaling.type")
+
+    return ModelConfig(
+        arch=arch,
+        n_layer=int(a("block_count")),
+        n_embd=n_embd,
+        n_head=n_head,
+        n_head_kv=n_head_kv,
+        n_ff=int(a("feed_forward_length", 0)),
+        n_vocab=n_vocab,
+        n_ctx_train=int(a("context_length", 4096)),
+        head_dim=head_dim,
+        rms_eps=float(a("attention.layer_norm_rms_epsilon",
+                        a("attention.layer_norm_epsilon", 1e-5))),
+        rope_freq_base=float(a("rope.freq_base", 10000.0)),
+        rope_type=rope_type,
+        rope_dim=int(a("rope.dimension_count", head_dim)),
+        rope_scaling=scaling,
+        rope_scale_factor=float(a("rope.scaling.factor", 1.0)),
+        rope_orig_ctx=int(a("rope.scaling.original_context_length", 0)),
+        use_qk_norm=arch in ("qwen3", "qwen3moe", "qwen3next"),
+        n_expert=int(a("expert_count", 0)),
+        n_expert_used=int(a("expert_used_count", 0)),
+        expert_gating_func=int(a("expert_gating_func", 1)),
+        n_ff_exp=int(a("expert_feed_forward_length", 0)),
+        n_ff_shexp=int(a("expert_shared_feed_forward_length", 0)),
+        norm_topk_prob=bool(a("norm_topk_prob", arch in ("qwen3moe",))),
+        expert_weights_scale=float(a("expert_weights_scale", 1.0)),
+        n_lora_q=int(a("attention.q_lora_rank", 0) or 0),
+        n_lora_kv=int(a("attention.kv_lora_rank", 0) or 0),
+        qk_nope_head_dim=0,
+        qk_rope_head_dim=int(a("rope.dimension_count", 0) or 0) if arch == "deepseek2" else 0,
+        v_head_dim=int(a("attention.value_length", head_dim)),
+        f_logit_scale=float(a("logit_scale", 0.0)),
+        f_attention_scale=float(a("attention.scale", 0.0)),
+        attn_softcap=float(a("attn_logit_softcapping", 0.0)),
+        final_softcap=float(a("final_logit_softcapping", 0.0)),
+        swa_window=int(a("attention.sliding_window", 0)),
+        extra={},
+    )

@@ -1,0 +1,157 @@
+"""Dense transformer family: llama / llama2/3 / qwen2 / qwen3 / mistral.
+
+The TPU analogue of the reference's per-arch graph builders
+(src/graphs/build_llama.cpp, build_qwen3.cpp): one functional forward over a
+fixed-capacity KV cache, jit-compiled once per (batch, chunk) shape bucket.
+
+Weight names follow GGUF conventions (token_embd, blk.N.attn_q, ...), the
+same tensors llm_load_tensors declares for LLM_ARCH_LLAMA/QWEN2/QWEN3.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFModel
+from ..ops import layers as L
+from ..ops.attention import attend
+from .config import ModelConfig, config_from_gguf
+from .weights import DenseLinear, QLinear, dequant_tensor, load_dense, load_linear
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    k: Any  # (L, B, S, Hkv, D)
+    v: Any  # (L, B, S, Hkv, D)
+
+    def tree_flatten(self):
+        return (self.k, self.v), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, capacity: int, dtype=jnp.bfloat16):
+        shape = (cfg.n_layer, batch, capacity, cfg.n_head_kv, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def capacity(self):
+        return self.k.shape[2]
+
+
+def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True):
+    """GGUF -> pytree of device weights."""
+    t = gg.tensors
+    params: dict[str, Any] = {}
+    params["tok_embd"] = jnp.asarray(
+        np.ascontiguousarray(dequant_tensor(t["token_embd.weight"])),
+        dtype=jnp.bfloat16,
+    )
+    params["output_norm"] = load_dense(t["output_norm.weight"])
+    out_name = "output.weight" if "output.weight" in t else "token_embd.weight"
+    params["output"] = load_linear(t[out_name], use_quant=use_quant)
+
+    blocks = []
+    for i in range(cfg.n_layer):
+        p = f"blk.{i}."
+        blk = {
+            "attn_norm": load_dense(t[p + "attn_norm.weight"]),
+            "wq": load_linear(t[p + "attn_q.weight"], use_quant=use_quant),
+            "wk": load_linear(t[p + "attn_k.weight"], use_quant=use_quant),
+            "wv": load_linear(t[p + "attn_v.weight"], use_quant=use_quant),
+            "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
+            "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
+            "ffn_gate": load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant),
+            "ffn_up": load_linear(t[p + "ffn_up.weight"], use_quant=use_quant),
+            "ffn_down": load_linear(t[p + "ffn_down.weight"], use_quant=use_quant),
+        }
+        for opt in ("attn_q_norm", "attn_k_norm"):
+            if p + opt + ".weight" in t:
+                blk[opt] = load_dense(t[p + opt + ".weight"])
+        for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias"):
+            if p + opt_b in t:
+                blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])
+        blocks.append(blk)
+    params["blocks"] = blocks
+    return params
+
+
+def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
+                interpret=False):
+    """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
+    b, t, _ = x.shape
+    h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+
+    q = blk["wq"](x, interpret=interpret)
+    k = blk["wk"](x, interpret=interpret)
+    v = blk["wv"](x, interpret=interpret)
+    if "attn_q_bias" in blk:
+        q = q + blk["attn_q_bias"]
+    if "attn_k_bias" in blk:
+        k = k + blk["attn_k_bias"]
+    if "attn_v_bias" in blk:
+        v = v + blk["attn_v_bias"]
+    q = q.reshape(b, t, h, d)
+    k = k.reshape(b, t, hkv, d)
+    v = v.reshape(b, t, hkv, d)
+
+    if "attn_q_norm" in blk:  # qwen3-style per-head RMS norm
+        q = L.rms_norm(q, blk["attn_q_norm"], cfg.rms_eps)
+        k = L.rms_norm(k, blk["attn_k_norm"], cfg.rms_eps)
+
+    q = L.apply_rope(q, cos, sin, cfg.rope_type)
+    k = L.apply_rope(k, cos, sin, cfg.rope_type)
+
+    # append to cache at n_past
+    k = k.astype(kv_k.dtype)
+    v = v.astype(kv_v.dtype)
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, n_past, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, n_past, 0, 0))
+
+    scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
+    kv_len = jnp.full((b,), n_past + t, dtype=jnp.int32)
+    attn = attend(q.astype(jnp.bfloat16), kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
+                  scale=scale, softcap=cfg.attn_softcap, swa_window=0)
+    attn = attn.reshape(b, t, h * d)
+    return blk["wo"](attn, interpret=interpret), kv_k, kv_v
+
+
+def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
+            *, interpret: bool = False, logits_last_only: bool = False):
+    """tokens: (B, T) int32; n_past: scalar int32. Returns (logits f32, KVCache)."""
+    b, t = tokens.shape
+    x = params["tok_embd"][tokens]  # (B, T, E) bf16
+
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, axis=0)
+    rope_dims = cfg.rope_dim or cfg.head_dim
+    cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
+
+    new_k, new_v = [], []
+    for i, blk in enumerate(params["blocks"]):
+        h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        attn_out, k_i, v_i = _attn_block(
+            blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos, cos, sin, interpret)
+        x = x + attn_out.astype(x.dtype)
+        h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+        gate = blk["ffn_gate"](h, interpret=interpret)
+        up = blk["ffn_up"](h, interpret=interpret)
+        ff = blk["ffn_down"](L.swiglu(gate, up).astype(jnp.bfloat16), interpret=interpret)
+        x = x + ff.astype(x.dtype)
+        new_k.append(k_i)
+        new_v.append(v_i)
+
+    kv = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    x = L.rms_norm(x, params["output_norm"], cfg.rms_eps)
+    if logits_last_only:
+        x = x[:, -1:, :]
+    logits = params["output"](x, interpret=interpret).astype(jnp.float32)
+    if cfg.final_softcap > 0:
+        logits = L.softcap(logits, cfg.final_softcap)
+    return logits, kv

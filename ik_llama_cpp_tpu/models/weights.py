@@ -1,0 +1,133 @@
+"""Weight containers + GGUF -> device loading.
+
+The TPU analogue of llm_load_tensors (src/llama.cpp:4133) +
+create_tensors_helper (src/llama-load-tensors.cpp): tensors are enumerated
+from GGUF, matmul weights are planar-decoded (quant/planar.py) into
+(int8 codes [K,N], f32 scales [K//G,N]) device arrays — the load-time repack
+that replaces `-rtr`/iqk_repack_tensor — while embeddings/norms are
+dequantized to dense arrays.
+
+QLinear / DenseLinear are pytree nodes so whole models are jit-traceable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFModel, GGUFTensorInfo
+from ..quant.dequant import dequantize
+from ..quant.planar import PLANAR_FNS, planar_decode
+from ..ops.qmatmul import qmatmul, qmatmul_ref
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QLinear:
+    """Planar-quantized linear layer: y = x @ dequant(codes, scale, bias)."""
+
+    codes: Any   # int8 (K, N)
+    scale: Any   # f32 (K//G, N)
+    bias: Any    # f32 (K//G, N) | None
+    group: int = 32
+
+    def tree_flatten(self):
+        return (self.codes, self.scale, self.bias), (self.group,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        codes, scale, bias = children
+        return cls(codes, scale, bias, group=aux[0])
+
+    @property
+    def shape(self):
+        return (self.codes.shape[0], self.codes.shape[1])
+
+    def __call__(self, x, *, interpret: bool = False):
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        if _use_pallas():
+            y = qmatmul(x2, self.codes, self.scale, self.bias, group=self.group,
+                        interpret=interpret)
+        else:
+            # XLA-CPU path with identical numerics (kernel == oracle is
+            # separately proven by tests/test_qmatmul.py)
+            y = qmatmul_ref(x2, self.codes, self.scale, self.bias, group=self.group)
+        return y.reshape(orig_shape[:-1] + (self.codes.shape[1],))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseLinear:
+    """bf16 dense linear (f16/f32/bf16 GGUF tensors, or non-planar fallback)."""
+
+    w: Any  # bf16 (K, N)
+
+    def tree_flatten(self):
+        return (self.w,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+    def __call__(self, x, *, interpret: bool = False):
+        return jnp.dot(x.astype(jnp.bfloat16), self.w,
+                       preferred_element_type=jnp.float32)
+
+
+_FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
+
+_USE_PALLAS: bool | None = None
+
+
+def _use_pallas() -> bool:
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        _USE_PALLAS = jax.default_backend() not in ("cpu",)
+    return _USE_PALLAS
+
+
+def set_use_pallas(flag: bool | None) -> None:
+    """Force (or reset with None) the matmul implementation choice."""
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def dequant_tensor(info: GGUFTensorInfo) -> np.ndarray:
+    """Full f32 numpy dequantization in the tensor's logical (row-major) shape."""
+    n_per_row = info.shape[0]
+    nrows = info.n_elements // n_per_row
+    out = dequantize(info.data, info.ggml_type, n_per_row)
+    logical = tuple(reversed(info.shape))
+    return out.reshape(logical)
+
+
+def load_linear(info: GGUFTensorInfo, *, use_quant: bool = True) -> QLinear | DenseLinear:
+    """GGUF weight (ne = (K, N) i.e. rows are output neurons) -> device linear.
+
+    Planar codes arrive row-major (N, K); we transpose to (K, N) so the
+    contraction dim is leading, which is what the kernel streams.
+    """
+    k = info.shape[0]
+    n = info.n_elements // k
+    if use_quant and info.ggml_type in PLANAR_FNS:
+        pw = planar_decode(info.data, info.ggml_type, k)
+        codes = jnp.asarray(np.ascontiguousarray(pw.codes.T))          # (K, N)
+        scale = jnp.asarray(np.ascontiguousarray(pw.scale.T))          # (K//G, N)
+        bias = None if pw.bias is None else jnp.asarray(np.ascontiguousarray(pw.bias.T))
+        return QLinear(codes, scale, bias, group=pw.group)
+    w = dequant_tensor(info).reshape(n, k).T  # (K, N)
+    return DenseLinear(jnp.asarray(np.ascontiguousarray(w), dtype=jnp.bfloat16))
+
+
+def load_dense(info: GGUFTensorInfo, dtype=jnp.float32) -> jax.Array:
+    return jnp.asarray(dequant_tensor(info), dtype=dtype)

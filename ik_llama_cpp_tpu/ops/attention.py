@@ -1,0 +1,60 @@
+"""Attention ops.
+
+Round-1 implementation: jnp masked attention over a fixed-capacity KV cache
+(XLA fuses this well on TPU for moderate S); the Pallas flash-attention
+kernel with quantized KV replaces the inner computation behind the same
+interface. Mirrors the reference semantics of llm_build_kqv
+(llama-build-context.cpp:2011-2135): f32 softmax, optional softcap, GQA,
+causal masking against cache fill level.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
+           swa_window: int = 0, sinks=None):
+    """Masked attention over a fixed-size KV buffer.
+
+    q: (B, T, H, D); k, v: (B, S, Hkv, D) — S is cache capacity.
+    q_pos: (B, T) absolute positions of the queries.
+    kv_len: (B,) number of valid cache entries (= n_past + T).
+    Returns (B, T, H, D) in q.dtype.
+    """
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    hkv = k.shape[2]
+    rep = h // hkv
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if rep > 1:
+        kf = jnp.repeat(kf, rep, axis=2)
+        vf = jnp.repeat(vf, rep, axis=2)
+
+    # scores: (B, H, T, S)
+    scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+    if softcap > 0.0:
+        scores = softcap * jnp.tanh(scores / softcap)
+
+    key_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]          # (1,1,S)
+    qp = q_pos[:, :, None]                                           # (B,T,1)
+    mask = (key_pos <= qp) & (key_pos < kv_len[:, None, None])
+    if swa_window > 0:
+        mask &= key_pos > qp - swa_window
+    scores = jnp.where(mask[:, None, :, :], scores, jnp.float32(-1e30))
+
+    if sinks is not None:
+        # attention sinks (gpt-oss style): extra per-head logit that absorbs mass
+        sink = sinks.astype(jnp.float32).reshape(1, h, 1, 1)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sink)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sink - m)
+        probs = e / denom
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+
+    out = jnp.einsum("bhts,bshd->bthd", probs, vf)
+    return out.astype(q.dtype)

@@ -1,0 +1,136 @@
+"""Model runtime: load a GGUF, run prefill/decode with jit shape-bucketing.
+
+The analogue of llama_decode_internal's graph-reuse machinery
+(src/llama.cpp:6092, can_reuse_graph :661): where the reference rebuilds a
+cheap graph per ubatch, XLA compiles once per (batch, chunk-length) bucket
+and reuses the executable — prompt chunks are padded up to the bucket size.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFModel, load_gguf
+from ..models.config import ModelConfig, config_from_gguf
+from ..models import llama as llama_mod
+from ..models.llama import KVCache
+from .tokenizer import Tokenizer, tokenizer_from_gguf
+from .sampling import SamplerParams, sample as sample_token
+
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return PREFILL_BUCKETS[-1]
+
+
+FORWARDS = {
+    "llama": llama_mod.forward,
+    "qwen2": llama_mod.forward,
+    "qwen3": llama_mod.forward,
+    "mistral": llama_mod.forward,
+    "gemma": llama_mod.forward,
+}
+
+LOADERS = {
+    "llama": llama_mod.load_llama_params,
+    "qwen2": llama_mod.load_llama_params,
+    "qwen3": llama_mod.load_llama_params,
+    "mistral": llama_mod.load_llama_params,
+}
+
+
+@dataclass
+class Runtime:
+    cfg: ModelConfig
+    tokenizer: Tokenizer
+    params: Any
+    interpret: bool = False
+
+    _step_fns: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False):
+        gg = load_gguf(path)
+        cfg = config_from_gguf(gg.metadata)
+        tok = tokenizer_from_gguf(gg.metadata)
+        loader = LOADERS.get(cfg.arch)
+        if loader is None:
+            raise NotImplementedError(f"arch {cfg.arch!r} not supported yet")
+        params = loader(gg, cfg, use_quant=use_quant)
+        return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret)
+
+    # ------------------------------------------------------------------
+    def _step(self, chunk: int, last_only: bool):
+        key = (chunk, last_only)
+        if key not in self._step_fns:
+            fwd = FORWARDS[self.cfg.arch]
+            cfg, interp = self.cfg, self.interpret
+
+            @jax.jit
+            def step(params, tokens, kv, n_past):
+                return fwd(params, cfg, tokens, kv, n_past,
+                           interpret=interp, logits_last_only=last_only)
+
+            self._step_fns[key] = step
+        return self._step_fns[key]
+
+    def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
+        return KVCache.create(self.cfg, batch, capacity)
+
+    def eval_tokens(self, ids: list[int], kv: KVCache, n_past: int = 0,
+                    *, all_logits: bool = False):
+        """Evaluate ids; returns (logits ndarray (len(ids) or 1, V), kv, n_past)."""
+        out_chunks = []
+        i = 0
+        while i < len(ids):
+            chunk = ids[i:i + PREFILL_BUCKETS[-1]]
+            b = _bucket(len(chunk))
+            padded = np.zeros((1, b), np.int32)
+            padded[0, :len(chunk)] = chunk
+            step = self._step(b, False)
+            logits, kv_new = step(self.params, jnp.asarray(padded), kv, jnp.int32(n_past))
+            # only the first len(chunk) positions are real; roll back cache writes
+            # beyond them by trimming n_past bookkeeping (cache rows past kv_len
+            # are ignored by the mask on subsequent steps)
+            logits = np.asarray(logits[0, :len(chunk)])
+            out_chunks.append(logits)
+            kv = kv_new
+            n_past += len(chunk)
+            i += len(chunk)
+        full = np.concatenate(out_chunks, axis=0)
+        return (full if all_logits else full[-1:]), kv, n_past
+
+    def generate(self, prompt: str | list[int], max_new_tokens: int = 32,
+                 sampler: SamplerParams | None = None, seed: int = 0,
+                 capacity: int = 512, stop_at_eos: bool = True):
+        """Greedy/sampled generation. Returns (prompt_ids, generated_ids)."""
+        sampler = sampler or SamplerParams(temp=0.0)
+        if isinstance(prompt, str):
+            ids = self.tokenizer.encode(prompt)
+        else:
+            ids = list(prompt)
+        kv = self.new_cache(1, capacity)
+        logits, kv, n_past = self.eval_tokens(ids, kv, 0)
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(max_new_tokens):
+            tok = sample_token(logits[-1], sampler, rng, history=ids + out)
+            out.append(int(tok))
+            if stop_at_eos and tok == self.tokenizer.eos_id:
+                break
+            logits, kv, n_past = self.eval_tokens([int(tok)], kv, n_past)
+        return ids, out
+
+    def all_position_logits(self, ids: list[int], capacity: int = 512) -> np.ndarray:
+        kv = self.new_cache(1, capacity)
+        logits, _, _ = self.eval_tokens(ids, kv, 0, all_logits=True)
+        return logits

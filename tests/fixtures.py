@@ -1,0 +1,112 @@
+"""Synthetic model fixtures: tiny llama-architecture GGUFs with random weights.
+
+These files are valid for BOTH engines — ours and the reference llama.cpp —
+which is what enables true cross-engine parity tests (greedy decode, PPL)
+without downloading real checkpoints.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ik_llama_cpp_tpu.gguf.constants import GGMLType
+from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
+from ik_llama_cpp_tpu.quant.quantize import quantize
+
+
+def byte_vocab():
+    """SPM-style vocab: specials + 256 byte tokens + a few common words."""
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]  # UNKNOWN, CONTROL, CONTROL
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(6)  # BYTE
+        scores.append(0.0)
+    # a few merged pieces so SPM has something to merge
+    for i, w in enumerate(["▁the", "▁a", "he", "th", "▁t", "er", "in", "▁and",
+                           "▁of", "▁to", "an", "on", "▁is", "es", "at", "or"]):
+        tokens.append(w)
+        types.append(1)  # NORMAL
+        scores.append(-float(i))
+    return tokens, scores, types
+
+
+def make_tiny_llama_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    quant: GGMLType = GGMLType.F16,
+    seed: int = 0,
+    arch: str = "llama",
+) -> Path:
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+    w.add("tokenizer.ggml.add_bos_token", True)
+    w.add("tokenizer.ggml.add_eos_token", False)
+
+    def randw(*shape, scale=None):
+        fan_in = shape[-1]
+        scale = scale or (1.0 / np.sqrt(fan_in))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d, ttype=quant):
+        """arr2d logical (n_out, n_in); store quantized or f32/f16.
+
+        Falls back to F16 when the row length isn't divisible by the type's
+        block size (the analogue of llama-quantize's change_type_if_necessary).
+        """
+        from ik_llama_cpp_tpu.gguf.constants import GEOMETRY
+        if ttype != GGMLType.F32 and arr2d.shape[-1] % GEOMETRY[ttype].block_elems != 0:
+            ttype = GGMLType.F16
+        if ttype == GGMLType.F32:
+            w.add_tensor(name, arr2d.astype(np.float32))
+        else:
+            w.add_tensor(name, quantize(arr2d, ttype),
+                         shape=tuple(reversed(arr2d.shape)), ggml_type=ttype)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path

@@ -1,0 +1,110 @@
+"""Cross-engine parity: our forward pass vs the REFERENCE engine (libllama)
+on the same synthetic GGUF.
+
+The reference binaries are built out-of-tree in /tmp/refbuild (see
+.claude/skills/verify/SKILL.md). gen_logits dumps reference tokenization,
+greedy continuation, and all-position logits; we must match tokenization
+exactly and logits within mixed-precision tolerance.
+"""
+import os
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_llama_gguf
+from ik_llama_cpp_tpu.gguf.constants import GGMLType
+from ik_llama_cpp_tpu.runtime.generate import Runtime
+
+REFBUILD = Path("/tmp/refbuild")
+GEN_LOGITS = Path("/tmp/gen_logits")
+LDPATH = f"{REFBUILD}/src:{REFBUILD}/ggml/src"
+
+ref_available = (REFBUILD / "src/libllama.so").exists()
+
+
+def build_gen_logits():
+    if GEN_LOGITS.exists():
+        return True
+    src = Path(__file__).parent.parent / "tools/golden_gen/gen_logits.c"
+    r = subprocess.run(
+        ["g++", "-O2", "-I/root/reference/include", "-I/root/reference/ggml/include",
+         str(src), f"-L{REFBUILD}/src", f"-L{REFBUILD}/ggml/src",
+         "-lllama", "-lggml", "-lm", "-o", str(GEN_LOGITS)],
+        capture_output=True)
+    return r.returncode == 0
+
+
+def ref_logits(model_path, prompt, n_gen=8):
+    out = Path("/tmp") / (Path(model_path).stem + "_logits.bin")
+    env = dict(os.environ, LD_LIBRARY_PATH=LDPATH)
+    r = subprocess.run([str(GEN_LOGITS), str(model_path), str(out), prompt, str(n_gen)],
+                       env=env, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    raw = out.read_bytes()
+    n_prompt, n_gen_, n_vocab = struct.unpack("<III", raw[:12])
+    off = 12
+    prompt_ids = np.frombuffer(raw, np.int32, n_prompt, off); off += 4 * n_prompt
+    gen_ids = np.frombuffer(raw, np.int32, n_gen_, off); off += 4 * n_gen_
+    logits = np.frombuffer(raw, np.float32, (n_prompt + n_gen_) * n_vocab, off)
+    return prompt_ids, gen_ids, logits.reshape(n_prompt + n_gen_, n_vocab)
+
+
+needs_ref = pytest.mark.skipif(
+    not (ref_available and build_gen_logits()), reason="reference build unavailable")
+
+
+# thresholds measured empirically on random tiny models (near-uniform logits,
+# the worst case for softmax L1): F16 ~0.047 peak from bf16 matmuls, quantized
+# types add the bf16-dequant delta vs the reference's integer dot products.
+PARITY = {
+    GGMLType.F16: 0.08,
+    GGMLType.Q8_0: 0.20,  # TODO: int8 MXU path will cut this to ~F16 level
+    GGMLType.Q4_K: 0.28,
+    GGMLType.Q6_K: 0.22,
+    GGMLType.IQ4_NL: 0.22,
+}
+
+
+@needs_ref
+@pytest.mark.parametrize("quant", sorted(PARITY, key=int), ids=lambda t: t.name)
+def test_logit_parity_tiny_llama(tmp_path, quant):
+    model = make_tiny_llama_gguf(tmp_path / f"tiny_{quant.name}.gguf", quant=quant,
+                                 seed=1, n_embd=256, n_ff=512)
+    prompt = "Hello world, this is a test"
+    p_ids, g_ids, ref = ref_logits(model, prompt, n_gen=6)
+
+    rt = Runtime.from_gguf(model)
+    ours = rt.tokenizer.encode(prompt)
+    assert ours == list(p_ids), "tokenization mismatch vs reference"
+
+    # teacher-forced full sequence: prompt + reference's greedy continuation
+    seq = list(p_ids) + list(g_ids)
+    got = rt.all_position_logits(seq)
+    ref_all = ref  # (len(seq), V)
+
+    # compare softmax-space distance and argmax agreement per position
+    def softmax(x):
+        x = x - x.max(axis=-1, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(axis=-1, keepdims=True)
+
+    ps, pr = softmax(got), softmax(ref_all)
+    l1 = np.abs(ps - pr).sum(axis=-1)
+    agree = (got.argmax(-1) == ref_all.argmax(-1)).mean()
+    assert l1.max() < PARITY[quant], f"max L1 prob distance {l1.max():.4f}"
+    assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"
+
+
+@needs_ref
+def test_greedy_generation_matches_reference(tmp_path):
+    model = make_tiny_llama_gguf(tmp_path / "tiny_gen.gguf", quant=GGMLType.F16, seed=2)
+    prompt = "The quick brown fox"
+    p_ids, g_ids, _ = ref_logits(model, prompt, n_gen=8)
+    rt = Runtime.from_gguf(model)
+    ids, out = rt.generate(prompt, max_new_tokens=8, stop_at_eos=False)
+    assert ids == list(p_ids)
+    match = sum(a == b for a, b in zip(out, g_ids)) / len(g_ids)
+    assert match >= 0.75, f"greedy tokens: ours {out} vs ref {list(g_ids)}"
