@@ -84,7 +84,7 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
 
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
-                interpret=False):
+                interpret=False, tp_axis=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -120,11 +120,16 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     attn = attend(q.astype(jnp.bfloat16), kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
                   scale=scale, softcap=cfg.attn_softcap, swa_window=0)
     attn = attn.reshape(b, t, h * d)
-    return blk["wo"](attn, interpret=interpret), kv_k, kv_v
+    out = blk["wo"](attn, interpret=interpret)
+    if tp_axis is not None:
+        # the reference's GGML_OP_REDUCE / ncclAllReduce (reduce.cu:164)
+        out = jax.lax.psum(out, tp_axis)
+    return out, kv_k, kv_v
 
 
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
-            *, interpret: bool = False, logits_last_only: bool = False):
+            *, interpret: bool = False, logits_last_only: bool = False,
+            tp_axis: str | None = None):
     """tokens: (B, T) int32; n_past: scalar int32. Returns (logits f32, KVCache)."""
     b, t = tokens.shape
     x = params["tok_embd"][tokens]  # (B, T, E) bf16
@@ -137,12 +142,15 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     for i, blk in enumerate(params["blocks"]):
         h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         attn_out, k_i, v_i = _attn_block(
-            blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos, cos, sin, interpret)
+            blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos, cos, sin, interpret,
+            tp_axis=tp_axis)
         x = x + attn_out.astype(x.dtype)
         h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
         gate = blk["ffn_gate"](h, interpret=interpret)
         up = blk["ffn_up"](h, interpret=interpret)
         ff = blk["ffn_down"](L.swiglu(gate, up).astype(jnp.bfloat16), interpret=interpret)
+        if tp_axis is not None:
+            ff = jax.lax.psum(ff, tp_axis)
         x = x + ff.astype(x.dtype)
         new_k.append(k_i)
         new_v.append(v_i)
@@ -152,6 +160,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     if logits_last_only:
         x = x[:, -1:, :]
     logits = params["output"](x, interpret=interpret).astype(jnp.float32)
+    if tp_axis is not None:
+        # vocab-sharded head -> gather full logits, drop vocab padding
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+        logits = logits[..., :cfg.n_vocab]
     if cfg.final_softcap > 0:
         logits = L.softcap(logits, cfg.final_softcap)
     return logits, kv

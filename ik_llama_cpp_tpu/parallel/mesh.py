@@ -1,0 +1,148 @@
+"""Device mesh + weight sharding rules.
+
+The TPU-native replacement for the reference's split-mode-graph tensor
+parallelism (prepare_split_tensors, llama-load-tensors.cpp:4393-4545 and
+ggml_reduce + NCCL): one named mesh (data, model[, expert]), weights
+annotated per the same split rules the reference uses —
+  * attn q/k/v and ffn up/gate: split output dim (columns) over 'model'
+  * attn output and ffn down: split input dim (rows) over 'model'
+  * norms / embeddings: replicated
+  * KV cache: kv-heads over 'model', batch over 'data'
+— with the all-reduce the reference does explicitly (GGML_OP_REDUCE ->
+ncclAllReduce, reduce.cu:164) expressed as jax.lax.psum inside shard_map.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.weights import QLinear, DenseLinear
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"
+
+
+def make_mesh(shape: tuple[int, int] | None = None, devices=None) -> Mesh:
+    """Create a (data, model) mesh. Default: all devices on the model axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (1, n)
+    assert shape[0] * shape[1] == n, (shape, n)
+    arr = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _linear_spec(kind: str):
+    """PartitionSpecs for a linear's (codes/scale/bias or dense w) leaves.
+
+    kind: 'col' (output-dim sharded), 'row' (input-dim sharded), 'rep'.
+    All leaves of a linear share K-leading layout: codes (K, N),
+    scale/bias (K//G, N), dense w (K, N).
+    """
+    if kind == "col":
+        return P(None, MODEL_AXIS)
+    if kind == "row":
+        return P(MODEL_AXIS, None)
+    return P(None, None)
+
+
+# which block weights get which split (mirrors llama-load-tensors.cpp:4507-4545)
+_BLOCK_KINDS = {
+    "wq": "col", "wk": "col", "wv": "col", "wo": "row",
+    "ffn_gate": "col", "ffn_up": "col", "ffn_down": "row",
+    "attn_norm": "rep", "ffn_norm": "rep",
+    "attn_q_norm": "rep", "attn_k_norm": "rep",
+    "attn_q_bias": "colv", "attn_k_bias": "colv", "attn_v_bias": "colv",
+}
+
+
+def _spec_for_leaf_path(path: str, leaf) -> P:
+    parts = path.split(".")
+    name = parts[-1]
+    if name in ("tok_embd", "output_norm"):
+        return P(None) if getattr(leaf, "ndim", 2) == 1 else P(None, None)
+    kind = _BLOCK_KINDS.get(name)
+    if name == "output":
+        kind = "col"  # vocab-sharded head; logits all-gathered
+    if kind is None:
+        return P()
+    if kind == "rep":
+        return P(None)
+    if kind == "colv":  # 1-D bias sharded on its only dim
+        return P(MODEL_AXIS)
+    return _linear_spec(kind)
+
+
+def param_specs(params: Any) -> Any:
+    """Build a pytree of PartitionSpecs parallel to a llama params pytree."""
+
+    def visit(obj, path):
+        if isinstance(obj, dict):
+            return {k: visit(v, f"{path}.{k}" if path else k) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [visit(v, path) for v in obj]
+        if isinstance(obj, QLinear):
+            spec = _spec_for_leaf_path(path, obj)
+            bias_spec = None if obj.bias is None else (
+                P(spec[0], spec[1]) if len(spec) == 2 else spec)
+            return QLinear(spec, P(spec[0], spec[1]) if len(spec) == 2 else spec,
+                           bias_spec, group=obj.group)
+        if isinstance(obj, DenseLinear):
+            return DenseLinear(_spec_for_leaf_path(path, obj))
+        # plain array (norm weights, biases, embedding table)
+        return _spec_for_leaf_path(path, obj)
+
+    return visit(params, "")
+
+
+def _pad_axis(x, axis: int, mult: int):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def pad_output_head(params: Any, tp: int) -> Any:
+    """Pad the vocab-sharded lm head's output dim to a multiple of tp
+    (Megatron-style vocab padding); forward slices logits back to n_vocab."""
+    out = params["output"]
+    if isinstance(out, QLinear):
+        params = dict(params)
+        params["output"] = QLinear(
+            _pad_axis(out.codes, 1, tp), _pad_axis(out.scale, 1, tp),
+            None if out.bias is None else _pad_axis(out.bias, 1, tp),
+            group=out.group)
+    elif isinstance(out, DenseLinear):
+        params = dict(params)
+        params["output"] = DenseLinear(_pad_axis(out.w, 1, tp))
+    return params
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with its NamedSharding (pads the lm head)."""
+    params = pad_output_head(params, mesh.shape[MODEL_AXIS])
+    specs = param_specs(params)
+
+    def put(leaf, spec):
+        if leaf is None:
+            return None
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(
+        put, params, specs,
+        is_leaf=lambda x: x is None)
+
+
+def kv_spec() -> P:
+    """KV cache (L, B, S, Hkv, D): batch on data, kv-heads on model."""
+    return P(None, DATA_AXIS, None, MODEL_AXIS, None)

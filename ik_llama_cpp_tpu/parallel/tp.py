@@ -1,0 +1,55 @@
+"""Tensor+data-parallel forward via shard_map.
+
+Each device executes the per-shard forward (local attention heads, local FFN
+slices) and synchronizes only at the reduction points — exactly the execution
+model of the reference's async split-mode-graph executor
+(ggml-backend.cpp:2208-2400: one thread per device, barriers at REDUCE
+nodes), but expressed as XLA collectives over ICI.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import llama as llama_mod
+from ..models.config import ModelConfig
+from ..models.llama import KVCache
+from .mesh import DATA_AXIS, MODEL_AXIS, kv_spec, param_specs
+
+
+def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """Per-shard view of the model: local head counts."""
+    assert cfg.n_head % tp == 0, (cfg.n_head, tp)
+    assert cfg.n_head_kv % tp == 0, (cfg.n_head_kv, tp)
+    return dataclasses.replace(cfg, n_head=cfg.n_head // tp,
+                               n_head_kv=cfg.n_head_kv // tp)
+
+
+def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params, *,
+                    logits_last_only: bool = False):
+    """Build a jitted (params, tokens, kv, n_past) -> (logits, kv) over the mesh.
+
+    params are only used for their pytree structure (to derive in_specs).
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    cfg_local = local_config(cfg, tp)
+    pspecs = param_specs(params)
+
+    def per_shard(params, tokens, kv, n_past):
+        return llama_mod.forward(params, cfg_local, tokens, kv, n_past,
+                                 tp_axis=MODEL_AXIS,
+                                 logits_last_only=logits_last_only)
+
+    fwd = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), KVCache(kv_spec(), kv_spec()), P()),
+        out_specs=(P(DATA_AXIS, None, None), KVCache(kv_spec(), kv_spec())),
+        check_rep=False,
+    )
+    return jax.jit(fwd)
