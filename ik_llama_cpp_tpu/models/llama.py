@@ -19,6 +19,8 @@ import numpy as np
 from ..gguf.reader import GGUFModel
 from ..ops import layers as L
 from ..ops.attention import attend
+from ..ops.flash_attention import flash_attention
+from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
 from .weights import DenseLinear, QLinear, dequant_tensor, load_dense, load_linear
 
@@ -116,9 +118,15 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, n_past, 0, 0))
 
     scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
-    kv_len = jnp.full((b,), n_past + t, dtype=jnp.int32)
-    attn = attend(q.astype(jnp.bfloat16), kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
-                  scale=scale, softcap=cfg.attn_softcap, swa_window=0)
+    if _use_pallas():
+        attn = flash_attention(q.astype(jnp.bfloat16), kv_k, kv_v,
+                               n_past, n_past + t, scale=scale,
+                               softcap=cfg.attn_softcap, swa_window=cfg.swa_window)
+    else:
+        kv_len = jnp.full((b,), n_past + t, dtype=jnp.int32)
+        attn = attend(q.astype(jnp.bfloat16), kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
+                      scale=scale, softcap=cfg.attn_softcap,
+                      swa_window=cfg.swa_window)
     attn = attn.reshape(b, t, h * d)
     out = blk["wo"](attn, interpret=interpret)
     if tp_axis is not None:

@@ -1,0 +1,150 @@
+"""Pallas flash attention for TPU — replaces the reference's CPU
+iqk_flash_attn_noalibi (iqk_flash_attn.cpp) and CUDA fattn-*.cu.
+
+Online-softmax tiled attention over a fixed-capacity KV cache:
+  * grid (B*H, T/TQ, S/TS) with the KV dimension innermost; running max /
+    sum-exp / accumulator live in VMEM scratch across the KV sweep
+  * causal + cache-length + sliding-window masking, optional logit softcap
+    (same semantics as llm_build_kqv, llama-build-context.cpp:2011-2055)
+  * GQA: the q->kv head mapping happens in the BlockSpec index maps, so KV
+    tiles are fetched once per kv-head group
+  * fully masked KV tiles are skipped (no MXU work) via pl.when
+
+The jnp fallback (ops/attention.attend) is the differential-test oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+               acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts, d):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_pos0 = qpos_ref[0]
+    kv_len = kvlen_ref[0]
+    i = pl.program_id(1)
+
+    q_rows = q_pos0 + i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
+    k_cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1)
+    mask = (k_cols <= q_rows) & (k_cols < kv_len)
+    if swa > 0:
+        mask &= k_cols > q_rows - swa
+
+    # skip fully-masked tiles: first key of tile > last query position, or
+    # tile beyond cache fill
+    tile_live = (j * ts <= q_pos0 + i * tq + tq - 1) & (j * ts < kv_len)
+
+    @pl.when(tile_live)
+    def _():
+        q = q_ref[0].astype(jnp.float32)          # (TQ, D)
+        k = k_ref[0].astype(jnp.float32)          # (TS, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]                    # (TQ, 1)
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)           # (TQ, 1)
+        p = jnp.exp(s - m_new)                    # (TQ, TS)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + p.sum(axis=1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)          # (TS, D)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        denom = jnp.where(l_ref[:, 0:1] > 0, l_ref[:, 0:1], 1.0)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "swa_window", "block_q", "block_kv",
+                     "interpret"),
+)
+def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
+                    softcap: float = 0.0, swa_window: int = 0,
+                    block_q: int = 128, block_kv: int = 256,
+                    interpret: bool = False):
+    """q: (B, T, H, D); k, v: (B, S, Hkv, D); q_pos0, kv_len: scalars (int32).
+
+    Queries at absolute positions q_pos0..q_pos0+T-1 attend causally to cache
+    entries < kv_len. Returns (B, T, H, D) in q.dtype.
+    """
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    hkv = k.shape[2]
+    rep = h // hkv
+
+    tq = min(block_q, max(8, 1 << (t - 1).bit_length()))
+    ts = min(block_kv, s)
+    dp = max(d, 128)  # pad head dim to lane width
+
+    # layout: (B*H, T, D) for q, (B*Hkv, S, D) for kv
+    qr = jnp.pad(q.transpose(0, 2, 1, 3).reshape(b * h, t, d),
+                 ((0, 0), (0, (-t) % tq), (0, dp - d)))
+    kr = jnp.pad(k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d),
+                 ((0, 0), (0, (-s) % ts), (0, dp - d)))
+    vr = jnp.pad(v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d),
+                 ((0, 0), (0, (-s) % ts), (0, dp - d)))
+    tpad = qr.shape[1]
+    spad = kr.shape[1]
+
+    grid = (b * h, tpad // tq, spad // ts)
+
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel, scale=scale, softcap=softcap,
+                          swa=swa_window, tq=tq, ts=ts, d=dp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos0 (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_len (1,)
+            pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, dp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
+                         ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, dp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
+                         ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tpad, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, dp), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([q_pos0], jnp.int32).reshape(1),
+      jnp.asarray([kv_len], jnp.int32).reshape(1), qr, kr, vr)
+
+    out = out[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return out

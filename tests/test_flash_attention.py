@@ -1,0 +1,53 @@
+"""Differential tests: Pallas flash attention vs jnp oracle (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ik_llama_cpp_tpu.ops.attention import attend
+from ik_llama_cpp_tpu.ops.flash_attention import flash_attention
+
+
+def make(b, t, s, h, hkv, d, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, t, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("case", [
+    # b, t, s, h, hkv, d, n_past
+    (1, 16, 64, 4, 4, 64, 0),       # prefill from empty
+    (1, 8, 64, 4, 2, 64, 17),       # gqa, continuation
+    (2, 1, 128, 8, 2, 128, 63),     # decode step
+    (1, 32, 128, 4, 1, 80, 40),     # mqa, odd head dim
+])
+def test_fa_matches_oracle(case):
+    b, t, s, h, hkv, d, n_past = case
+    q, k, v = make(b, t, s, h, hkv, d)
+    scale = 1.0 / np.sqrt(d)
+    kv_len = n_past + t
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+
+    ref = attend(q, k, v, q_pos=q_pos, kv_len=jnp.full((b,), kv_len, jnp.int32),
+                 scale=scale)
+    got = flash_attention(q, k, v, n_past, kv_len, scale=scale,
+                          block_q=16, block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_fa_softcap_swa():
+    b, t, s, h, hkv, d = 1, 16, 96, 4, 2, 64
+    q, k, v = make(b, t, s, h, hkv, d, seed=3)
+    scale = 1.0 / np.sqrt(d)
+    n_past, kv_len = 40, 56
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    for softcap, swa in [(5.0, 0), (0.0, 24), (8.0, 16)]:
+        ref = attend(q, k, v, q_pos=q_pos, kv_len=jnp.full((b,), kv_len, jnp.int32),
+                     scale=scale, softcap=softcap, swa_window=swa)
+        got = flash_attention(q, k, v, n_past, kv_len, scale=scale,
+                              softcap=softcap, swa_window=swa,
+                              block_q=16, block_kv=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-4)
