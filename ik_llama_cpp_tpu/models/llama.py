@@ -19,6 +19,7 @@ import numpy as np
 from ..gguf.reader import GGUFModel
 from ..ops import layers as L
 from ..ops.attention import attend
+from ..ops.moe import ExpertWeights, moe_ffn
 from ..ops.flash_attention import flash_attention
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
@@ -70,10 +71,21 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             "wv": load_linear(t[p + "attn_v.weight"], use_quant=use_quant),
             "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
             "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
-            "ffn_gate": load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant),
-            "ffn_up": load_linear(t[p + "ffn_up.weight"], use_quant=use_quant),
-            "ffn_down": load_linear(t[p + "ffn_down.weight"], use_quant=use_quant),
         }
+        if p + "ffn_gate_inp.weight" in t:  # MoE layer (qwen2moe/qwen3moe style)
+            blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"],
+                                              use_quant=False)
+            blk["experts"] = _load_experts(t, p)
+            if p + "ffn_gate_shexp.weight" in t:  # shared expert (qwen2moe)
+                blk["ffn_gate_shexp"] = load_linear(t[p + "ffn_gate_shexp.weight"], use_quant=use_quant)
+                blk["ffn_up_shexp"] = load_linear(t[p + "ffn_up_shexp.weight"], use_quant=use_quant)
+                blk["ffn_down_shexp"] = load_linear(t[p + "ffn_down_shexp.weight"], use_quant=use_quant)
+                if p + "ffn_gate_inp_shexp.weight" in t:
+                    blk["ffn_gate_inp_shexp"] = load_linear(t[p + "ffn_gate_inp_shexp.weight"], use_quant=False)
+        else:
+            blk["ffn_gate"] = load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant)
+            blk["ffn_up"] = load_linear(t[p + "ffn_up.weight"], use_quant=use_quant)
+            blk["ffn_down"] = load_linear(t[p + "ffn_down.weight"], use_quant=use_quant)
         for opt in ("attn_q_norm", "attn_k_norm"):
             if p + opt + ".weight" in t:
                 blk[opt] = load_dense(t[p + opt + ".weight"])
@@ -83,6 +95,45 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         blocks.append(blk)
     params["blocks"] = blocks
     return params
+
+
+def _load_experts(t, prefix: str) -> ExpertWeights:
+    """Stacked 3-D expert tensors (ne = (K, N, n_expert)) -> bf16 device arrays."""
+    def stacked(name, transpose):
+        info = t[prefix + name]
+        arr = dequant_tensor(info)  # logical (n_expert, N, K)
+        if transpose:
+            arr = arr.transpose(0, 2, 1)  # (n_expert, K, N)
+        return jnp.asarray(np.ascontiguousarray(arr), dtype=jnp.bfloat16)
+
+    return ExpertWeights(
+        gate=stacked("ffn_gate_exps.weight", True),
+        up=stacked("ffn_up_exps.weight", True),
+        down=stacked("ffn_down_exps.weight", True),
+    )
+
+
+def _ffn(blk, h, cfg: ModelConfig, interpret=False):
+    """Dense or MoE feed-forward on (B, T, E) normalized input."""
+    b, t, e = h.shape
+    if "experts" in blk:
+        router = blk["ffn_gate_inp"](h.reshape(-1, e), interpret=interpret)
+        y = moe_ffn(h.reshape(-1, e), router, blk["experts"], cfg.n_expert_used,
+                    gating=cfg.expert_gating_func, norm_topk=cfg.norm_topk_prob,
+                    scale=cfg.expert_weights_scale)
+        if "ffn_gate_shexp" in blk:
+            g = blk["ffn_gate_shexp"](h, interpret=interpret)
+            u = blk["ffn_up_shexp"](h, interpret=interpret)
+            sh = blk["ffn_down_shexp"](L.swiglu(g, u).astype(jnp.bfloat16),
+                                       interpret=interpret)
+            if "ffn_gate_inp_shexp" in blk:  # qwen2moe gated shared expert
+                gate = jax.nn.sigmoid(blk["ffn_gate_inp_shexp"](h, interpret=interpret))
+                sh = sh * gate
+            y = y.reshape(b, t, e) + sh
+        return y.reshape(b, t, e)
+    gate = blk["ffn_gate"](h, interpret=interpret)
+    up = blk["ffn_up"](h, interpret=interpret)
+    return blk["ffn_down"](L.swiglu(gate, up).astype(jnp.bfloat16), interpret=interpret)
 
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
@@ -154,9 +205,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             tp_axis=tp_axis)
         x = x + attn_out.astype(x.dtype)
         h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        gate = blk["ffn_gate"](h, interpret=interpret)
-        up = blk["ffn_up"](h, interpret=interpret)
-        ff = blk["ffn_down"](L.swiglu(gate, up).astype(jnp.bfloat16), interpret=interpret)
+        ff = _ffn(blk, h, cfg, interpret=interpret)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
         x = x + ff.astype(x.dtype)

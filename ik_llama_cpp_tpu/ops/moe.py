@@ -1,0 +1,97 @@
+"""MoE routing + expert FFN — the analogue of llm_build_moe_ffn
+(llama-build-context.cpp:1383-1560) and the fused iqk_moe_fused_up_gate /
+CUDA mmq_id path.
+
+TPU-native design: tokens are sorted by their routed expert and the expert
+matmuls run as ragged (grouped) GEMMs — one `jax.lax.ragged_dot` per
+projection, which XLA tiles onto the MXU without materializing per-expert
+gathers. Routing math mirrors the reference exactly:
+  softmax/sigmoid gating -> (optional bias) -> top-k -> optional re-softmax /
+  weight normalization -> optional scale.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+GATING_SOFTMAX = 1
+GATING_SIGMOID = 2
+GATING_SOFTMAX_WEIGHT = 3   # softmax over the selected top-k only
+
+
+def route(router_logits, n_expert_used: int, *, gating: int = GATING_SOFTMAX,
+          norm_topk: bool = False, scale: float = 1.0, bias=None,
+          selection_bias=None):
+    """Returns (weights (T, k) f32, expert_ids (T, k) i32)."""
+    logits = router_logits.astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    if gating == GATING_SOFTMAX:
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif gating == GATING_SIGMOID:
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = logits
+    sel = probs if selection_bias is None else probs + selection_bias
+    _, idx = jax.lax.top_k(sel, n_expert_used)
+    w = jnp.take_along_axis(probs, idx, axis=-1)
+    if gating == GATING_SOFTMAX_WEIGHT:
+        w = jax.nn.softmax(w, axis=-1)
+    if norm_topk:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    if abs(scale - 1.0) > 1e-5:
+        w = w * scale
+    return w, idx
+
+
+@dataclass
+class ExpertWeights:
+    """Stacked bf16 expert projections (dequantized at load time)."""
+
+    gate: Any  # (n_expert, E, FF)
+    up: Any    # (n_expert, E, FF)
+    down: Any  # (n_expert, FF, E)
+
+
+jax.tree_util.register_pytree_node(
+    ExpertWeights,
+    lambda ew: ((ew.gate, ew.up, ew.down), ()),
+    lambda aux, ch: ExpertWeights(*ch),
+)
+
+
+def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
+            gating: int = GATING_SOFTMAX, norm_topk: bool = False,
+            scale: float = 1.0, selection_bias=None, activation="silu"):
+    """x: (T, E) -> (T, E) f32. Sorted ragged grouped-GEMM dispatch."""
+    t, e = x.shape
+    n_expert = experts.gate.shape[0]
+    k = n_expert_used
+
+    w, idx = route(router_logits, k, gating=gating, norm_topk=norm_topk,
+                   scale=scale, selection_bias=selection_bias)
+
+    flat_ids = idx.reshape(-1)                       # (T*k,)
+    order = jnp.argsort(flat_ids)                    # stable
+    inv_order = jnp.argsort(order)
+    xs = jnp.repeat(x, k, axis=0)[order]             # (T*k, E) sorted by expert
+    group_sizes = jnp.bincount(flat_ids, length=n_expert).astype(jnp.int32)
+
+    xs = xs.astype(experts.gate.dtype)
+    g = jax.lax.ragged_dot(xs, experts.gate, group_sizes,
+                           preferred_element_type=jnp.float32)
+    u = jax.lax.ragged_dot(xs, experts.up, group_sizes,
+                           preferred_element_type=jnp.float32)
+    if activation == "silu":
+        h = (g * jax.nn.sigmoid(g)) * u
+    else:
+        h = jax.nn.gelu(g, approximate=True) * u
+    y = jax.lax.ragged_dot(h.astype(experts.down.dtype), experts.down, group_sizes,
+                           preferred_element_type=jnp.float32)  # (T*k, E)
+
+    y = y[inv_order].reshape(t, k, e)
+    return jnp.sum(y * w[:, :, None], axis=1)

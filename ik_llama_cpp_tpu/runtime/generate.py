@@ -32,20 +32,10 @@ def _bucket(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
-FORWARDS = {
-    "llama": llama_mod.forward,
-    "qwen2": llama_mod.forward,
-    "qwen3": llama_mod.forward,
-    "mistral": llama_mod.forward,
-    "gemma": llama_mod.forward,
-}
-
-LOADERS = {
-    "llama": llama_mod.load_llama_params,
-    "qwen2": llama_mod.load_llama_params,
-    "qwen3": llama_mod.load_llama_params,
-    "mistral": llama_mod.load_llama_params,
-}
+_DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
+                 "qwen2moe", "qwen3moe")
+FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
+LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 
 
 @dataclass

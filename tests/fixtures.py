@@ -110,3 +110,88 @@ def make_tiny_llama_gguf(
         addw(p + "ffn_down.weight", randw(n_embd, n_ff))
     w.write()
     return path
+
+
+def make_tiny_moe_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 8,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 96,
+    quant: GGMLType = GGMLType.F16,
+    seed: int = 0,
+) -> Path:
+    """Tiny qwen3moe-architecture GGUF (router + stacked expert tensors +
+    qk-norms), loadable by both engines."""
+    path = Path(path)
+    arch = "qwen3moe"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-moe-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+    w.add("tokenizer.ggml.add_bos_token", True)
+
+    def randw(*shape, scale=None):
+        fan_in = shape[-1]
+        scale = scale or (1.0 / np.sqrt(fan_in))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr, ttype=quant):
+        from ik_llama_cpp_tpu.gguf.constants import GEOMETRY
+        if ttype != GGMLType.F32 and arr.shape[-1] % GEOMETRY[ttype].block_elems != 0:
+            ttype = GGMLType.F16
+        if ttype == GGMLType.F32:
+            w.add_tensor(name, arr.astype(np.float32))
+        else:
+            w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), ttype),
+                         shape=tuple(reversed(arr.shape)), ggml_type=ttype)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q.weight", randw(n_head * head_dim, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_head * head_dim))
+        w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
+        w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "ffn_gate_inp.weight", randw(n_expert, n_embd), GGMLType.F32)
+        addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+    w.write()
+    return path

@@ -23,6 +23,9 @@ int main(int argc, char **argv) {
     const char *out_path = argv[2];
     const char *prompt = argv[3];
     int n_gen = argc > 4 ? atoi(argv[4]) : 8;
+    /* optional argv[5] = comma-separated token ids appended to the prompt and
+     * evaluated TEACHER-FORCED in the same single batch (n_gen ignored then) */
+    const char *forced = argc > 5 ? argv[5] : NULL;
 
     llama_backend_init();
     struct llama_model_params mp = llama_model_default_params();
@@ -37,6 +40,12 @@ int main(int argc, char **argv) {
     llama_token toks[512];
     int n_prompt = llama_tokenize(model, prompt, (int)strlen(prompt), toks, 512, true, false);
     if (n_prompt < 0) { fprintf(stderr, "tokenize failed\n"); return 1; }
+    if (forced) {
+        char *tmp = strdup(forced);
+        for (char *tk = strtok(tmp, ","); tk; tk = strtok(NULL, ","))
+            toks[n_prompt++] = atoi(tk);
+        n_gen = 0;
+    }
     int n_vocab = llama_n_vocab(model);
 
     float *all_logits = (float*)malloc(sizeof(float) * (size_t)(n_prompt + n_gen) * n_vocab);
