@@ -113,11 +113,21 @@ def _load_experts(t, prefix: str) -> ExpertWeights:
     )
 
 
-def _ffn(blk, h, cfg: ModelConfig, interpret=False):
+def _sumsq(x):
+    """Per-column sum of squares over all token rows (imatrix statistic)."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf * xf, axis=tuple(range(xf.ndim - 1)))
+
+
+def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
     """Dense or MoE feed-forward on (B, T, E) normalized input."""
     b, t, e = h.shape
     if "experts" in blk:
         router = blk["ffn_gate_inp"](h.reshape(-1, e), interpret=interpret)
+        if stats is not None:
+            stats[f"blk.{il}.ffn_gate_exps.weight"] = _sumsq(h)
+            stats[f"blk.{il}.ffn_up_exps.weight"] = _sumsq(h)
+            stats[f"blk.{il}.ffn_gate_inp.weight"] = _sumsq(h)
         y = moe_ffn(h.reshape(-1, e), router, blk["experts"], cfg.n_expert_used,
                     gating=cfg.expert_gating_func, norm_topk=cfg.norm_topk_prob,
                     scale=cfg.expert_weights_scale)
@@ -133,15 +143,24 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False):
         return y.reshape(b, t, e)
     gate = blk["ffn_gate"](h, interpret=interpret)
     up = blk["ffn_up"](h, interpret=interpret)
-    return blk["ffn_down"](L.swiglu(gate, up).astype(jnp.bfloat16), interpret=interpret)
+    act = L.swiglu(gate, up).astype(jnp.bfloat16)
+    if stats is not None:
+        stats[f"blk.{il}.ffn_gate.weight"] = _sumsq(h)
+        stats[f"blk.{il}.ffn_up.weight"] = stats[f"blk.{il}.ffn_gate.weight"]
+        stats[f"blk.{il}.ffn_down.weight"] = _sumsq(act)
+    return blk["ffn_down"](act, interpret=interpret)
 
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
-                interpret=False, tp_axis=None):
+                interpret=False, tp_axis=None, stats=None, il=0):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
 
+    if stats is not None:
+        stats[f"blk.{il}.attn_q.weight"] = _sumsq(x)
+        stats[f"blk.{il}.attn_k.weight"] = stats[f"blk.{il}.attn_q.weight"]
+        stats[f"blk.{il}.attn_v.weight"] = stats[f"blk.{il}.attn_q.weight"]
     q = blk["wq"](x, interpret=interpret)
     k = blk["wk"](x, interpret=interpret)
     v = blk["wv"](x, interpret=interpret)
@@ -179,6 +198,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=cfg.swa_window)
     attn = attn.reshape(b, t, h * d)
+    if stats is not None:
+        stats[f"blk.{il}.attn_output.weight"] = _sumsq(attn)
     out = blk["wo"](attn, interpret=interpret)
     if tp_axis is not None:
         # the reference's GGML_OP_REDUCE / ncclAllReduce (reduce.cu:164)
@@ -188,7 +209,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, collect_stats: bool = False):
     """tokens: (B, T) int32; n_past: scalar int32. Returns (logits f32, KVCache)."""
     b, t = tokens.shape
     x = params["tok_embd"][tokens]  # (B, T, E) bf16
@@ -197,15 +218,16 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     rope_dims = cfg.rope_dim or cfg.head_dim
     cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
 
+    stats = {} if collect_stats else None
     new_k, new_v = [], []
     for i, blk in enumerate(params["blocks"]):
         h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         attn_out, k_i, v_i = _attn_block(
             blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos, cos, sin, interpret,
-            tp_axis=tp_axis)
+            tp_axis=tp_axis, stats=stats, il=i)
         x = x + attn_out.astype(x.dtype)
         h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        ff = _ffn(blk, h, cfg, interpret=interpret)
+        ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
         x = x + ff.astype(x.dtype)
@@ -216,6 +238,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     x = L.rms_norm(x, params["output_norm"], cfg.rms_eps)
     if logits_last_only:
         x = x[:, -1:, :]
+    if collect_stats:
+        stats["output.weight"] = _sumsq(x)
     logits = params["output"](x, interpret=interpret).astype(jnp.float32)
     if tp_axis is not None:
         # vocab-sharded head -> gather full logits, drop vocab padding
@@ -223,4 +247,6 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         logits = logits[..., :cfg.n_vocab]
     if cfg.final_softcap > 0:
         logits = L.softcap(logits, cfg.final_softcap)
+    if collect_stats:
+        return logits, kv, stats
     return logits, kv

@@ -224,12 +224,19 @@ def _make_qkx_quants(x: np.ndarray, nmax: int, w: np.ndarray):
 
 
 def _weights(x: np.ndarray, imatrix, group: int) -> np.ndarray:
-    """Per-element weights like the reference: imatrix * (sigma2-regularized |x|)."""
-    n = x.shape[-1] * x.shape[-2] if x.ndim >= 2 else x.shape[-1]
+    """Per-element weights like the reference: imatrix * (sigma2-regularized |x|).
+
+    x: (nblocks, nsub, group) where consecutive blocks tile the rows;
+    imatrix: per-row-column weights (n_per_row,) or None.
+    """
     sigma2 = 2.0 * np.mean(np.square(x), axis=(-1, -2), keepdims=True)
     base = np.sqrt(sigma2 + x * x)
     if imatrix is not None:
-        base = base * imatrix.reshape(1, -1, group)
+        im = np.asarray(imatrix, np.float32).reshape(-1)
+        per_block = x.shape[-1] * x.shape[-2]
+        reps = (x.shape[0] * per_block) // im.size
+        im_full = np.tile(im, reps).reshape(x.shape)
+        base = base * im_full
     return base
 
 
