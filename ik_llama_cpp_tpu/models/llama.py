@@ -181,19 +181,22 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     q = L.apply_rope(q, cos, sin, cfg.rope_type)
     k = L.apply_rope(k, cos, sin, cfg.rope_type)
 
-    # append to cache at n_past
+    # append to cache at each row's n_past (vector for continuous batching)
     k = k.astype(kv_k.dtype)
     v = v.astype(kv_v.dtype)
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, n_past, 0, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, n_past, 0, 0))
+    npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
+    upd = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
+        c, new, (st, jnp.int32(0), jnp.int32(0))))
+    kv_k = upd(kv_k, k, npv)
+    kv_v = upd(kv_v, v, npv)
 
     scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
+    kv_len = npv + t
     if _use_pallas():
         attn = flash_attention(q.astype(jnp.bfloat16), kv_k, kv_v,
-                               n_past, n_past + t, scale=scale,
+                               npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=cfg.swa_window)
     else:
-        kv_len = jnp.full((b,), n_past + t, dtype=jnp.int32)
         attn = attend(q.astype(jnp.bfloat16), kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=cfg.swa_window)
@@ -210,11 +213,14 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
             tp_axis: str | None = None, collect_stats: bool = False):
-    """tokens: (B, T) int32; n_past: scalar int32. Returns (logits f32, KVCache)."""
+    """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
+
+    Returns (logits f32, KVCache)."""
     b, t = tokens.shape
     x = params["tok_embd"][tokens]  # (B, T, E) bf16
 
-    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, axis=0)
+    npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
+    q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     rope_dims = cfg.rope_dim or cfg.head_dim
     cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
 

@@ -30,7 +30,7 @@ def _cdiv(a, b):
 
 
 def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-               acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts, d):
+               acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts, d, h):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -40,8 +40,9 @@ def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q_pos0 = qpos_ref[0]
-    kv_len = kvlen_ref[0]
+    batch = pl.program_id(0) // h
+    q_pos0 = qpos_ref[batch]
+    kv_len = kvlen_ref[batch]
     i = pl.program_id(1)
 
     q_rows = q_pos0 + i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
@@ -89,8 +90,10 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
                     softcap: float = 0.0, swa_window: int = 0,
                     block_q: int = 128, block_kv: int = 256,
                     interpret: bool = False):
-    """q: (B, T, H, D); k, v: (B, S, Hkv, D); q_pos0, kv_len: scalars (int32).
+    """q: (B, T, H, D); k, v: (B, S, Hkv, D).
 
+    q_pos0, kv_len: scalars or (B,) vectors (int32) — per-sequence start
+    position and cache fill, enabling mixed continuous-batching steps.
     Queries at absolute positions q_pos0..q_pos0+T-1 attend causally to cache
     entries < kv_len. Returns (B, T, H, D) in q.dtype.
     """
@@ -117,7 +120,7 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, softcap=softcap,
-                          swa=swa_window, tq=tq, ts=ts, d=dp),
+                          swa=swa_window, tq=tq, ts=ts, d=dp, h=h),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos0 (1,)
@@ -143,8 +146,9 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray([q_pos0], jnp.int32).reshape(1),
-      jnp.asarray([kv_len], jnp.int32).reshape(1), qr, kr, vr)
+    )(jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
+      jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
+      qr, kr, vr)
 
     out = out[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
     return out

@@ -1,0 +1,264 @@
+"""HTTP server — OpenAI + Anthropic + llama.cpp-native endpoints over the
+continuous-batching engine. Analogue of examples/server/server.cpp:2127-2174.
+
+Endpoints: /health /props /metrics /v1/models /tokenize /detokenize
+/completion /v1/completions /v1/chat/completions /v1/messages /slots
+
+Run: python -m ik_llama_cpp_tpu.server --gguf model.gguf --port 8080
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import queue
+import time
+import uuid
+
+from aiohttp import web
+
+from ..runtime.generate import Runtime
+from ..runtime.sampling import SamplerParams
+from .engine import BatchEngine, Request, SlotState
+
+
+def _sampler_from(body: dict) -> SamplerParams:
+    return SamplerParams(
+        temp=float(body.get("temperature", 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        penalty_repeat=float(body.get("repeat_penalty", body.get("frequency_penalty", 0) and 1.0 or 1.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
+    )
+
+
+class Server:
+    def __init__(self, engine: BatchEngine, model_name: str = "model"):
+        self.engine = engine
+        self.rt = engine.rt
+        self.model_name = model_name
+        self.app = web.Application()
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/props", self.props)
+        r.add_get("/metrics", self.metrics)
+        r.add_get("/v1/models", self.models)
+        r.add_get("/slots", self.slots)
+        r.add_post("/tokenize", self.tokenize)
+        r.add_post("/detokenize", self.detokenize)
+        r.add_post("/completion", self.completion)
+        r.add_post("/completions", self.completion)
+        r.add_post("/v1/completions", self.oai_completions)
+        r.add_post("/v1/chat/completions", self.oai_chat)
+        r.add_post("/v1/messages", self.anthropic_messages)
+
+    # ------------------------------------------------------------ helpers
+    async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
+        q: queue.Queue = queue.Queue()
+        req = Request(
+            prompt_ids=prompt_ids,
+            n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
+            sampler=_sampler_from(body),
+            seed=int(body.get("seed", int(time.time() * 1000) % 2**31)),
+            stop=body.get("stop", []) or [],
+            stream_queue=q,
+        )
+        self.engine.submit(req)
+        loop = asyncio.get_event_loop()
+        toks, text = [], []
+        while True:
+            tok, piece, done = await loop.run_in_executor(None, q.get)
+            if tok >= 0:
+                toks.append(tok)
+                text.append(piece)
+            if on_token and piece:
+                await on_token(piece, done)
+            if done:
+                break
+        return toks, "".join(text)
+
+    def _chat_prompt(self, messages: list[dict]) -> str:
+        """Render the chat template from GGUF metadata (jinja) or fallback."""
+        tmpl = getattr(self.rt.tokenizer, "chat_template", None)
+        try:
+            import jinja2
+            if tmpl:
+                env = jinja2.Environment()
+                return env.from_string(tmpl).render(
+                    messages=messages, add_generation_prompt=True,
+                    bos_token="", eos_token="")
+        except Exception:
+            pass
+        out = []
+        for m in messages:
+            out.append(f"<|{m.get('role', 'user')}|>\n{m.get('content', '')}")
+        out.append("<|assistant|>\n")
+        return "\n".join(out)
+
+    # ---------------------------------------------------------- endpoints
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def props(self, request):
+        cfg = self.rt.cfg
+        return web.json_response({
+            "model": self.model_name,
+            "n_ctx": self.engine.capacity,
+            "n_parallel": self.engine.n_slots,
+            "arch": cfg.arch,
+            "n_layer": cfg.n_layer,
+            "n_embd": cfg.n_embd,
+            "n_vocab": cfg.n_vocab,
+        })
+
+    async def metrics(self, request):
+        return web.Response(text=self.engine.metrics_text(),
+                            content_type="text/plain")
+
+    async def models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": int(time.time()), "owned_by": "ik_llama_cpp_tpu"}],
+        })
+
+    async def slots(self, request):
+        return web.json_response([
+            {"id": s.idx, "state": s.state.name,
+             "n_past": s.n_past, "n_decoded": s.n_decoded}
+            for s in self.engine.slots])
+
+    async def tokenize(self, request):
+        body = await request.json()
+        ids = self.rt.tokenizer.encode(body.get("content", ""),
+                                       add_bos=bool(body.get("add_special", False)))
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(self, request):
+        body = await request.json()
+        return web.json_response(
+            {"content": self.rt.tokenizer.decode(body.get("tokens", []))})
+
+    async def completion(self, request):
+        """llama.cpp-native /completion."""
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        ids = prompt if isinstance(prompt, list) else self.rt.tokenizer.encode(prompt)
+        if body.get("stream"):
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+
+            async def on_token(piece, done):
+                await resp.write(
+                    b"data: " + json.dumps(
+                        {"content": piece, "stop": done}).encode() + b"\n\n")
+
+            toks, text = await self._run(ids, body, True, on_token)
+            await resp.write(b"data: " + json.dumps(
+                {"content": "", "stop": True,
+                 "tokens_predicted": len(toks)}).encode() + b"\n\n")
+            await resp.write_eof()
+            return resp
+        toks, text = await self._run(ids, body, False)
+        return web.json_response({
+            "content": text, "tokens_predicted": len(toks),
+            "tokens_evaluated": len(ids), "stop": True, "model": self.model_name,
+        })
+
+    async def oai_completions(self, request):
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        ids = prompt if isinstance(prompt, list) else self.rt.tokenizer.encode(prompt)
+        rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+        if body.get("stream"):
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+
+            async def on_token(piece, done):
+                chunk = {"id": rid, "object": "text_completion",
+                         "created": int(time.time()), "model": self.model_name,
+                         "choices": [{"index": 0, "text": piece,
+                                      "finish_reason": "stop" if done else None}]}
+                await resp.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+
+            await self._run(ids, body, True, on_token)
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+        toks, text = await self._run(ids, body, False)
+        return web.json_response({
+            "id": rid, "object": "text_completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{"index": 0, "text": text, "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
+                      "total_tokens": len(ids) + len(toks)},
+        })
+
+    async def oai_chat(self, request):
+        body = await request.json()
+        prompt = self._chat_prompt(body.get("messages", []))
+        ids = self.rt.tokenizer.encode(prompt)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        if body.get("stream"):
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+
+            async def on_token(piece, done):
+                chunk = {"id": rid, "object": "chat.completion.chunk",
+                         "created": int(time.time()), "model": self.model_name,
+                         "choices": [{"index": 0, "delta": {"content": piece},
+                                      "finish_reason": "stop" if done else None}]}
+                await resp.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+
+            await self._run(ids, body, True, on_token)
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+        toks, text = await self._run(ids, body, False)
+        return web.json_response({
+            "id": rid, "object": "chat.completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
+                      "total_tokens": len(ids) + len(toks)},
+        })
+
+    async def anthropic_messages(self, request):
+        body = await request.json()
+        messages = body.get("messages", [])
+        if body.get("system"):
+            messages = [{"role": "system", "content": body["system"]}] + messages
+        prompt = self._chat_prompt(messages)
+        ids = self.rt.tokenizer.encode(prompt)
+        body.setdefault("max_tokens", 128)
+        toks, text = await self._run(ids, body, False)
+        return web.json_response({
+            "id": f"msg_{uuid.uuid4().hex[:16]}",
+            "type": "message", "role": "assistant",
+            "content": [{"type": "text", "text": text}],
+            "model": self.model_name, "stop_reason": "end_turn",
+            "usage": {"input_tokens": len(ids), "output_tokens": len(toks)},
+        })
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gguf", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--parallel", type=int, default=4)
+    ap.add_argument("--ctx-size", type=int, default=2048)
+    args = ap.parse_args(argv)
+
+    rt = Runtime.from_gguf(args.gguf)
+    engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size)
+    engine.start()
+    srv = Server(engine, model_name=str(args.gguf))
+    web.run_app(srv.app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Continuous-batching slot engine — the analogue of the reference server's
+update_slots loop (examples/server/server-context.cpp:4859).
+
+Design: a fixed-capacity slot array shares one batched KV cache
+(B = n_parallel rows). New prompts are prefilled chunk-by-chunk into their
+slot's cache row; all generating slots then advance together with ONE jitted
+decode step over the whole batch (per-row n_past). Sampling, stop conditions,
+and streaming happen host-side per slot, like the reference.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama as llama_mod
+from ..models.llama import KVCache
+from ..runtime.generate import Runtime, PREFILL_BUCKETS, _bucket
+from ..runtime.sampling import SamplerParams, sample as sample_token
+
+
+class SlotState(Enum):
+    IDLE = 0
+    QUEUED = 1
+    PREFILL = 2
+    GENERATING = 3
+
+
+@dataclass
+class Request:
+    prompt_ids: list[int]
+    n_predict: int = 128
+    sampler: SamplerParams = field(default_factory=lambda: SamplerParams(temp=0.8))
+    seed: int = 0
+    stop: list[str] = field(default_factory=list)
+    stream_queue: Optional[queue.Queue] = None  # receives (token_id, text|None, done)
+    id: int = 0
+
+
+@dataclass
+class Slot:
+    idx: int
+    state: SlotState = SlotState.IDLE
+    req: Optional[Request] = None
+    tokens: list[int] = field(default_factory=list)   # prompt + generated
+    n_prompt: int = 0
+    n_past: int = 0
+    n_decoded: int = 0
+    rng: Any = None
+    text: str = ""
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+
+
+class BatchEngine:
+    """Owns the model + shared KV cache; runs the slot loop in a thread."""
+
+    def __init__(self, runtime: Runtime, n_slots: int = 4, capacity: int = 2048):
+        self.rt = runtime
+        self.cfg = runtime.cfg
+        self.n_slots = n_slots
+        self.capacity = capacity
+        self.kv = KVCache.create(self.cfg, n_slots, capacity)
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.requests: queue.Queue[Request] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._prefill_fns: dict[int, Any] = {}
+        self._decode_fn = None
+        # metrics
+        self.n_prompt_tokens_processed = 0
+        self.n_tokens_predicted = 0
+        self.n_requests = 0
+
+    # ---------------------------------------------------------------- jits
+    def _prefill(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            cfg = self.cfg
+            fwd = llama_mod.forward
+
+            @jax.jit
+            def prefill_slot(params, tokens, kv, slot_idx, n_past):
+                kv_row = KVCache(
+                    jax.lax.dynamic_slice_in_dim(kv.k, slot_idx, 1, axis=1),
+                    jax.lax.dynamic_slice_in_dim(kv.v, slot_idx, 1, axis=1))
+                logits, kv_row = fwd(params, cfg, tokens, kv_row, n_past,
+                                     logits_last_only=False)
+                kv2 = KVCache(
+                    jax.lax.dynamic_update_slice_in_dim(kv.k, kv_row.k, slot_idx, axis=1),
+                    jax.lax.dynamic_update_slice_in_dim(kv.v, kv_row.v, slot_idx, axis=1))
+                return logits, kv2
+
+            self._prefill_fns[bucket] = prefill_slot
+        return self._prefill_fns[bucket]
+
+    def _decode(self):
+        if self._decode_fn is None:
+            cfg = self.cfg
+            fwd = llama_mod.forward
+
+            @jax.jit
+            def decode_all(params, tokens, kv, n_past):
+                return fwd(params, cfg, tokens, kv, n_past, logits_last_only=False)
+
+            self._decode_fn = decode_all
+        return self._decode_fn
+
+    # ---------------------------------------------------------------- loop
+    def start(self):
+        self._thread = threading.Thread(target=self.run_loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def submit(self, req: Request):
+        self.requests.put(req)
+        self.n_requests += 1
+
+    def _admit(self):
+        for slot in self.slots:
+            if slot.state != SlotState.IDLE:
+                continue
+            try:
+                req = self.requests.get_nowait()
+            except queue.Empty:
+                return
+            slot.req = req
+            slot.tokens = list(req.prompt_ids)[-(self.capacity - req.n_predict - 1):]
+            slot.n_prompt = len(slot.tokens)
+            slot.n_past = 0
+            slot.n_decoded = 0
+            slot.text = ""
+            slot.rng = np.random.default_rng(req.seed)
+            slot.state = SlotState.PREFILL
+            slot.t_start = time.time()
+
+    def _do_prefill(self, slot: Slot):
+        """Chunked prefill of one slot's prompt; leaves last-token logits."""
+        ids = slot.tokens[slot.n_past:slot.n_prompt]
+        last_logits = None
+        i = 0
+        while i < len(ids):
+            chunk = ids[i:i + PREFILL_BUCKETS[-1]]
+            b = _bucket(len(chunk))
+            padded = np.zeros((1, b), np.int32)
+            padded[0, :len(chunk)] = chunk
+            fn = self._prefill(b)
+            logits, self.kv = fn(self.rt.params, jnp.asarray(padded), self.kv,
+                                 jnp.int32(slot.idx), jnp.int32(slot.n_past))
+            last_logits = np.asarray(logits[0, len(chunk) - 1])
+            slot.n_past += len(chunk)
+            self.n_prompt_tokens_processed += len(chunk)
+            i += len(chunk)
+        slot.state = SlotState.GENERATING
+        if slot.t_first_token == 0.0:
+            slot.t_first_token = time.time()
+        self._emit_token(slot, last_logits)
+
+    def _emit_token(self, slot: Slot, logits: np.ndarray):
+        req = slot.req
+        tok = sample_token(logits, req.sampler, slot.rng, history=slot.tokens)
+        slot.tokens.append(int(tok))
+        slot.n_decoded += 1
+        self.n_tokens_predicted += 1
+        piece = self.rt.tokenizer.decode([int(tok)])
+        slot.text += piece
+        done = False
+        if tok == self.rt.tokenizer.eos_id:
+            done = True
+            piece = ""
+        if slot.n_decoded >= req.n_predict:
+            done = True
+        for stop_s in req.stop:
+            if stop_s and stop_s in slot.text:
+                slot.text = slot.text.split(stop_s)[0]
+                done = True
+        if req.stream_queue is not None:
+            req.stream_queue.put((int(tok), piece, done))
+        if done:
+            slot.state = SlotState.IDLE
+            slot.req = None
+
+    def run_loop(self):
+        decode = self._decode()
+        pad_tokens = np.zeros((self.n_slots, 1), np.int32)
+        while not self._stop.is_set():
+            self._admit()
+            prefills = [s for s in self.slots if s.state == SlotState.PREFILL]
+            for slot in prefills:
+                self._do_prefill(slot)
+                self._admit()
+            gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+            if not gen:
+                time.sleep(0.002)
+                continue
+            toks = pad_tokens.copy()
+            n_past = np.zeros((self.n_slots,), np.int32)
+            for s in gen:
+                toks[s.idx, 0] = s.tokens[-1]
+                n_past[s.idx] = s.n_past
+            logits, self.kv = decode(self.rt.params, jnp.asarray(toks), self.kv,
+                                     jnp.asarray(n_past))
+            logits_np = np.asarray(logits[:, -1])
+            for s in gen:
+                s.n_past += 1
+                if s.n_past >= self.capacity - 1:
+                    # out of cache: force-finish (context-shift is a later feature)
+                    if s.req and s.req.stream_queue is not None:
+                        s.req.stream_queue.put((-1, "", True))
+                    s.state = SlotState.IDLE
+                    s.req = None
+                    continue
+                self._emit_token(s, logits_np[s.idx])
+
+    # ------------------------------------------------------------- metrics
+    def metrics_text(self) -> str:
+        lines = [
+            "# TYPE llamacpp:prompt_tokens_total counter",
+            f"llamacpp:prompt_tokens_total {self.n_prompt_tokens_processed}",
+            "# TYPE llamacpp:tokens_predicted_total counter",
+            f"llamacpp:tokens_predicted_total {self.n_tokens_predicted}",
+            "# TYPE llamacpp:requests_total counter",
+            f"llamacpp:requests_total {self.n_requests}",
+            "# TYPE llamacpp:slots_idle gauge",
+            f"llamacpp:slots_idle {sum(1 for s in self.slots if s.state == SlotState.IDLE)}",
+            "# TYPE llamacpp:slots_processing gauge",
+            f"llamacpp:slots_processing {sum(1 for s in self.slots if s.state != SlotState.IDLE)}",
+        ]
+        return "\n".join(lines) + "\n"

@@ -1,0 +1,123 @@
+"""Server integration tests: boots the real HTTP server on a tiny model and
+exercises the endpoints (the analogue of examples/server/tests BDD features)."""
+import json
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from fixtures import make_tiny_llama_gguf
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def req(port, path, body=None, raw=False):
+    url = f"http://127.0.0.1:{port}{path}"
+    if body is None:
+        r = urllib.request.urlopen(url, timeout=30)
+    else:
+        r = urllib.request.urlopen(urllib.request.Request(
+            url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}), timeout=60)
+    data = r.read()
+    return data if raw else json.loads(data)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    model = make_tiny_llama_gguf(tmp_path_factory.mktemp("srv") / "m.gguf", seed=1)
+    port = free_port()
+    env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+           "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+           "PYTHONPATH": str(REPO)}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ik_llama_cpp_tpu.server", "--gguf", str(model),
+         "--port", str(port), "--parallel", "2", "--ctx-size", "256"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    for _ in range(120):
+        try:
+            req(port, "/health")
+            break
+        except Exception:
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stderr.read().decode()[-2000:])
+            time.sleep(0.5)
+    else:
+        proc.kill()
+        raise RuntimeError("server did not start")
+    yield port
+    proc.terminate()
+
+
+def test_health_props_models(server):
+    assert req(server, "/health")["status"] == "ok"
+    props = req(server, "/props")
+    assert props["arch"] == "llama" and props["n_parallel"] == 2
+    models = req(server, "/v1/models")
+    assert models["data"][0]["object"] == "model"
+
+
+def test_tokenize_roundtrip(server):
+    r = req(server, "/tokenize", {"content": "Hello world"})
+    assert isinstance(r["tokens"], list) and len(r["tokens"]) > 2
+    d = req(server, "/detokenize", {"tokens": r["tokens"]})
+    assert "Hello" in d["content"]
+
+
+def test_completion(server):
+    r = req(server, "/completion",
+            {"prompt": "Once upon", "n_predict": 6, "temperature": 0})
+    assert r["stop"] is True
+    assert r["tokens_predicted"] >= 1
+
+
+def test_oai_chat_completion(server):
+    r = req(server, "/v1/chat/completions",
+            {"messages": [{"role": "user", "content": "Hi"}],
+             "max_tokens": 5, "temperature": 0})
+    assert r["object"] == "chat.completion"
+    assert r["choices"][0]["message"]["role"] == "assistant"
+    assert r["usage"]["completion_tokens"] >= 1
+
+
+def test_anthropic_messages(server):
+    r = req(server, "/v1/messages",
+            {"messages": [{"role": "user", "content": "Hi"}], "max_tokens": 4})
+    assert r["type"] == "message"
+    assert r["content"][0]["type"] == "text"
+
+
+def test_concurrent_requests(server):
+    import concurrent.futures as cf
+    def one(i):
+        return req(server, "/v1/completions",
+                   {"prompt": f"Request {i}", "max_tokens": 8, "seed": i})
+    with cf.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(4)))
+    for r in results:
+        assert r["choices"][0]["finish_reason"] == "stop"
+    m = req(server, "/metrics", raw=True).decode()
+    assert "llamacpp:requests_total" in m
+
+
+def test_streaming(server):
+    url = f"http://127.0.0.1:{server}/v1/completions"
+    body = json.dumps({"prompt": "Stream", "max_tokens": 4, "stream": True}).encode()
+    r = urllib.request.urlopen(urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}), timeout=60)
+    events = r.read().decode().strip().split("\n\n")
+    assert events[-1] == "data: [DONE]"
+    assert len(events) >= 2
