@@ -51,6 +51,11 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    n_layer_dense_lead: int = 0
+    n_expert_shared: int = 0
+    expert_weights_norm: bool = False
+    rope_yarn_log_mul: float = 0.0
+    rope_attn_factor: float = 1.0
     # misc
     f_logit_scale: float = 0.0
     f_attention_scale: float = 0.0
@@ -67,9 +72,13 @@ class ModelConfig:
 
 
 # archs whose GGUF weights use ggml NORM rope (consecutive-pair rotation);
-# mirrors llama_rope_type (src/llama.cpp) — everything else here is NEOX.
-_NORM_ROPE_ARCHS = {"llama", "llama4", "deci", "baichuan", "starcoder", "plamo",
-                    "orion", "internlm2", "minicpm", "granite", "granitemoe", "chameleon"}
+# mirrors llama_rope_type (src/llama.cpp:8735-8781) — everything else is NEOX.
+_NORM_ROPE_ARCHS = {
+    "llama", "llama4", "deci", "baichuan", "starcoder", "plamo", "orion",
+    "internlm2", "minicpm", "xverse", "command-r", "olmo", "arctic",
+    "deepseek2", "deepseek4", "chatglm", "glm4", "granite", "granitemoe",
+    "cohere2", "smollm3", "mistral3", "glm-dsa", "mistral4",
+}
 
 
 def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
@@ -113,9 +122,14 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         expert_weights_scale=float(a("expert_weights_scale", 1.0)),
         n_lora_q=int(a("attention.q_lora_rank", 0) or 0),
         n_lora_kv=int(a("attention.kv_lora_rank", 0) or 0),
-        qk_nope_head_dim=0,
-        qk_rope_head_dim=int(a("rope.dimension_count", 0) or 0) if arch == "deepseek2" else 0,
+        qk_nope_head_dim=max(0, head_dim - int(a("rope.dimension_count", head_dim))),
+        qk_rope_head_dim=int(a("rope.dimension_count", 0) or 0),
         v_head_dim=int(a("attention.value_length", head_dim)),
+        n_layer_dense_lead=int(a("leading_dense_block_count", 0)),
+        n_expert_shared=int(a("expert_shared_count", 0)),
+        expert_weights_norm=bool(a("expert_weights_norm", False)),
+        rope_yarn_log_mul=float(a("rope.scaling.yarn_log_multiplier", 0.0)),
+        rope_attn_factor=float(a("rope.scaling.attn_factor", 1.0)),
         f_logit_scale=float(a("logit_scale", 0.0)),
         f_attention_scale=float(a("attention.scale", 0.0)),
         attn_softcap=float(a("attn_logit_softcapping", 0.0)),

@@ -17,7 +17,7 @@ def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
            swa_window: int = 0, sinks=None):
     """Masked attention over a fixed-size KV buffer.
 
-    q: (B, T, H, D); k, v: (B, S, Hkv, D) — S is cache capacity.
+    q: (B, T, H, Dk); k: (B, S, Hkv, Dk); v: (B, S, Hkv, Dv) — S is capacity.
     q_pos: (B, T) absolute positions of the queries.
     kv_len: (B,) number of valid cache entries (= n_past + T).
     Returns (B, T, H, D) in q.dtype.

@@ -30,7 +30,7 @@ def _cdiv(a, b):
 
 
 def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-               acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts, d, h):
+               acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts, d, dv, h):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -100,19 +100,21 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
     b, t, h, d = q.shape
     s = k.shape[1]
     hkv = k.shape[2]
+    dv = v.shape[3]  # may differ from d (MLA: Dk=192, Dv=128)
     rep = h // hkv
 
     tq = min(block_q, max(8, 1 << (t - 1).bit_length()))
     ts = min(block_kv, s)
-    dp = max(d, 128)  # pad head dim to lane width
+    dp = -(-max(d, 128) // 128) * 128    # pad head dims to lane width
+    dvp = -(-max(dv, 128) // 128) * 128
 
     # layout: (B*H, T, D) for q, (B*Hkv, S, D) for kv
     qr = jnp.pad(q.transpose(0, 2, 1, 3).reshape(b * h, t, d),
                  ((0, 0), (0, (-t) % tq), (0, dp - d)))
     kr = jnp.pad(k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d),
                  ((0, 0), (0, (-s) % ts), (0, dp - d)))
-    vr = jnp.pad(v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d),
-                 ((0, 0), (0, (-s) % ts), (0, dp - d)))
+    vr = jnp.pad(v.transpose(0, 2, 1, 3).reshape(b * hkv, s, dv),
+                 ((0, 0), (0, (-s) % ts), (0, dvp - dv)))
     tpad = qr.shape[1]
     spad = kr.shape[1]
 
@@ -120,7 +122,7 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, softcap=softcap,
-                          swa=swa_window, tq=tq, ts=ts, d=dp, h=h),
+                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos0 (1,)
@@ -130,15 +132,15 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
             pl.BlockSpec((1, ts, dp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
                          ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, dp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
+            pl.BlockSpec((1, ts, dvp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
                          ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
+        out_specs=pl.BlockSpec((1, tq, dvp), lambda bh, i, j: (bh, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tpad, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, tpad, dvp), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tq, dp), jnp.float32),
+            pltpu.VMEM((tq, dvp), jnp.float32),
             pltpu.VMEM((tq, 128), jnp.float32),
             pltpu.VMEM((tq, 128), jnp.float32),
         ],
@@ -150,5 +152,5 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
       jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
       qr, kr, vr)
 
-    out = out[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    out = out[:, :t, :dv].reshape(b, h, t, dv).transpose(0, 2, 1, 3)
     return out

@@ -38,12 +38,36 @@ def layer_norm(x, weight, bias=None, eps: float = 1e-5):
 
 
 def rope_cache(positions, head_dim: int, freq_base: float = 10000.0,
-               freq_scale: float = 1.0, dtype=jnp.float32):
-    """Precompute cos/sin tables: positions (...,) -> (..., head_dim // 2)."""
+               freq_scale: float = 1.0, dtype=jnp.float32, *,
+               ext_factor: float = 0.0, attn_factor: float = 1.0,
+               beta_fast: float = 32.0, beta_slow: float = 1.0,
+               n_ctx_orig: int = 0):
+    """Precompute cos/sin tables: positions (...,) -> (..., head_dim // 2).
+
+    Implements ggml's rope_yarn correction (ggml rope_yarn/rope_yarn_ramp):
+    with ext_factor == 0 this reduces to plain scaled rope.
+    """
+    import math
     half = head_dim // 2
-    inv_freq = freq_scale / (freq_base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., half)
-    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+    dims = jnp.arange(0, half, dtype=jnp.float32)
+    theta_extrap = positions.astype(jnp.float32)[..., None] / (
+        freq_base ** (dims / half))
+    mscale = attn_factor
+    if ext_factor != 0.0 and n_ctx_orig > 0:
+        def corr_dim(n_rot_beta):
+            return half * 2 * math.log(n_ctx_orig / (n_rot_beta * 2 * math.pi)) / (
+                2 * math.log(freq_base))
+        low = max(0.0, math.floor(corr_dim(beta_fast)))
+        high = min(head_dim - 1.0, math.ceil(corr_dim(beta_slow)))
+        i0 = 2.0 * dims
+        ramp = 1.0 - jnp.clip((i0 / 2.0 - low) / max(0.001, high - low), 0.0, 1.0)
+        ramp_mix = ramp * ext_factor
+        theta_interp = freq_scale * theta_extrap
+        theta = theta_interp * (1 - ramp_mix) + theta_extrap * ramp_mix
+        mscale = attn_factor * (1.0 + 0.1 * math.log(1.0 / freq_scale))
+    else:
+        theta = freq_scale * theta_extrap
+    return (jnp.cos(theta) * mscale).astype(dtype), (jnp.sin(theta) * mscale).astype(dtype)
 
 
 def apply_rope(x, cos, sin, rope_type: int = ROPE_TYPE_NEOX):

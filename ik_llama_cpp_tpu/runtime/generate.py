@@ -18,6 +18,7 @@ import numpy as np
 from ..gguf.reader import GGUFModel, load_gguf
 from ..models.config import ModelConfig, config_from_gguf
 from ..models import llama as llama_mod
+from ..models import deepseek2 as ds2_mod
 from ..models.llama import KVCache
 from .tokenizer import Tokenizer, tokenizer_from_gguf
 from .sampling import SamplerParams, sample as sample_token
@@ -36,6 +37,11 @@ _DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
                  "qwen2moe", "qwen3moe")
 FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
+CACHES = {a: (lambda cfg, b, cap: KVCache.create(cfg, b, cap)) for a in _DENSE_FAMILY}
+for _a in ("deepseek2", "deepseek4"):
+    FORWARDS[_a] = ds2_mod.forward
+    LOADERS[_a] = ds2_mod.load_deepseek2_params
+    CACHES[_a] = ds2_mod.make_cache
 
 
 @dataclass
@@ -74,7 +80,7 @@ class Runtime:
         return self._step_fns[key]
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
-        return KVCache.create(self.cfg, batch, capacity)
+        return CACHES[self.cfg.arch](self.cfg, batch, capacity)
 
     def eval_tokens(self, ids: list[int], kv: KVCache, n_past: int = 0,
                     *, all_logits: bool = False):

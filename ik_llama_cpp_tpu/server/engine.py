@@ -20,9 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import llama as llama_mod
 from ..models.llama import KVCache
-from ..runtime.generate import Runtime, PREFILL_BUCKETS, _bucket
+from ..runtime.generate import Runtime, PREFILL_BUCKETS, _bucket, FORWARDS
 from ..runtime.sampling import SamplerParams, sample as sample_token
 
 
@@ -67,7 +66,7 @@ class BatchEngine:
         self.cfg = runtime.cfg
         self.n_slots = n_slots
         self.capacity = capacity
-        self.kv = KVCache.create(self.cfg, n_slots, capacity)
+        self.kv = runtime.new_cache(n_slots, capacity)
         self.slots = [Slot(i) for i in range(n_slots)]
         self.requests: queue.Queue[Request] = queue.Queue()
         self._stop = threading.Event()
@@ -83,7 +82,7 @@ class BatchEngine:
     def _prefill(self, bucket: int):
         if bucket not in self._prefill_fns:
             cfg = self.cfg
-            fwd = llama_mod.forward
+            fwd = FORWARDS[cfg.arch]
 
             @jax.jit
             def prefill_slot(params, tokens, kv, slot_idx, n_past):
@@ -103,7 +102,7 @@ class BatchEngine:
     def _decode(self):
         if self._decode_fn is None:
             cfg = self.cfg
-            fwd = llama_mod.forward
+            fwd = FORWARDS[cfg.arch]
 
             @jax.jit
             def decode_all(params, tokens, kv, n_past):

@@ -195,3 +195,106 @@ def make_tiny_moe_gguf(
         addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
     w.write()
     return path
+
+
+def make_tiny_deepseek2_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    d_nope: int = 32,
+    d_rope: int = 16,
+    d_v: int = 32,
+    q_lora: int = 24,
+    kv_lora: int = 32,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_expert_shared: int = 1,
+    n_ff: int = 96,
+    n_ff_exp: int = 64,
+    dense_lead: int = 1,
+    gating: int = 2,  # sigmoid (V3-style)
+    seed: int = 0,
+) -> Path:
+    """Tiny deepseek2-architecture GGUF: MLA (q-lora + kv-lora) attention,
+    leading dense layer, sigmoid-gated MoE with selection bias + shared expert."""
+    path = Path(path)
+    arch = "deepseek2"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    dk = d_nope + d_rope
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-mla-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.key_length", dk)
+    w.add(f"{arch}.attention.value_length", d_v)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", d_rope)
+    w.add(f"{arch}.attention.q_lora_rank", q_lora)
+    w.add(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add(f"{arch}.leading_dense_block_count", dense_lead)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_shared_count", n_expert_shared)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.expert_weights_scale", 1.5)
+    w.add(f"{arch}.expert_weights_norm", True)
+    w.add(f"{arch}.expert_gating_func", gating)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+    w.add("tokenizer.ggml.add_bos_token", True)
+
+    def randw(*shape, scale=None):
+        fan_in = shape[-1]
+        scale = scale or (1.0 / np.sqrt(fan_in))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q_a.weight", randw(q_lora, n_embd))
+        w.add_tensor(p + "attn_q_a_norm.weight", np.ones(q_lora, np.float32))
+        addw(p + "attn_q_b.weight", randw(n_head * dk, q_lora))
+        addw(p + "attn_kv_a_mqa.weight", randw(kv_lora + d_rope, n_embd))
+        w.add_tensor(p + "attn_kv_a_norm.weight", np.ones(kv_lora, np.float32))
+        addw(p + "attn_kv_b.weight", randw(n_head * (d_nope + d_v), kv_lora))
+        addw(p + "attn_output.weight", randw(n_embd, n_head * d_v))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        if i < dense_lead:
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        else:
+            w.add_tensor(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+            w.add_tensor(p + "exp_probs_b.bias",
+                         (rng.standard_normal(n_expert) * 0.1).astype(np.float32))
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_exp * n_expert_shared, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_exp * n_expert_shared, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp * n_expert_shared))
+    w.write()
+    return path

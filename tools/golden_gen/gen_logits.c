@@ -35,6 +35,12 @@ int main(int argc, char **argv) {
     cp.n_ctx = 512;
     cp.n_batch = 512;
     cp.logits_all = 1;
+    /* MLA models: latent-cache modes >=2 need flash attention, and the
+     * reference's MLA flash kernels only support the production head sizes
+     * (Dk=576/Dv=512); run mla=1 without FA = standard matmul attention,
+     * which supports any dims */
+    cp.mla_attn = 0;
+    cp.flash_attn = 0;
     struct llama_context *ctx = llama_init_from_model(model, cp);
 
     llama_token toks[512];
