@@ -20,7 +20,8 @@ from ..gguf.reader import GGUFModel
 from ..ops import layers as L
 from ..ops.attention import attend
 from ..ops.moe import ExpertWeights, moe_ffn
-from ..ops.flash_attention import flash_attention
+from ..ops.flash_attention import flash_attention, flash_attention_q8
+from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
 from .weights import DenseLinear, QLinear, dequant_tensor, load_dense, load_linear
@@ -29,20 +30,34 @@ from .weights import DenseLinear, QLinear, dequant_tensor, load_dense, load_line
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: Any  # (L, B, S, Hkv, D)
-    v: Any  # (L, B, S, Hkv, D)
+    """Fixed-capacity KV cache; optionally int8-quantized with per-(token,
+    head) scales — the analogue of -ctk/-ctv q8_0 (quantize-on-write)."""
+
+    k: Any  # (L, B, S, Hkv, Dk) bf16 or int8
+    v: Any  # (L, B, S, Hkv, Dv)
+    k_scale: Any = None  # (L, B, S, Hkv) f32 when quantized
+    v_scale: Any = None
 
     def tree_flatten(self):
-        return (self.k, self.v), ()
+        return (self.k, self.v, self.k_scale, self.v_scale), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
     @classmethod
-    def create(cls, cfg: ModelConfig, batch: int, capacity: int, dtype=jnp.bfloat16):
+    def create(cls, cfg: ModelConfig, batch: int, capacity: int,
+               dtype=jnp.bfloat16, quant: bool = False):
         shape = (cfg.n_layer, batch, capacity, cfg.n_head_kv, cfg.head_dim)
+        if quant:
+            sshape = shape[:-1]
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self):
+        return self.k_scale is not None
 
     @property
     def capacity(self):
@@ -152,7 +167,8 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
 
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
-                interpret=False, tp_axis=None, stats=None, il=0):
+                interpret=False, tp_axis=None, stats=None, il=0,
+                kv_ks=None, kv_vs=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -182,22 +198,40 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     k = L.apply_rope(k, cos, sin, cfg.rope_type)
 
     # append to cache at each row's n_past (vector for continuous batching)
-    k = k.astype(kv_k.dtype)
-    v = v.astype(kv_v.dtype)
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
     upd = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
         c, new, (st, jnp.int32(0), jnp.int32(0))))
-    kv_k = upd(kv_k, k, npv)
-    kv_v = upd(kv_v, v, npv)
+    upd_s = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
+        c, new, (st, jnp.int32(0))))
+    quant = kv_ks is not None
+    if quant:  # quantize-on-write (-ctk/-ctv q8 analogue)
+        kq, ks = quantize_kv_rows(k)
+        vq, vs = quantize_kv_rows(v)
+        kv_k = upd(kv_k, kq, npv)
+        kv_v = upd(kv_v, vq, npv)
+        kv_ks = upd_s(kv_ks, ks, npv)
+        kv_vs = upd_s(kv_vs, vs, npv)
+    else:
+        kv_k = upd(kv_k, k.astype(kv_k.dtype), npv)
+        kv_v = upd(kv_v, v.astype(kv_v.dtype), npv)
 
     scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
     kv_len = npv + t
-    if _use_pallas():
-        attn = flash_attention(q.astype(jnp.bfloat16), kv_k, kv_v,
-                               npv, kv_len, scale=scale,
+    qb = q.astype(jnp.bfloat16)
+    if quant and _use_pallas():
+        attn = flash_attention_q8(qb, kv_k, kv_ks, kv_v, kv_vs, npv, kv_len,
+                                  scale=scale, softcap=cfg.attn_softcap,
+                                  swa_window=cfg.swa_window)
+    elif quant:
+        attn = attend(qb, dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
+                      dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
+                      q_pos=q_pos, kv_len=kv_len, scale=scale,
+                      softcap=cfg.attn_softcap, swa_window=cfg.swa_window)
+    elif _use_pallas():
+        attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=cfg.swa_window)
     else:
-        attn = attend(q.astype(jnp.bfloat16), kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
+        attn = attend(qb, kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=cfg.swa_window)
     attn = attn.reshape(b, t, h * d)
@@ -207,7 +241,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     if tp_axis is not None:
         # the reference's GGML_OP_REDUCE / ncclAllReduce (reduce.cu:164)
         out = jax.lax.psum(out, tp_axis)
-    return out, kv_k, kv_v
+    return out, (kv_k, kv_v, kv_ks, kv_vs)
 
 
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
@@ -225,12 +259,14 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
 
     stats = {} if collect_stats else None
-    new_k, new_v = [], []
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        attn_out, k_i, v_i = _attn_block(
+        attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
             blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos, cos, sin, interpret,
-            tp_axis=tp_axis, stats=stats, il=i)
+            tp_axis=tp_axis, stats=stats, il=i,
+            kv_ks=None if kv.k_scale is None else kv.k_scale[i],
+            kv_vs=None if kv.v_scale is None else kv.v_scale[i])
         x = x + attn_out.astype(x.dtype)
         h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
         ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i)
@@ -239,8 +275,12 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         x = x + ff.astype(x.dtype)
         new_k.append(k_i)
         new_v.append(v_i)
+        new_ks.append(ks_i)
+        new_vs.append(vs_i)
 
-    kv = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    kv = KVCache(jnp.stack(new_k), jnp.stack(new_v),
+                 None if new_ks[0] is None else jnp.stack(new_ks),
+                 None if new_vs[0] is None else jnp.stack(new_vs))
     x = L.rms_norm(x, params["output_norm"], cfg.rms_eps)
     if logits_last_only:
         x = x[:, -1:, :]

@@ -154,3 +154,132 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
     out = out[:, :t, :dv].reshape(b, h, t, dv).transpose(0, 2, 1, 3)
     return out
+
+
+def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                  o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts,
+                  d, dv, h):
+    """Same online-softmax loop, KV tiles arrive as int8 + per-row scales."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    batch = pl.program_id(0) // h
+    q_pos0 = qpos_ref[batch]
+    kv_len = kvlen_ref[batch]
+    i = pl.program_id(1)
+
+    q_rows = q_pos0 + i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
+    k_cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1)
+    mask = (k_cols <= q_rows) & (k_cols < kv_len)
+    if swa > 0:
+        mask &= k_cols > q_rows - swa
+    tile_live = (j * ts <= q_pos0 + i * tq + tq - 1) & (j * ts < kv_len)
+
+    @pl.when(tile_live)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32) * ks_ref[0][:, None]   # dequant (TS, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + p.sum(axis=1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32) * vs_ref[0][:, None]
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        denom = jnp.where(l_ref[:, 0:1] > 0, l_ref[:, 0:1], 1.0)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "swa_window", "block_q", "block_kv",
+                     "interpret"),
+)
+def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
+                       softcap: float = 0.0, swa_window: int = 0,
+                       block_q: int = 128, block_kv: int = 256,
+                       interpret: bool = False):
+    """FA over an int8 quantized KV cache with per-(token, head) scales.
+
+    k_q/v_q: int8 (B, S, Hkv, D*); k_s/v_s: f32 (B, S, Hkv).
+    """
+    b, t, h, d = q.shape
+    s = k_q.shape[1]
+    hkv = k_q.shape[2]
+    dv = v_q.shape[3]
+    rep = h // hkv
+
+    tq = min(block_q, max(8, 1 << (t - 1).bit_length()))
+    ts = min(block_kv, s)
+    assert ts % 128 == 0 or interpret, "q8 KV needs block_kv multiple of 128"
+    dp = -(-max(d, 128) // 128) * 128
+    dvp = -(-max(dv, 128) // 128) * 128
+
+    qr = jnp.pad(q.transpose(0, 2, 1, 3).reshape(b * h, t, d),
+                 ((0, 0), (0, (-t) % tq), (0, dp - d)))
+    kr = jnp.pad(k_q.transpose(0, 2, 1, 3).reshape(b * hkv, s, d),
+                 ((0, 0), (0, (-s) % ts), (0, dp - d)))
+    vr = jnp.pad(v_q.transpose(0, 2, 1, 3).reshape(b * hkv, s, dv),
+                 ((0, 0), (0, (-s) % ts), (0, dvp - dv)))
+    ksr = jnp.pad(k_s.transpose(0, 2, 1).reshape(b * hkv, s),
+                  ((0, 0), (0, (-s) % ts)))
+    vsr = jnp.pad(v_s.transpose(0, 2, 1).reshape(b * hkv, s),
+                  ((0, 0), (0, (-s) % ts)))
+    tpad = qr.shape[1]
+    spad = kr.shape[1]
+    grid = (b * h, tpad // tq, spad // ts)
+
+    def kv_map(bh, i, j, _rep=rep, _h=h, _hkv=hkv):
+        return ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0)
+
+    def kvs_map(bh, i, j, _rep=rep, _h=h, _hkv=hkv):
+        return ((bh // _h) * _hkv + (bh % _h) // _rep, j)
+
+    out = pl.pallas_call(
+        functools.partial(_fa_q8_kernel, scale=scale, softcap=softcap,
+                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, dp), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), kvs_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, dvp), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), kvs_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, dvp), lambda bh, i, j: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tpad, dvp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, dvp), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
+      jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
+      qr, kr, ksr, vr, vsr)
+
+    return out[:, :t, :dv].reshape(b, h, t, dv).transpose(0, 2, 1, 3)

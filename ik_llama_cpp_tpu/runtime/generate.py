@@ -37,11 +37,12 @@ _DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
                  "qwen2moe", "qwen3moe")
 FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
-CACHES = {a: (lambda cfg, b, cap: KVCache.create(cfg, b, cap)) for a in _DENSE_FAMILY}
+CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))
+          for a in _DENSE_FAMILY}
 for _a in ("deepseek2", "deepseek4"):
     FORWARDS[_a] = ds2_mod.forward
     LOADERS[_a] = ds2_mod.load_deepseek2_params
-    CACHES[_a] = ds2_mod.make_cache
+    CACHES[_a] = lambda cfg, b, cap, quant=False: ds2_mod.make_cache(cfg, b, cap)
 
 
 @dataclass
@@ -50,11 +51,13 @@ class Runtime:
     tokenizer: Tokenizer
     params: Any
     interpret: bool = False
+    kv_quant: bool = False  # int8 KV cache (-ctk/-ctv q8 analogue)
 
     _step_fns: dict = field(default_factory=dict)
 
     @classmethod
-    def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False):
+    def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False,
+                  kv_quant: bool = False):
         gg = load_gguf(path)
         cfg = config_from_gguf(gg.metadata)
         tok = tokenizer_from_gguf(gg.metadata)
@@ -62,7 +65,8 @@ class Runtime:
         if loader is None:
             raise NotImplementedError(f"arch {cfg.arch!r} not supported yet")
         params = loader(gg, cfg, use_quant=use_quant)
-        return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret)
+        return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
+                   kv_quant=kv_quant)
 
     # ------------------------------------------------------------------
     def _step(self, chunk: int, last_only: bool):
@@ -80,7 +84,7 @@ class Runtime:
         return self._step_fns[key]
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
-        return CACHES[self.cfg.arch](self.cfg, batch, capacity)
+        return CACHES[self.cfg.arch](self.cfg, batch, capacity, quant=self.kv_quant)
 
     def eval_tokens(self, ids: list[int], kv: KVCache, n_past: int = 0,
                     *, all_logits: bool = False):

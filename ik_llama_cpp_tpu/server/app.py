@@ -251,9 +251,11 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--parallel", type=int, default=4)
     ap.add_argument("--ctx-size", type=int, default=2048)
+    ap.add_argument("--cache-type", choices=["bf16", "q8"], default="bf16",
+                    help="KV cache type (-ctk/-ctv analogue)")
     args = ap.parse_args(argv)
 
-    rt = Runtime.from_gguf(args.gguf)
+    rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8")
     engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size)
     engine.start()
     srv = Server(engine, model_name=str(args.gguf))

@@ -51,3 +51,35 @@ def test_fa_softcap_swa():
                               block_q=16, block_kv=32, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_q8_kv_cache_matches_bf16():
+    """Quantized-KV forward must track the bf16-KV forward closely."""
+    import jax
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.models.config import config_from_gguf
+    from ik_llama_cpp_tpu.models import llama as llama_mod
+    from ik_llama_cpp_tpu.models.llama import KVCache
+
+    path = make_tiny_llama_gguf("/tmp/kvq_tiny.gguf", seed=7, n_embd=128,
+                                n_head=4, n_head_kv=2, n_ff=256)
+    gg = load_gguf(path)
+    cfg = config_from_gguf(gg.metadata)
+    params = llama_mod.load_llama_params(gg, cfg)
+    toks = jnp.asarray(np.random.default_rng(0).integers(3, 250, (1, 24), np.int32))
+
+    kv_f = KVCache.create(cfg, 1, 64)
+    ref, kv_f = llama_mod.forward(params, cfg, toks, kv_f, jnp.int32(0))
+
+    kv_q = KVCache.create(cfg, 1, 64, quant=True)
+    assert kv_q.quantized
+    got, kv_q = llama_mod.forward(params, cfg, toks, kv_q, jnp.int32(0))
+
+    ref, got = np.asarray(ref), np.asarray(got)
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.95, f"argmax agreement {agree:.2%}"
+    # continue decoding one step from the quantized cache
+    nxt = jnp.asarray([[int(got[0, -1].argmax())]], dtype=jnp.int32)
+    got2, kv_q = llama_mod.forward(params, cfg, nxt, kv_q, jnp.int32(24))
+    assert np.isfinite(np.asarray(got2)).all()
