@@ -120,11 +120,18 @@ def load_linear(info: GGUFTensorInfo, *, use_quant: bool = True) -> QLinear | De
     k = info.shape[0]
     n = info.n_elements // k
     if use_quant and info.ggml_type in PLANAR_FNS:
-        pw = planar_decode(info.data, info.ggml_type, k)
-        codes = jnp.asarray(np.ascontiguousarray(pw.codes.T))          # (K, N)
-        scale = jnp.asarray(np.ascontiguousarray(pw.scale.T))          # (K//G, N)
-        bias = None if pw.bias is None else jnp.asarray(np.ascontiguousarray(pw.bias.T))
-        return QLinear(codes, scale, bias, group=pw.group)
+        # native C++ decoder when built (bit-identical; ~50x faster at load)
+        from ..native import planar_decode_native
+        nat = planar_decode_native(info.data, info.ggml_type, k)
+        if nat is not None:
+            codes_np, scale_np, bias_np, group = nat
+        else:
+            pw = planar_decode(info.data, info.ggml_type, k)
+            codes_np, scale_np, bias_np, group = pw.codes, pw.scale, pw.bias, pw.group
+        codes = jnp.asarray(np.ascontiguousarray(codes_np.T))          # (K, N)
+        scale = jnp.asarray(np.ascontiguousarray(scale_np.T))          # (K//G, N)
+        bias = None if bias_np is None else jnp.asarray(np.ascontiguousarray(bias_np.T))
+        return QLinear(codes, scale, bias, group=group)
     w = dequant_tensor(info).reshape(n, k).T  # (K, N)
     return DenseLinear(jnp.asarray(np.ascontiguousarray(w), dtype=jnp.bfloat16))
 

@@ -1,0 +1,68 @@
+"""llama-cli equivalent: one-shot generation or interactive REPL.
+
+Usage:
+  python -m ik_llama_cpp_tpu.tools.cli -m model.gguf -p "prompt" -n 64 --temp 0.7
+  python -m ik_llama_cpp_tpu.tools.cli -m model.gguf -i            # interactive
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..runtime.generate import Runtime
+from ..runtime.sampling import SamplerParams
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="llama-cli (tpu)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-n", "--n-predict", type=int, default=64)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("-ctk", "--cache-type", choices=["bf16", "q8"], default="bf16")
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    rt = Runtime.from_gguf(args.model, kv_quant=args.cache_type == "q8")
+    print(f"model loaded in {time.time() - t0:.1f}s "
+          f"(arch={rt.cfg.arch}, n_layer={rt.cfg.n_layer}, "
+          f"n_embd={rt.cfg.n_embd}, vocab={rt.cfg.n_vocab})", file=sys.stderr)
+
+    sampler = SamplerParams(temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+                            min_p=args.min_p, penalty_repeat=args.repeat_penalty)
+    seed = args.seed if args.seed >= 0 else int(time.time()) % 2**31
+
+    def run(prompt: str):
+        t1 = time.time()
+        ids, out = rt.generate(prompt, max_new_tokens=args.n_predict,
+                               sampler=sampler, seed=seed, capacity=args.ctx_size)
+        dt = time.time() - t1
+        text = rt.tokenizer.decode(out)
+        print(text)
+        print(f"\n[{len(ids)} prompt + {len(out)} generated tokens, "
+              f"{len(out) / dt:.2f} tok/s]", file=sys.stderr)
+
+    if args.interactive:
+        print("interactive mode — empty line to exit", file=sys.stderr)
+        while True:
+            try:
+                line = input("> ")
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not line.strip():
+                break
+            run(line)
+    else:
+        run(args.prompt)
+
+
+if __name__ == "__main__":
+    main()
