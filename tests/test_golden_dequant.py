@@ -44,7 +44,8 @@ def load_golden(name):
     return n_rows, n_per_row, row_bytes, qbytes, deq.reshape(n_rows, n_per_row)
 
 
-goldens = sorted(p.stem for p in GOLDEN_DIR.glob("*.bin")) if GOLDEN_DIR.exists() else []
+goldens = sorted(p.stem for p in GOLDEN_DIR.glob("*.bin")
+                 if not p.stem.startswith("decode_")) if GOLDEN_DIR.exists() else []
 
 
 @pytest.mark.skipif(not goldens, reason="golden files not generated")
@@ -72,3 +73,28 @@ def test_planar_bit_exact(name):
     np.testing.assert_array_equal(
         got, ref, err_msg=f"{name}: planar decode differs from reference",
     )
+
+
+DECODE_ONLY = {
+    "decode_iq2_xxs": GGMLType.IQ2_XXS, "decode_iq2_xs": GGMLType.IQ2_XS,
+    "decode_iq2_s": GGMLType.IQ2_S, "decode_iq3_xxs": GGMLType.IQ3_XXS,
+    "decode_iq3_s": GGMLType.IQ3_S, "decode_iq1_s": GGMLType.IQ1_S,
+    "decode_iq1_m": GGMLType.IQ1_M,
+}
+
+decode_goldens = sorted(p.stem for p in GOLDEN_DIR.glob("decode_*.bin")) \
+    if GOLDEN_DIR.exists() else []
+
+
+@pytest.mark.skipif(not decode_goldens, reason="decode goldens not generated")
+@pytest.mark.parametrize("name", decode_goldens)
+def test_iquant_decode_bit_exact(name):
+    """Codebook i-quants: random-byte encodings decoded by the reference C
+    implementation must match ours bit-for-bit."""
+    ttype = DECODE_ONLY[name]
+    n_rows, n_per_row, row_bytes, qbytes, ref = load_golden(name)
+    assert GEOMETRY[ttype].row_bytes(n_per_row) == row_bytes
+    got = dequantize(qbytes, ttype, n_per_row)
+    np.testing.assert_array_equal(
+        got.view(np.uint32), ref.view(np.uint32),
+        err_msg=f"{name}: dequant differs from reference")

@@ -46,8 +46,47 @@ int main(int argc, char **argv) {
         GGML_TYPE_IQ1_KT, GGML_TYPE_IQ2_KT, GGML_TYPE_IQ3_KT, GGML_TYPE_IQ4_KT,
         GGML_TYPE_Q8_KV,
     };
+    /* decode-only types: encoders need an imatrix (iq1_*) or are exotic;
+     * feed RANDOM bytes (any bit pattern is a valid encoding) through the
+     * reference to_float and dump that as the golden */
+    int decode_only[] = {
+        GGML_TYPE_IQ2_XXS, GGML_TYPE_IQ2_XS, GGML_TYPE_IQ2_S,
+        GGML_TYPE_IQ3_XXS, GGML_TYPE_IQ3_S, GGML_TYPE_IQ1_S, GGML_TYPE_IQ1_M,
+    };
     float *src = malloc(sizeof(float) * N_PER_ROW);
     float *out = malloc(sizeof(float) * N_PER_ROW);
+
+    for (size_t t = 0; t < sizeof(decode_only) / sizeof(decode_only[0]); t++) {
+        enum ggml_type type = (enum ggml_type)decode_only[t];
+        ggml_type_traits_t traits = ggml_internal_get_type_traits(type);
+        if (!traits.to_float) continue;
+        size_t rb = ggml_row_size(type, N_PER_ROW);
+        uint8_t *qbuf = malloc(N_ROWS * rb);
+        /* deterministic pseudo-random bytes */
+        uint32_t st = 0x12345678u + (uint32_t)type;
+        for (size_t j = 0; j < N_ROWS * rb; j++) {
+            st = st * 1664525u + 1013904223u;
+            qbuf[j] = (uint8_t)(st >> 24);
+        }
+        float *deq = malloc(sizeof(float) * N_ROWS * N_PER_ROW);
+        for (int r = 0; r < N_ROWS; r++) {
+            traits.to_float(qbuf + r * rb, deq + (size_t)r * N_PER_ROW, N_PER_ROW);
+        }
+        char path[1024];
+        snprintf(path, sizeof(path), "%s/decode_%s.bin", outdir, ggml_type_name(type));
+        FILE *f = fopen(path, "wb");
+        if (!f) { perror(path); return 1; }
+        uint32_t nr = N_ROWS, npr = N_PER_ROW;
+        uint64_t rb64 = rb;
+        fwrite(&nr, 4, 1, f);
+        fwrite(&npr, 4, 1, f);
+        fwrite(&rb64, 8, 1, f);
+        fwrite(qbuf, 1, N_ROWS * rb, f);
+        fwrite(deq, sizeof(float), (size_t)N_ROWS * N_PER_ROW, f);
+        fclose(f);
+        printf("wrote %s (decode-only, row_bytes=%zu)\n", path, rb);
+        free(qbuf); free(deq);
+    }
 
     for (size_t t = 0; t < sizeof(types) / sizeof(types[0]); t++) {
         enum ggml_type type = types[t];
