@@ -1,0 +1,147 @@
+"""Speculative decoding — analogue of common/speculative.cpp.
+
+Stages implemented (common.h:149-161 stage types):
+  * ngram  — prompt-lookup self-speculation (the reference's ngram-simple /
+    lookup example): propose the continuation that followed the most recent
+    occurrence of the current n-gram suffix
+  * draft  — classic two-model speculation: a small draft model proposes
+    n_max tokens, the target verifies them in ONE batched decode step
+    (the big win on TPU: verification is a parallel prefill-like step)
+
+Acceptance: greedy token-match against the target's argmax (the reference's
+default for temp<=0; sampled acceptance is a planned extension).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .generate import Runtime
+from .sampling import SamplerParams, sample as sample_token
+
+
+@dataclass
+class SpecStats:
+    n_draft: int = 0
+    n_accept: int = 0
+    n_rounds: int = 0
+
+    @property
+    def accept_rate(self):
+        return self.n_accept / max(self.n_draft, 1)
+
+
+class NgramDraft:
+    """Prompt-lookup drafting (ngram cache over the current sequence)."""
+
+    def __init__(self, n_min: int = 2, n_max_ngram: int = 4):
+        self.n_min = n_min
+        self.n_max_ngram = n_max_ngram
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        seq = tokens
+        for ng in range(self.n_max_ngram, self.n_min - 1, -1):
+            if len(seq) < ng + 1:
+                continue
+            suffix = tuple(seq[-ng:])
+            # search most recent earlier occurrence
+            for start in range(len(seq) - ng - 1, -1, -1):
+                if tuple(seq[start:start + ng]) == suffix:
+                    cont = seq[start + ng:start + ng + n_draft]
+                    if cont:
+                        return list(cont)
+                    break
+        return []
+
+
+def generate_speculative(
+    target: Runtime,
+    prompt,
+    max_new_tokens: int = 64,
+    *,
+    draft: Optional[Runtime] = None,
+    n_draft: int = 8,
+    sampler: SamplerParams | None = None,
+    seed: int = 0,
+    capacity: int = 1024,
+    stop_at_eos: bool = True,
+):
+    """Returns (prompt_ids, generated_ids, SpecStats)."""
+    sampler = sampler or SamplerParams(temp=0.0)
+    ids = target.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
+    stats = SpecStats()
+    rng = np.random.default_rng(seed)
+
+    kv = target.new_cache(1, capacity)
+    logits, kv, n_past = target.eval_tokens(ids, kv, 0)
+    ngram = NgramDraft()
+
+    d_kv = d_n_past = None
+    if draft is not None:
+        d_kv = draft.new_cache(1, capacity)
+        _, d_kv, d_n_past = draft.eval_tokens(ids, d_kv, 0)
+
+    out: list[int] = []
+
+    def next_token(lg):
+        return int(sample_token(lg, sampler, rng, history=ids + out))
+
+    cur = next_token(logits[-1])
+    out.append(cur)
+
+    while len(out) < max_new_tokens:
+        if stop_at_eos and cur == target.tokenizer.eos_id:
+            break
+        # ---- propose
+        if draft is not None:
+            proposal = []
+            dl, d_kv, d_n_past = draft.eval_tokens([cur], d_kv, d_n_past)
+            for _ in range(n_draft):
+                t = int(dl[-1].argmax())
+                proposal.append(t)
+                dl, d_kv, d_n_past = draft.eval_tokens([t], d_kv, d_n_past)
+        else:
+            proposal = ngram.propose(ids + out, n_draft)
+        stats.n_rounds += 1
+        stats.n_draft += len(proposal)
+
+        # ---- verify: evaluate [cur] + proposal in ONE chunk
+        block = [cur] + proposal
+        logits_all, kv, n_past = target.eval_tokens(block, kv, n_past,
+                                                    all_logits=True)
+        # position j of logits_all predicts block[j+1]
+        n_acc = 0
+        for j, prop in enumerate(proposal):
+            pred = next_token(logits_all[j])
+            if pred != prop or len(out) >= max_new_tokens:
+                out.append(pred)
+                cur = pred
+                break
+            out.append(prop)
+            n_acc += 1
+            cur = prop
+            if stop_at_eos and prop == target.tokenizer.eos_id:
+                break
+        else:
+            # all accepted: sample one more from the last position
+            if proposal:
+                pred = next_token(logits_all[len(proposal)])
+                out.append(pred)
+                cur = pred
+            else:
+                pred = next_token(logits_all[0])
+                out.append(pred)
+                cur = pred
+        stats.n_accept += n_acc
+
+        # rewind target cache past the rejected tail: keep n_past at the
+        # position after the last ACCEPTED token
+        consumed = 1 + n_acc  # cur + accepted
+        n_past = n_past - (len(block) - consumed)
+        if draft is not None:
+            # rewind draft cache likewise (it advanced len(proposal)+1)
+            d_n_past = d_n_past - (len(proposal) - n_acc)
+
+    return ids, out[:max_new_tokens], stats

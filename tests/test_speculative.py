@@ -1,0 +1,41 @@
+"""Speculative decoding must produce IDENTICAL tokens to plain greedy decode
+(lossless speculation invariant), with accepted drafts > 0 on repetitive text."""
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_llama_gguf
+from ik_llama_cpp_tpu.runtime.generate import Runtime
+from ik_llama_cpp_tpu.runtime.speculative import generate_speculative, NgramDraft
+
+
+@pytest.fixture(scope="module")
+def rt(tmp_path_factory):
+    p = make_tiny_llama_gguf(tmp_path_factory.mktemp("s") / "m.gguf", seed=4)
+    return Runtime.from_gguf(p)
+
+
+def test_ngram_spec_lossless(rt):
+    prompt = "abc abc abc abc abc"
+    ids, ref = rt.generate(prompt, max_new_tokens=24, stop_at_eos=False)
+    ids2, out, stats = generate_speculative(rt, prompt, max_new_tokens=24,
+                                            stop_at_eos=False)
+    assert ids2 == ids
+    assert out == ref, f"spec={out}\ngreedy={ref}"
+    assert stats.n_rounds > 0
+
+
+def test_draft_model_spec_lossless(rt):
+    # same model as its own draft -> 100% acceptance, still must be lossless
+    prompt = "the quick brown"
+    ids, ref = rt.generate(prompt, max_new_tokens=16, stop_at_eos=False)
+    _, out, stats = generate_speculative(rt, prompt, max_new_tokens=16,
+                                         draft=rt, n_draft=4, stop_at_eos=False)
+    assert out == ref
+    assert stats.accept_rate > 0.9, stats  # self-draft should accept ~all
+
+
+def test_ngram_proposer():
+    ng = NgramDraft(n_min=2)
+    toks = [1, 2, 3, 4, 1, 2]
+    assert ng.propose(toks, 2) == [3, 4]
+    assert ng.propose([1, 2, 3], 2) == []
