@@ -1,10 +1,17 @@
 """Sampler chain (host-side, numpy) — analogue of llama-sampling.cpp.
 
-Implements the reference's default chain order (common/sampling.h:133-141):
-penalties -> top_k -> tail_free -> typical_p -> top_p -> min_p -> xtc ->
-top_n_sigma -> temperature, then distribution sampling. Greedy when temp <= 0.
-Each stage matches the reference's semantics (e.g. min_p relative to max
-probability, typical via entropy distance).
+Implements the reference's configurable chain (common/sampling.h:133-141):
+``dry;top_k;tfs_z;typical_p;top_p;min_p;xtc;top_n_sigma;temperature`` followed
+by distribution sampling, plus the out-of-chain final samplers mirostat v1/v2
+(src/llama-sampling.cpp) and adaptive-p (llama-sampling.h:68-107,
+llama-sampling.cpp:1096-1240).  Each stage matches the reference's semantics
+(e.g. min_p relative to max probability, typical via entropy distance, DRY
+suffix-repeat penalties with sequence breakers, adaptive-p's EMA-adapted
+target with the quadratic/linear logit reshaping).
+
+Stateless stages work on a (logits, order) candidate view; stateful samplers
+(mirostat mu, adaptive-p history) live in :class:`SamplerState`, the analogue
+of `llama_sampling`/`llama_sampler_adaptive_p` contexts.
 """
 from __future__ import annotations
 
@@ -12,10 +19,17 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+DEFAULT_ORDER = ("dry", "top_k", "tfs_z", "typical_p", "top_p", "min_p",
+                 "xtc", "top_n_sigma", "temperature")
+
+DEFAULT_DRY_BREAKERS = ("\n", ":", '"', "*")
+
 
 @dataclass
 class SamplerParams:
     temp: float = 0.8
+    dynatemp_range: float = 0.0
+    dynatemp_exponent: float = 1.0
     top_k: int = 40
     top_p: float = 0.95
     min_p: float = 0.05
@@ -28,6 +42,30 @@ class SamplerParams:
     penalty_repeat: float = 1.0
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
+    # DRY (don't-repeat-yourself) repetition penalty
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
+    dry_penalty_last_n: int = -1   # -1 = penalty_last_n window of -1 → ctx
+    dry_sequence_breaker_ids: tuple = ()   # token ids that reset matching
+    # mirostat: 0 = off, 1 = v1, 2 = v2
+    mirostat: int = 0
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
+    # adaptive-p final sampler (ik-specific): negative target = disabled
+    adaptive_target: float = -1.0
+    adaptive_decay: float = 0.9
+    logit_bias: dict = field(default_factory=dict)
+    samplers: tuple = DEFAULT_ORDER
+    n_vocab_hint: int = 0
+
+
+@dataclass
+class SamplerState:
+    """Cross-token sampler state (mirostat mu, adaptive-p EMA history)."""
+    mu: float | None = None
+    adaptive_weighted_sum: float = 0.0
+    adaptive_total_weight: float = 0.0
 
 
 def _softmax(logits: np.ndarray) -> np.ndarray:
@@ -51,76 +89,236 @@ def apply_penalties(logits, history, p: SamplerParams):
     return logits
 
 
+def apply_dry(logits: np.ndarray, history, p: SamplerParams) -> np.ndarray:
+    """DRY repetition penalty (llama-sampling.cpp llama_sampler_dry_apply).
+
+    A candidate token that would extend a repeated suffix of length ``m >=
+    allowed_length`` is penalized by ``multiplier * base**(m -
+    allowed_length)``.  Sequence-breaker tokens reset matching (matches never
+    span a breaker)."""
+    if p.dry_multiplier <= 0.0 or not history:
+        return logits
+    window = p.dry_penalty_last_n if p.dry_penalty_last_n > 0 else p.penalty_last_n
+    seq = list(history[-window:]) if window > 0 else list(history)
+    n = len(seq)
+    if n < 2:
+        return logits
+    breakers = set(p.dry_sequence_breaker_ids)
+    # truncate at the last breaker: matches must live in the post-breaker tail
+    for i in range(n - 1, -1, -1):
+        if seq[i] in breakers:
+            seq = seq[i + 1:]
+            break
+    n = len(seq)
+    if n < 2:
+        return logits
+    arr = np.asarray(seq)
+    best: dict[int, int] = {}
+    # for each earlier position i, the longest common suffix of seq[:i+1]
+    # and seq predicts that seq[i+1] continues the repeat with length m
+    last = arr[-1]
+    for i in range(n - 2, -1, -1):
+        if arr[i] != last:
+            continue
+        m = 1
+        while m <= i and n - 1 - m >= 0 and arr[i - m] == arr[n - 1 - m]:
+            m += 1
+        cand = int(arr[i + 1])
+        if m > best.get(cand, 0):
+            best[cand] = m
+    out = None
+    for tok, m in best.items():
+        if m >= p.dry_allowed_length and tok < len(logits):
+            if out is None:
+                out = logits.copy()
+            out[tok] -= p.dry_multiplier * p.dry_base ** (m - p.dry_allowed_length)
+    return out if out is not None else logits
+
+
+# ---------------------------------------------------------------------------
+# final samplers
+
+
+def _sample_mirostat_v2(lg, order, p, rng, state: SamplerState):
+    if state.mu is None:
+        state.mu = 2.0 * p.mirostat_tau
+    probs = _softmax(lg / max(p.temp, 1e-6))
+    surprise = -np.log2(probs + 1e-30)
+    mask = surprise <= state.mu
+    if not mask.any():
+        mask = np.zeros_like(mask)
+        mask[np.argmax(probs)] = True
+    order2, probs_kept = order[mask], probs[mask]
+    probs2 = probs_kept / probs_kept.sum()
+    idx = rng.choice(len(probs2), p=probs2)
+    # observed surprise uses the pre-truncation probability of the pick
+    observed = float(-np.log2(probs_kept[idx] + 1e-30))
+    state.mu -= p.mirostat_eta * (observed - p.mirostat_tau)
+    return int(order2[idx])
+
+
+def _sample_mirostat_v1(lg, order, p, rng, state: SamplerState, n_vocab: int):
+    if state.mu is None:
+        state.mu = 2.0 * p.mirostat_tau
+    probs = _softmax(lg / max(p.temp, 1e-6))
+    m = min(100, len(probs) - 1)
+    if m < 2:
+        return int(order[np.argmax(probs)])
+    ti = np.log((np.arange(2, m + 1)) / np.arange(1, m))
+    bi = np.log(probs[:m - 1] / (probs[1:m] + 1e-30) + 1e-30)
+    s_hat = float(np.sum(ti * bi) / max(np.sum(ti * ti), 1e-12))
+    eps = s_hat - 1.0
+    k = ((eps * (2.0 ** state.mu)) / max(1.0 - n_vocab ** (-eps), 1e-12)) ** (1.0 / max(s_hat, 1e-6))
+    k = int(np.clip(k, 1, len(probs)))
+    lg2, order2 = lg[:k], order[:k]
+    probs2 = _softmax(lg2 / max(p.temp, 1e-6))
+    idx = rng.choice(len(probs2), p=probs2)
+    observed = float(-np.log2(probs2[idx] + 1e-30))
+    state.mu -= p.mirostat_eta * (observed - p.mirostat_tau)
+    return int(order2[idx])
+
+
+def _sample_adaptive_p(logits_orig, lg, order, p, rng, state: SamplerState):
+    """Adaptive-p final sampler (llama-sampling.cpp:1096-1240): reshape
+    logits into a quadratic-near/linear-far well around an EMA-adapted target
+    probability, then sample from the reshaped distribution; update the EMA
+    with the selected token's ORIGINAL probability."""
+    cur_probs_un = np.exp(lg - lg.max())
+    cum_cur = cur_probs_un.sum()
+    orig_un = np.exp(logits_orig - logits_orig.max())
+    cum_orig = orig_un.sum()
+
+    target = float(np.clip(p.adaptive_target, 0.0, 1.0))
+    if state.adaptive_total_weight == 0.0:
+        adapted = target
+    else:
+        adapted = 2.0 * target - (state.adaptive_weighted_sum /
+                                  state.adaptive_total_weight)
+    adapted = float(np.clip(adapted, 0.0, 1.0))
+
+    peak, inv_width, sharpness = 5.0, 1.0 / 0.3, 10.0
+    dist = np.abs((cur_probs_un / cum_cur) * inv_width - adapted * inv_width)
+    xlog = peak - sharpness * dist * dist / (1.0 + dist)
+    xprobs = np.exp(xlog - xlog.max())
+    xprobs /= xprobs.sum()
+    idx = rng.choice(len(xprobs), p=xprobs)
+    tok = int(order[idx])
+    update_prob = float(orig_un[order[idx]] / cum_orig) if tok < len(orig_un) else 0.0
+    # NOTE: orig_un is indexed by token id (full-vocab original logits)
+    if update_prob > 0:
+        state.adaptive_weighted_sum = (p.adaptive_decay * state.adaptive_weighted_sum
+                                       + update_prob)
+        state.adaptive_total_weight = (p.adaptive_decay * state.adaptive_total_weight
+                                       + 1.0)
+    return tok
+
+
+# ---------------------------------------------------------------------------
+
+
 def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
-           history: list[int] | None = None) -> int:
+           history: list[int] | None = None,
+           state: SamplerState | None = None,
+           return_probs: bool = False):
+    """Run the sampler chain on one logit vector; returns the token id
+    (or (id, ids, probs) of the surviving candidate set with
+    ``return_probs``)."""
     logits = np.asarray(logits, np.float32).reshape(-1)
+    if p.logit_bias:
+        logits = logits.copy()
+        for tok, b in p.logit_bias.items():
+            t = int(tok)
+            if 0 <= t < len(logits):
+                logits[t] = -np.inf if b <= -100.0 else logits[t] + b
+    logits_orig = logits
     logits = apply_penalties(logits, history or [], p)
 
-    if p.temp <= 0.0:
-        return int(np.argmax(logits))
+    if p.temp <= 0.0 and p.mirostat == 0 and p.adaptive_target < 0.0:
+        tok = int(np.argmax(logits))
+        if return_probs:
+            return tok, np.array([tok]), np.array([1.0], np.float32)
+        return tok
 
     order = np.argsort(-logits)
     lg = logits[order]
-
-    # top_k
-    if p.top_k > 0:
-        lg = lg[:p.top_k]
-        order = order[:p.top_k]
     probs = _softmax(lg)
 
-    # tail-free
-    if p.tfs_z < 1.0 and len(probs) > 2:
-        d2 = np.abs(np.diff(probs, 2))
-        d2 = d2 / (d2.sum() or 1.0)
-        cum = np.cumsum(d2)
-        keep = int(np.searchsorted(cum, p.tfs_z) + 1)
-        keep = max(keep, 1)
-        lg, order = lg[:keep + 2], order[:keep + 2]
-        probs = _softmax(lg)
-
-    # typical
-    if p.typical_p < 1.0:
-        ent = -np.sum(probs * np.log(probs + 1e-12))
-        shifted = np.abs(-np.log(probs + 1e-12) - ent)
-        srt = np.argsort(shifted)
-        cum = np.cumsum(probs[srt])
-        keep = srt[: max(1, int(np.searchsorted(cum, p.typical_p) + 1))]
-        keep.sort()
-        lg, order = lg[keep], order[keep]
-        probs = _softmax(lg)
-
-    # top_p
-    if p.top_p < 1.0:
-        cum = np.cumsum(probs)
-        keep = max(1, int(np.searchsorted(cum, p.top_p) + 1))
-        lg, order = lg[:keep], order[:keep]
-        probs = _softmax(lg)
-
-    # min_p (relative to max prob)
-    if p.min_p > 0.0:
-        mask = probs >= p.min_p * probs.max()
-        lg, order = lg[mask], order[mask]
-        probs = _softmax(lg)
-
-    # xtc: exclude top tokens with probability xtc_probability
-    if p.xtc_probability > 0.0 and rng.random() < p.xtc_probability:
-        above = probs >= p.xtc_threshold
-        if above.sum() > 1:
-            idx = np.where(above)[0]
-            keepmask = np.ones(len(probs), bool)
-            keepmask[idx[:-1]] = False
-            lg, order = lg[keepmask], order[keepmask]
+    for stage in p.samplers:
+        if stage == "dry":
+            if p.dry_multiplier > 0.0:
+                biased = apply_dry(logits, history or [], p)
+                order = np.argsort(-biased)
+                lg = biased[order]
+                probs = _softmax(lg)
+        elif stage == "top_k" and p.top_k > 0:
+            lg, order = lg[:p.top_k], order[:p.top_k]
+            probs = _softmax(lg)
+        elif stage == "tfs_z" and p.tfs_z < 1.0 and len(probs) > 2:
+            d2 = np.abs(np.diff(probs, 2))
+            d2 = d2 / (d2.sum() or 1.0)
+            cum = np.cumsum(d2)
+            keep = max(int(np.searchsorted(cum, p.tfs_z) + 1), 1)
+            lg, order = lg[:keep + 2], order[:keep + 2]
+            probs = _softmax(lg)
+        elif stage == "typical_p" and p.typical_p < 1.0:
+            ent = -np.sum(probs * np.log(probs + 1e-12))
+            shifted = np.abs(-np.log(probs + 1e-12) - ent)
+            srt = np.argsort(shifted)
+            cum = np.cumsum(probs[srt])
+            keep = srt[: max(1, int(np.searchsorted(cum, p.typical_p) + 1))]
+            keep.sort()
+            lg, order = lg[keep], order[keep]
+            probs = _softmax(lg)
+        elif stage == "top_p" and p.top_p < 1.0:
+            cum = np.cumsum(probs)
+            keep = max(1, int(np.searchsorted(cum, p.top_p) + 1))
+            lg, order = lg[:keep], order[:keep]
+            probs = _softmax(lg)
+        elif stage == "min_p" and p.min_p > 0.0:
+            mask = probs >= p.min_p * probs.max()
+            lg, order = lg[mask], order[mask]
+            probs = _softmax(lg)
+        elif stage == "xtc" and p.xtc_probability > 0.0:
+            if rng.random() < p.xtc_probability:
+                above = probs >= p.xtc_threshold
+                if above.sum() > 1:
+                    idx = np.where(above)[0]
+                    keepmask = np.ones(len(probs), bool)
+                    keepmask[idx[:-1]] = False
+                    lg, order = lg[keepmask], order[keepmask]
+                    probs = _softmax(lg)
+        elif stage == "top_n_sigma" and p.top_n_sigma > 0.0:
+            sd = lg.std()
+            mask = lg >= (lg.max() - p.top_n_sigma * sd)
+            lg, order = lg[mask], order[mask]
+            probs = _softmax(lg)
+        elif stage == "temperature":
+            temp = p.temp
+            if p.dynatemp_range > 0.0 and len(probs) > 1:
+                # dynamic temperature scaled by normalized entropy
+                ent = -np.sum(probs * np.log(probs + 1e-12))
+                max_ent = np.log(len(probs))
+                t_min = max(0.0, p.temp - p.dynatemp_range)
+                t_max = p.temp + p.dynatemp_range
+                frac = (ent / max_ent) ** p.dynatemp_exponent if max_ent > 0 else 1.0
+                temp = t_min + (t_max - t_min) * frac
+            lg = lg / max(temp, 1e-6)
             probs = _softmax(lg)
 
-    # top-n-sigma
-    if p.top_n_sigma > 0.0:
-        mu, sd = lg.mean(), lg.std()
-        mask = lg >= mu - 0  # placeholder center
-        mask = lg >= (lg.max() - p.top_n_sigma * sd)
-        lg, order = lg[mask], order[mask]
-        probs = _softmax(lg)
+    state = state if state is not None else SamplerState()
 
-    # temperature
-    probs = _softmax(lg / p.temp)
-    choice = rng.choice(len(probs), p=probs)
-    return int(order[choice])
+    if p.mirostat == 2:
+        tok = _sample_mirostat_v2(lg, order, p, rng, state)
+    elif p.mirostat == 1:
+        n_vocab = p.n_vocab_hint or len(logits_orig)
+        tok = _sample_mirostat_v1(lg, order, p, rng, state, n_vocab)
+    elif p.adaptive_target >= 0.0:
+        tok = _sample_adaptive_p(logits_orig, lg, order, p, rng, state)
+    else:
+        probs = _softmax(lg)
+        choice = rng.choice(len(probs), p=probs)
+        tok = int(order[choice])
+
+    if return_probs:
+        return tok, order, _softmax(lg)
+    return tok

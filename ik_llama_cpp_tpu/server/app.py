@@ -23,14 +23,45 @@ from .engine import BatchEngine, Request, SlotState
 
 
 def _sampler_from(body: dict) -> SamplerParams:
+    bias = {}
+    lb = body.get("logit_bias")
+    if isinstance(lb, dict):
+        bias = {int(k): float(v) for k, v in lb.items()}
+    elif isinstance(lb, list):        # native [[tok, bias|false], ...] form
+        for item in lb:
+            if isinstance(item, (list, tuple)) and len(item) == 2:
+                bias[int(item[0])] = -101.0 if item[1] is False else float(item[1])
+    kw = {}
+    if "samplers" in body:
+        s = body["samplers"]
+        kw["samplers"] = tuple(s.split(";") if isinstance(s, str) else s)
     return SamplerParams(
         temp=float(body.get("temperature", 0.8)),
+        dynatemp_range=float(body.get("dynatemp_range", 0.0)),
+        dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
         min_p=float(body.get("min_p", 0.05)),
-        penalty_repeat=float(body.get("repeat_penalty", body.get("frequency_penalty", 0) and 1.0 or 1.0)),
+        tfs_z=float(body.get("tfs_z", 1.0)),
+        typical_p=float(body.get("typical_p", 1.0)),
+        xtc_probability=float(body.get("xtc_probability", 0.0)),
+        xtc_threshold=float(body.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(body.get("top_n_sigma", 0.0)),
+        penalty_last_n=int(body.get("repeat_last_n", 64)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
         penalty_freq=float(body.get("frequency_penalty", 0.0)),
         penalty_present=float(body.get("presence_penalty", 0.0)),
+        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+        dry_base=float(body.get("dry_base", 1.75)),
+        dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+        dry_penalty_last_n=int(body.get("dry_penalty_last_n", -1)),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        adaptive_target=float(body.get("adaptive_target", -1.0)),
+        adaptive_decay=float(body.get("adaptive_decay", 0.9)),
+        logit_bias=bias,
+        **kw,
     )
 
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.llama import KVCache
 from ..runtime.generate import Runtime, PREFILL_BUCKETS, _bucket, FORWARDS
-from ..runtime.sampling import SamplerParams, sample as sample_token
+from ..runtime.sampling import SamplerParams, SamplerState, sample as sample_token
 
 
 class SlotState(Enum):
@@ -53,6 +53,7 @@ class Slot:
     n_past: int = 0
     n_decoded: int = 0
     rng: Any = None
+    sampler_state: Any = None
     text: str = ""
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -140,6 +141,7 @@ class BatchEngine:
             slot.n_decoded = 0
             slot.text = ""
             slot.rng = np.random.default_rng(req.seed)
+            slot.sampler_state = SamplerState()
             slot.state = SlotState.PREFILL
             slot.t_start = time.time()
 
@@ -167,7 +169,8 @@ class BatchEngine:
 
     def _emit_token(self, slot: Slot, logits: np.ndarray):
         req = slot.req
-        tok = sample_token(logits, req.sampler, slot.rng, history=slot.tokens)
+        tok = sample_token(logits, req.sampler, slot.rng, history=slot.tokens,
+                           state=slot.sampler_state)
         slot.tokens.append(int(tok))
         slot.n_decoded += 1
         self.n_tokens_predicted += 1

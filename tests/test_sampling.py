@@ -1,0 +1,130 @@
+"""Sampler-chain unit tests — analogue of reference tests/test-sampling.cpp."""
+import numpy as np
+import pytest
+
+from ik_llama_cpp_tpu.runtime.sampling import (
+    SamplerParams, SamplerState, sample, apply_dry, apply_penalties)
+
+
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_greedy():
+    logits = np.array([0.1, 3.0, -1.0, 2.0], np.float32)
+    p = SamplerParams(temp=0.0)
+    assert sample(logits, p, rng()) == 1
+
+
+def test_top_k_restricts():
+    logits = np.array([5.0, 4.0, 3.0, -10.0, -10.0], np.float32)
+    p = SamplerParams(temp=1.0, top_k=2, top_p=1.0, min_p=0.0)
+    r = rng()
+    seen = {sample(logits, p, r) for _ in range(200)}
+    assert seen <= {0, 1}
+
+
+def test_top_p():
+    logits = np.log(np.array([0.6, 0.3, 0.05, 0.05], np.float32))
+    p = SamplerParams(temp=1.0, top_k=0, top_p=0.7, min_p=0.0)
+    r = rng()
+    seen = {sample(logits, p, r) for _ in range(300)}
+    assert seen <= {0, 1}
+
+
+def test_min_p():
+    logits = np.log(np.array([0.5, 0.4, 0.001, 0.099], np.float32))
+    p = SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.2)
+    seen = {sample(logits, p, rng()) for _ in range(300)}
+    assert seen <= {0, 1}
+
+
+def test_logit_bias_ban_and_boost():
+    logits = np.array([0.0, 5.0, 0.0], np.float32)
+    p = SamplerParams(temp=0.0, logit_bias={1: -101.0, 2: 100.0})
+    assert sample(logits, p, rng()) == 2
+
+
+def test_repetition_penalty():
+    logits = np.array([2.0, 1.9, 0.0], np.float32)
+    p = SamplerParams(temp=0.0, penalty_repeat=2.0, penalty_last_n=8)
+    # token 0 was produced before → halved below token 1
+    assert sample(logits, p, rng(), history=[0]) == 1
+
+
+def test_dry_penalizes_repeat_continuation():
+    # history ...A B C A B → continuing with C extends a 2-repeat
+    hist = [10, 11, 12, 10, 11]
+    logits = np.zeros(20, np.float32)
+    p = SamplerParams(dry_multiplier=2.0, dry_base=1.75, dry_allowed_length=2,
+                      dry_penalty_last_n=64)
+    out = apply_dry(logits, hist, p)
+    assert out[12] < 0.0
+    assert out[13] == 0.0
+
+
+def test_dry_sequence_breaker_resets():
+    hist = [10, 11, 99, 10, 11]     # 99 is a breaker → no match spans it
+    logits = np.zeros(20, np.float32)
+    p = SamplerParams(dry_multiplier=2.0, dry_allowed_length=2,
+                      dry_penalty_last_n=64, dry_sequence_breaker_ids=(99,))
+    out = apply_dry(logits, hist, p)
+    assert np.all(out == 0.0)
+
+
+def test_mirostat_v2_runs_and_adapts_mu():
+    st = SamplerState()
+    p = SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0, mirostat=2,
+                      mirostat_tau=4.0)
+    r = rng()
+    logits = np.linspace(3.0, -3.0, 64).astype(np.float32)
+    for _ in range(50):
+        tok = sample(logits, p, r, state=st)
+        assert 0 <= tok < 64
+    assert st.mu is not None and st.mu != 8.0   # mu moved from its 2*tau init
+
+
+def test_mirostat_v1_runs():
+    st = SamplerState()
+    p = SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0, mirostat=1)
+    r = rng()
+    logits = np.linspace(3.0, -3.0, 256).astype(np.float32)
+    toks = [sample(logits, p, r, state=st) for _ in range(20)]
+    assert all(0 <= t < 256 for t in toks)
+
+
+def test_adaptive_p_tracks_target():
+    st = SamplerState()
+    p = SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0,
+                      adaptive_target=0.3, adaptive_decay=0.9)
+    r = rng()
+    logits = np.linspace(2.0, -2.0, 32).astype(np.float32)
+    for _ in range(30):
+        tok = sample(logits, p, r, state=st)
+        assert 0 <= tok < 32
+    assert st.adaptive_total_weight > 0.0
+
+
+def test_sampler_order_configurable():
+    # with only temperature in the chain, all tokens remain reachable
+    logits = np.array([2.0, 1.0, 0.0, -1.0], np.float32)
+    p = SamplerParams(temp=5.0, samplers=("temperature",))
+    r = rng()
+    seen = {sample(logits, p, r) for _ in range(500)}
+    assert seen == {0, 1, 2, 3}
+
+
+def test_dynatemp():
+    logits = np.array([5.0, 1.0, 0.5, 0.2], np.float32)
+    p = SamplerParams(temp=0.8, dynatemp_range=0.5, top_k=0, top_p=1.0,
+                      min_p=0.0)
+    tok = sample(logits, p, rng())
+    assert 0 <= tok < 4
+
+
+def test_return_probs():
+    logits = np.array([2.0, 1.0, 0.0], np.float32)
+    p = SamplerParams(temp=1.0, top_k=2, top_p=1.0, min_p=0.0)
+    tok, ids, probs = sample(logits, p, rng(), return_probs=True)
+    assert len(ids) == len(probs) == 2
+    assert abs(probs.sum() - 1.0) < 1e-5
