@@ -246,10 +246,13 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
-            tp_axis: str | None = None, collect_stats: bool = False):
+            tp_axis: str | None = None, collect_stats: bool = False,
+            return_hidden: bool = False):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
-    Returns (logits f32, KVCache)."""
+    Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
+    hidden states (B, T, E) f32 are returned instead of logits (embedding
+    extraction — the analogue of llama_get_embeddings, llama.h)."""
     b, t = tokens.shape
     x = params["tok_embd"][tokens]  # (B, T, E) bf16
 
@@ -282,6 +285,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                  None if new_ks[0] is None else jnp.stack(new_ks),
                  None if new_vs[0] is None else jnp.stack(new_vs))
     x = L.rms_norm(x, params["output_norm"], cfg.rms_eps)
+    if return_hidden:
+        return x.astype(jnp.float32), kv
     if logits_last_only:
         x = x[:, -1:, :]
     if collect_stats:

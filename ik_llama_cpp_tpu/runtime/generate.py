@@ -130,6 +130,46 @@ class Runtime:
             logits, kv, n_past = self.eval_tokens([int(tok)], kv, n_past)
         return ids, out
 
+    def _embed_step(self, chunk: int):
+        key = ("embed", chunk)
+        if key not in self._step_fns:
+            fwd = FORWARDS[self.cfg.arch]
+            cfg, interp = self.cfg, self.interpret
+
+            @jax.jit
+            def step(params, tokens, kv, n_past):
+                return fwd(params, cfg, tokens, kv, n_past,
+                           interpret=interp, return_hidden=True)
+
+            self._step_fns[key] = step
+        return self._step_fns[key]
+
+    def embed(self, ids: list[int], pooling: str = "mean",
+              normalize: bool = True) -> np.ndarray:
+        """Embedding extraction with pooling (llama_get_embeddings +
+        llama_pooling_type NONE/MEAN/CLS/LAST; examples/embedding).
+
+        Returns (E,) for pooled modes, (T, E) for pooling='none'."""
+        n = len(ids)
+        b = _bucket(n) if n <= PREFILL_BUCKETS[-1] else n
+        kv = self.new_cache(1, max(b + 8, 64))
+        padded = np.zeros((1, b), np.int32)
+        padded[0, :n] = ids
+        hidden, _ = self._embed_step(b)(self.params, jnp.asarray(padded), kv,
+                                        jnp.int32(0))
+        h = np.asarray(hidden[0, :n], np.float32)   # (T, E)
+        if pooling == "none":
+            return h
+        if pooling == "cls":
+            e = h[0]
+        elif pooling == "last":
+            e = h[-1]
+        else:   # mean
+            e = h.mean(axis=0)
+        if normalize:
+            e = e / (np.linalg.norm(e) + 1e-12)
+        return e
+
     def all_position_logits(self, ids: list[int], capacity: int = 512) -> np.ndarray:
         kv = self.new_cache(1, capacity)
         logits, _, _ = self.eval_tokens(ids, kv, 0, all_logits=True)

@@ -216,6 +216,10 @@ class Tokenizer:
     add_eos: bool = False
     add_space_prefix: bool = True
     pre: str = "default"
+    fim_pre_id: int = -1      # fill-in-middle specials (llama.h FIM tokens)
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
+    chat_template: str | None = None
 
     def __post_init__(self):
         self.vocab = {t: i for i, t in enumerate(self.tokens)}
@@ -428,4 +432,12 @@ def tokenizer_from_gguf(md: dict) -> Tokenizer:
         add_eos=getb("tokenizer.ggml.add_eos_token", False),
         add_space_prefix=getb("tokenizer.ggml.add_space_prefix", True),
         pre=str(md.get("tokenizer.ggml.pre", "default")),
+        fim_pre_id=geti("tokenizer.ggml.fim_pre_token_id",
+                        geti("tokenizer.ggml.prefix_token_id")),
+        fim_suf_id=geti("tokenizer.ggml.fim_suf_token_id",
+                        geti("tokenizer.ggml.suffix_token_id")),
+        fim_mid_id=geti("tokenizer.ggml.fim_mid_token_id",
+                        geti("tokenizer.ggml.middle_token_id")),
+        chat_template=(str(md["tokenizer.chat_template"])
+                       if "tokenizer.chat_template" in md else None),
     )

@@ -15,6 +15,7 @@ import queue
 import time
 import uuid
 
+import numpy as np
 from aiohttp import web
 
 from ..runtime.generate import Runtime
@@ -84,6 +85,13 @@ class Server:
         r.add_post("/v1/completions", self.oai_completions)
         r.add_post("/v1/chat/completions", self.oai_chat)
         r.add_post("/v1/messages", self.anthropic_messages)
+        r.add_post("/embedding", self.embeddings)
+        r.add_post("/embeddings", self.embeddings)
+        r.add_post("/v1/embeddings", self.oai_embeddings)
+        r.add_post("/rerank", self.rerank)
+        r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/infill", self.infill)
+        r.add_post("/apply-template", self.apply_template)
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
@@ -171,6 +179,83 @@ class Server:
         body = await request.json()
         return web.json_response(
             {"content": self.rt.tokenizer.decode(body.get("tokens", []))})
+
+    async def embeddings(self, request):
+        """Native /embedding(s): {"content": str|[str]} -> pooled vectors."""
+        body = await request.json()
+        content = body.get("content", body.get("input", ""))
+        items = content if isinstance(content, list) else [content]
+        pooling = body.get("pooling", "mean")
+        loop = asyncio.get_event_loop()
+        out = []
+        for i, text in enumerate(items):
+            ids = text if isinstance(text, list) else self.rt.tokenizer.encode(text)
+            e = await loop.run_in_executor(None, self.rt.embed, ids, pooling)
+            out.append({"index": i, "embedding": np.asarray(e).tolist()})
+        return web.json_response(out if isinstance(content, list) else
+                                 {"embedding": out[0]["embedding"]})
+
+    async def oai_embeddings(self, request):
+        """OpenAI-compatible /v1/embeddings."""
+        body = await request.json()
+        inputs = body.get("input", "")
+        items = inputs if isinstance(inputs, list) else [inputs]
+        loop = asyncio.get_event_loop()
+        data, n_tok = [], 0
+        for i, text in enumerate(items):
+            ids = text if isinstance(text, list) else self.rt.tokenizer.encode(text)
+            n_tok += len(ids)
+            e = await loop.run_in_executor(None, self.rt.embed, ids, "mean")
+            data.append({"object": "embedding", "index": i,
+                         "embedding": np.asarray(e).tolist()})
+        return web.json_response({
+            "object": "list", "data": data, "model": self.model_name,
+            "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}})
+
+    async def rerank(self, request):
+        """/rerank: score documents against a query (embedding cosine
+        similarity when the model has no classifier head — the generative
+        fallback for examples/server's rerank endpoint)."""
+        body = await request.json()
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        top_n = int(body.get("top_n", len(docs)))
+        loop = asyncio.get_event_loop()
+        qids = self.rt.tokenizer.encode(query)
+        qe = await loop.run_in_executor(None, self.rt.embed, qids, "mean")
+        results = []
+        for i, d in enumerate(docs):
+            text = d if isinstance(d, str) else d.get("text", "")
+            de = await loop.run_in_executor(
+                None, self.rt.embed, self.rt.tokenizer.encode(text), "mean")
+            results.append({"index": i,
+                            "relevance_score": float(np.dot(qe, de))})
+        results.sort(key=lambda r: -r["relevance_score"])
+        return web.json_response({"model": self.model_name,
+                                  "results": results[:top_n]})
+
+    async def infill(self, request):
+        """Fill-in-the-middle completion (examples/infill): builds the FIM
+        prompt <pre>prefix<suf>suffix<mid> from the tokenizer's FIM ids."""
+        body = await request.json()
+        tok = self.rt.tokenizer
+        if tok.fim_pre_id < 0 or tok.fim_suf_id < 0 or tok.fim_mid_id < 0:
+            return web.json_response(
+                {"error": "model has no fill-in-middle tokens"}, status=400)
+        pre = tok.encode(body.get("input_prefix", ""), add_bos=False)
+        suf = tok.encode(body.get("input_suffix", ""), add_bos=False)
+        ids = ([tok.bos_id] if tok.bos_id >= 0 and tok.add_bos else []) + \
+            [tok.fim_pre_id] + pre + [tok.fim_suf_id] + suf + [tok.fim_mid_id]
+        toks, text = await self._run(ids, body, False)
+        return web.json_response({"content": text,
+                                  "tokens_predicted": len(toks)})
+
+    async def apply_template(self, request):
+        """/apply-template: render chat messages through the model's chat
+        template without generating (server.cpp /apply-template)."""
+        body = await request.json()
+        prompt = self._chat_prompt(body.get("messages", []))
+        return web.json_response({"prompt": prompt})
 
     async def completion(self, request):
         """llama.cpp-native /completion."""

@@ -121,3 +121,43 @@ def test_streaming(server):
     events = r.read().decode().strip().split("\n\n")
     assert events[-1] == "data: [DONE]"
     assert len(events) >= 2
+
+
+def test_embeddings_native(server):
+    r = req(server, "/embeddings", {"content": "hello world"})
+    e = r["embedding"]
+    assert len(e) == 64 or len(e) > 8          # n_embd of tiny fixture
+    import math
+    assert abs(sum(x * x for x in e) - 1.0) < 1e-3   # normalized
+
+
+def test_oai_embeddings(server):
+    r = req(server, "/v1/embeddings", {"input": ["a b c", "d e f"]})
+    assert r["object"] == "list" and len(r["data"]) == 2
+    assert r["data"][1]["index"] == 1
+    assert r["usage"]["prompt_tokens"] > 0
+
+
+def test_rerank(server):
+    r = req(server, "/rerank",
+            {"query": "apple fruit", "documents": ["apple pie", "quantum physics"],
+             "top_n": 2})
+    assert len(r["results"]) == 2
+    scores = [x["relevance_score"] for x in r["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_apply_template(server):
+    r = req(server, "/apply-template",
+            {"messages": [{"role": "user", "content": "Hi"}]})
+    assert "Hi" in r["prompt"]
+
+
+def test_infill_no_fim_tokens(server):
+    # tiny fixture has no FIM specials -> clean 400, not a crash
+    import urllib.error
+    try:
+        req(server, "/infill", {"input_prefix": "def f(", "input_suffix": "\n"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
