@@ -18,6 +18,7 @@ import uuid
 import numpy as np
 from aiohttp import web
 
+from ..runtime.chat import apply_chat_template, parse_tool_calls, split_reasoning
 from ..runtime.generate import Runtime
 from ..runtime.sampling import SamplerParams
 from .engine import BatchEngine, Request, SlotState
@@ -118,23 +119,11 @@ class Server:
                 break
         return toks, "".join(text)
 
-    def _chat_prompt(self, messages: list[dict]) -> str:
+    def _chat_prompt(self, messages: list[dict], tools: list | None = None) -> str:
         """Render the chat template from GGUF metadata (jinja) or fallback."""
         tmpl = getattr(self.rt.tokenizer, "chat_template", None)
-        try:
-            import jinja2
-            if tmpl:
-                env = jinja2.Environment()
-                return env.from_string(tmpl).render(
-                    messages=messages, add_generation_prompt=True,
-                    bos_token="", eos_token="")
-        except Exception:
-            pass
-        out = []
-        for m in messages:
-            out.append(f"<|{m.get('role', 'user')}|>\n{m.get('content', '')}")
-        out.append("<|assistant|>\n")
-        return "\n".join(out)
+        return apply_chat_template(messages, template=tmpl, tools=tools,
+                                   add_generation_prompt=True)
 
     # ---------------------------------------------------------- endpoints
     async def health(self, request):
@@ -314,7 +303,8 @@ class Server:
 
     async def oai_chat(self, request):
         body = await request.json()
-        prompt = self._chat_prompt(body.get("messages", []))
+        prompt = self._chat_prompt(body.get("messages", []),
+                                   tools=body.get("tools"))
         ids = self.rt.tokenizer.encode(prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         if body.get("stream"):
@@ -333,11 +323,20 @@ class Server:
             await resp.write_eof()
             return resp
         toks, text = await self._run(ids, body, False)
+        reasoning, content = split_reasoning(text)
+        content, calls = parse_tool_calls(content)
+        message = {"role": "assistant", "content": content or None}
+        if reasoning:
+            message["reasoning_content"] = reasoning
+        finish = "stop"
+        if calls:
+            message["tool_calls"] = [c.to_openai() for c in calls]
+            finish = "tool_calls"
         return web.json_response({
             "id": rid, "object": "chat.completion", "created": int(time.time()),
             "model": self.model_name,
-            "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
-                         "finish_reason": "stop"}],
+            "choices": [{"index": 0, "message": message,
+                         "finish_reason": finish}],
             "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
                       "total_tokens": len(ids) + len(toks)},
         })
