@@ -64,7 +64,20 @@ class ModelConfig:
     final_softcap: float = 0.0
     swa_window: int = 0
     swa_pattern: int = 1  # every Nth layer is full-attention (gemma-style)
+    # per-layer SWA mask (True = sliding window); empty = all layers SWA when
+    # swa_window > 0. gemma2: even layers; gemma3: (il+1) % 6 != 0.
+    swa_layer_mask: tuple = ()
+    rope_freq_base_swa: float = 0.0   # rope base for SWA layers (gemma3: 1e4)
+    embd_scale: float = 0.0           # input embedding scale (gemma: sqrt(E))
+    act: str = "silu"                 # FFN activation: silu | gelu | relu2
     extra: dict = field(default_factory=dict, hash=False, compare=False)
+
+    def layer_is_swa(self, il: int) -> bool:
+        if self.swa_window <= 0:
+            return False
+        if not self.swa_layer_mask:
+            return True
+        return bool(self.swa_layer_mask[il])
 
     @property
     def n_gqa(self) -> int:
@@ -90,13 +103,42 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     n_head_kv = int(a("attention.head_count_kv", n_head))
     head_dim = int(a("attention.key_length", n_embd // max(n_head, 1)))
     n_vocab = int(a("vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
+    n_layer = int(a("block_count"))
 
     rope_type = 0 if arch in _NORM_ROPE_ARCHS else 2
     scaling = a("rope.scaling.type")
 
+    # per-arch structural defaults, mirroring llm_load_hparams
+    # (src/llama-hparams.cpp:805-850) and the per-arch graph builders
+    embd_scale, act = 0.0, "silu"
+    swa_mask: tuple = ()
+    attn_softcap = float(a("attn_logit_softcapping", 0.0))
+    final_softcap = float(a("final_logit_softcapping", 0.0))
+    swa_window = int(a("attention.sliding_window", 0))
+    f_attn_scale = float(a("attention.scale", 0.0))
+    rope_base_swa = 0.0
+    qk_norm = arch in ("qwen3", "qwen3moe", "qwen3next")
+    if arch in ("gemma", "gemma2", "gemma3"):
+        embd_scale = float(n_embd) ** 0.5
+        act = "gelu"
+    if arch == "gemma2":
+        swa_window = swa_window or 4096
+        attn_softcap = attn_softcap or 30.0
+        final_softcap = final_softcap or 30.0
+        swa_mask = tuple(il % 2 == 0 for il in range(n_layer))
+        # build_gemma2.cpp: 27B (46 layers) scales Q by 1/sqrt(E/H)
+        f_attn_scale = (1.0 / (n_embd / max(n_head, 1)) ** 0.5 if n_layer == 46
+                        else 1.0 / float(head_dim) ** 0.5)
+    elif arch == "gemma3":
+        qk_norm = True
+        swa_mask = tuple((il + 1) % 6 != 0 for il in range(n_layer))
+        rope_base_swa = 10000.0
+        f_attn_scale = (1.0 / (n_embd / max(n_head, 1)) ** 0.5 if n_layer == 62
+                        else 1.0 / float(head_dim) ** 0.5)
+
     return ModelConfig(
         arch=arch,
-        n_layer=int(a("block_count")),
+        n_layer=n_layer,
         n_embd=n_embd,
         n_head=n_head,
         n_head_kv=n_head_kv,
@@ -112,7 +154,7 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         rope_scaling=scaling,
         rope_scale_factor=float(a("rope.scaling.factor", 1.0)),
         rope_orig_ctx=int(a("rope.scaling.original_context_length", 0)),
-        use_qk_norm=arch in ("qwen3", "qwen3moe", "qwen3next"),
+        use_qk_norm=qk_norm,
         n_expert=int(a("expert_count", 0)),
         n_expert_used=int(a("expert_used_count", 0)),
         expert_gating_func=int(a("expert_gating_func", 1)),
@@ -131,9 +173,13 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         rope_yarn_log_mul=float(a("rope.scaling.yarn_log_multiplier", 0.0)),
         rope_attn_factor=float(a("rope.scaling.attn_factor", 1.0)),
         f_logit_scale=float(a("logit_scale", 0.0)),
-        f_attention_scale=float(a("attention.scale", 0.0)),
-        attn_softcap=float(a("attn_logit_softcapping", 0.0)),
-        final_softcap=float(a("final_logit_softcapping", 0.0)),
-        swa_window=int(a("attention.sliding_window", 0)),
+        f_attention_scale=f_attn_scale,
+        attn_softcap=attn_softcap,
+        final_softcap=final_softcap,
+        swa_window=swa_window,
+        swa_layer_mask=swa_mask,
+        rope_freq_base_swa=rope_base_swa,
+        embd_scale=embd_scale,
+        act=act,
         extra={},
     )

@@ -81,12 +81,15 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         p = f"blk.{i}."
         blk = {
             "attn_norm": load_dense(t[p + "attn_norm.weight"]),
-            "wq": load_linear(t[p + "attn_q.weight"], use_quant=use_quant),
-            "wk": load_linear(t[p + "attn_k.weight"], use_quant=use_quant),
-            "wv": load_linear(t[p + "attn_v.weight"], use_quant=use_quant),
             "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
             "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
         }
+        if p + "attn_qkv.weight" in t:   # fused QKV (phi3-style wqkv)
+            blk["wqkv"] = load_linear(t[p + "attn_qkv.weight"], use_quant=use_quant)
+        else:
+            blk["wq"] = load_linear(t[p + "attn_q.weight"], use_quant=use_quant)
+            blk["wk"] = load_linear(t[p + "attn_k.weight"], use_quant=use_quant)
+            blk["wv"] = load_linear(t[p + "attn_v.weight"], use_quant=use_quant)
         if p + "ffn_gate_inp.weight" in t:  # MoE layer (qwen2moe/qwen3moe style)
             blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"],
                                               use_quant=False)
@@ -98,10 +101,13 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                 if p + "ffn_gate_inp_shexp.weight" in t:
                     blk["ffn_gate_inp_shexp"] = load_linear(t[p + "ffn_gate_inp_shexp.weight"], use_quant=False)
         else:
-            blk["ffn_gate"] = load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant)
+            # phi3-style models fuse gate+up into a single ffn_up tensor
+            if p + "ffn_gate.weight" in t:
+                blk["ffn_gate"] = load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant)
             blk["ffn_up"] = load_linear(t[p + "ffn_up.weight"], use_quant=use_quant)
             blk["ffn_down"] = load_linear(t[p + "ffn_down.weight"], use_quant=use_quant)
-        for opt in ("attn_q_norm", "attn_k_norm"):
+        for opt in ("attn_q_norm", "attn_k_norm", "attn_post_norm",
+                    "ffn_post_norm"):
             if p + opt + ".weight" in t:
                 blk[opt] = load_dense(t[p + opt + ".weight"])
         for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias"):
@@ -156,9 +162,13 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
                 sh = sh * gate
             y = y.reshape(b, t, e) + sh
         return y.reshape(b, t, e)
-    gate = blk["ffn_gate"](h, interpret=interpret)
-    up = blk["ffn_up"](h, interpret=interpret)
-    act = L.swiglu(gate, up).astype(jnp.bfloat16)
+    if "ffn_gate" in blk:
+        gate = blk["ffn_gate"](h, interpret=interpret)
+        up = blk["ffn_up"](h, interpret=interpret)
+    else:   # fused gate+up in one tensor (phi3, build_phi3.cpp LLM_FFN_SWIGLU)
+        both = blk["ffn_up"](h, interpret=interpret)
+        gate, up = jnp.split(both, 2, axis=-1)
+    act = L.glu(gate, up, cfg.act).astype(jnp.bfloat16)
     if stats is not None:
         stats[f"blk.{il}.ffn_gate.weight"] = _sumsq(h)
         stats[f"blk.{il}.ffn_up.weight"] = stats[f"blk.{il}.ffn_gate.weight"]
@@ -168,7 +178,7 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 interpret=False, tp_axis=None, stats=None, il=0,
-                kv_ks=None, kv_vs=None):
+                kv_ks=None, kv_vs=None, swa_window=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -177,9 +187,15 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         stats[f"blk.{il}.attn_q.weight"] = _sumsq(x)
         stats[f"blk.{il}.attn_k.weight"] = stats[f"blk.{il}.attn_q.weight"]
         stats[f"blk.{il}.attn_v.weight"] = stats[f"blk.{il}.attn_q.weight"]
-    q = blk["wq"](x, interpret=interpret)
-    k = blk["wk"](x, interpret=interpret)
-    v = blk["wv"](x, interpret=interpret)
+    if "wqkv" in blk:   # fused QKV: one matmul, split activations (phi3)
+        qkv = blk["wqkv"](x, interpret=interpret)
+        q = qkv[..., : h * d]
+        k = qkv[..., h * d: h * d + hkv * d]
+        v = qkv[..., h * d + hkv * d:]
+    else:
+        q = blk["wq"](x, interpret=interpret)
+        k = blk["wk"](x, interpret=interpret)
+        v = blk["wv"](x, interpret=interpret)
     if "attn_q_bias" in blk:
         q = q + blk["attn_q_bias"]
     if "attn_k_bias" in blk:
@@ -215,25 +231,27 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         kv_k = upd(kv_k, k.astype(kv_k.dtype), npv)
         kv_v = upd(kv_v, v.astype(kv_v.dtype), npv)
 
+    if swa_window is None:
+        swa_window = cfg.swa_window
     scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
     kv_len = npv + t
     qb = q.astype(jnp.bfloat16)
     if quant and _use_pallas():
         attn = flash_attention_q8(qb, kv_k, kv_ks, kv_v, kv_vs, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
-                                  swa_window=cfg.swa_window)
+                                  swa_window=swa_window)
     elif quant:
         attn = attend(qb, dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
                       dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
-                      softcap=cfg.attn_softcap, swa_window=cfg.swa_window)
+                      softcap=cfg.attn_softcap, swa_window=swa_window)
     elif _use_pallas():
         attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale,
-                               softcap=cfg.attn_softcap, swa_window=cfg.swa_window)
+                               softcap=cfg.attn_softcap, swa_window=swa_window)
     else:
         attn = attend(qb, kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
-                      swa_window=cfg.swa_window)
+                      swa_window=swa_window)
     attn = attn.reshape(b, t, h * d)
     if stats is not None:
         stats[f"blk.{il}.attn_output.weight"] = _sumsq(attn)
@@ -255,26 +273,40 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     extraction — the analogue of llama_get_embeddings, llama.h)."""
     b, t = tokens.shape
     x = params["tok_embd"][tokens]  # (B, T, E) bf16
+    if cfg.embd_scale > 0:   # gemma input scaling (build_gemma*.cpp inp_scaled)
+        x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
 
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
     q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     rope_dims = cfg.rope_dim or cfg.head_dim
     cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
+    if cfg.rope_freq_base_swa > 0 and cfg.swa_layer_mask:
+        # gemma3: SWA layers rope at their own base (build_gemma3.cpp:42)
+        cos_swa, sin_swa = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base_swa)
+    else:
+        cos_swa, sin_swa = cos, sin
 
     stats = {} if collect_stats else None
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
+        is_swa = cfg.layer_is_swa(i)
         h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
-            blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos, cos, sin, interpret,
+            blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos,
+            cos_swa if is_swa else cos, sin_swa if is_swa else sin, interpret,
             tp_axis=tp_axis, stats=stats, il=i,
             kv_ks=None if kv.k_scale is None else kv.k_scale[i],
-            kv_vs=None if kv.v_scale is None else kv.v_scale[i])
+            kv_vs=None if kv.v_scale is None else kv.v_scale[i],
+            swa_window=cfg.swa_window if is_swa else 0)
+        if "attn_post_norm" in blk:   # gemma2/3 sandwich norm
+            attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         x = x + attn_out.astype(x.dtype)
         h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
         ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
+        if "ffn_post_norm" in blk:
+            ff = L.rms_norm(ff, blk["ffn_post_norm"], cfg.rms_eps)
         x = x + ff.astype(x.dtype)
         new_k.append(k_i)
         new_v.append(v_i)

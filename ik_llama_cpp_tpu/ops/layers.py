@@ -71,8 +71,16 @@ def rope_cache(positions, head_dim: int, freq_base: float = 10000.0,
 
 
 def apply_rope(x, cos, sin, rope_type: int = ROPE_TYPE_NEOX):
-    """x: (..., T, H, D); cos/sin: (..., T, D//2) broadcast over heads."""
+    """x: (..., T, H, D); cos/sin: (..., T, R//2) broadcast over heads.
+
+    When R < D only the first R dims are rotated (partial rotary, e.g.
+    phi3's n_rot < head_dim; ggml_rope_ext semantics)."""
     d = x.shape[-1]
+    rot = cos.shape[-1] * 2
+    if rot < d:
+        xr, xpass = x[..., :rot], x[..., rot:]
+        return jnp.concatenate(
+            [apply_rope(xr, cos, sin, rope_type), xpass], axis=-1)
     half = d // 2
     xf = x.astype(jnp.float32)
     c = cos[..., :, None, :]
@@ -101,6 +109,19 @@ def swiglu(gate, up):
 
 def gelu(x):
     return jax.nn.gelu(x, approximate=True)
+
+
+def glu(gate, up, act: str = "silu"):
+    """Gated FFN activation: act(gate) * up. act per llm_build_ffn's
+    LLM_FFN_SILU / LLM_FFN_GELU(+PAR) / LLM_FFN_RELU_SQR variants."""
+    gf = gate.astype(jnp.float32)
+    if act == "gelu":
+        a = jax.nn.gelu(gf, approximate=True)
+    elif act == "relu2":
+        a = jnp.square(jax.nn.relu(gf))
+    else:
+        a = gf * jax.nn.sigmoid(gf)
+    return a.astype(gate.dtype) * up
 
 
 def softcap(x, cap: float):

@@ -298,3 +298,145 @@ def make_tiny_deepseek2_gguf(
             addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp * n_expert_shared))
     w.write()
     return path
+
+
+def _std_vocab_kv(w, tokens, scores, types):
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+    w.add("tokenizer.ggml.add_bos_token", True)
+
+
+def make_tiny_gemma_gguf(
+    path: str | Path,
+    *,
+    version: int = 2,      # 2 = gemma2 (post-norms, softcaps), 3 = gemma3 (+qk-norm)
+    n_layer: int = 3,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    seed: int = 0,
+) -> Path:
+    """Tiny gemma2/gemma3-architecture GGUF: tied embeddings, sandwich norms,
+    gelu FFN, alternating SWA layers (+ per-layer rope base for gemma3)."""
+    path = Path(path)
+    arch = f"gemma{version}"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", f"tiny-{arch}-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.sliding_window", 32)
+    w.add(f"{arch}.rope.freq_base", 1000000.0 if version == 3 else 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    if version == 2:
+        w.add(f"{arch}.attn_logit_softcapping", 50.0)
+        w.add(f"{arch}.final_logit_softcapping", 30.0)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    # gemma ties lm_head to token_embd: no output.weight tensor
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "attn_post_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_post_norm.weight", np.ones(n_embd, np.float32))
+        if version == 3:
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path
+
+
+def make_tiny_phi3_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    rope_frac: float = 0.5,     # partial rotary: n_rot = rope_frac * head_dim
+    seed: int = 0,
+) -> Path:
+    """Tiny phi3-architecture GGUF: fused attn_qkv, fused gate+up in ffn_up,
+    partial rotary dims."""
+    path = Path(path)
+    arch = "phi3"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    n_rot = int(head_dim * rope_frac)
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-phi3-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", n_rot)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_qkv.weight", randw(n_embd + 2 * kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "ffn_up.weight", randw(2 * n_ff, n_embd))   # fused gate|up
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path
