@@ -84,6 +84,41 @@ class DenseLinear:
                        preferred_element_type=jnp.float32)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LoraLinear:
+    """Low-rank adapted linear: y = base(x) + scale * (x @ a) @ b.
+
+    The runtime analogue of llm_build_lora_mm (src/llama.cpp): LoRA deltas
+    stay separate matmuls so quantized base weights are untouched. a: (K, r),
+    b: (r, N); scale = alpha/rank * user_scale, a traced leaf so adapter
+    rescaling (/lora-adapters) does not recompile."""
+
+    base: Any
+    a: Any
+    b: Any
+    scale: Any
+
+    def tree_flatten(self):
+        return (self.base, self.a, self.b, self.scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    def __call__(self, x, *, interpret: bool = False):
+        y = self.base(x, interpret=interpret)
+        xa = jnp.dot(x.astype(jnp.bfloat16), self.a,
+                     preferred_element_type=jnp.float32)
+        delta = jnp.dot(xa.astype(jnp.bfloat16), self.b,
+                        preferred_element_type=jnp.float32)
+        return y + delta * self.scale
+
+
 _FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
 
 _USE_PALLAS: bool | None = None

@@ -93,6 +93,9 @@ class Server:
         r.add_post("/v1/rerank", self.rerank)
         r.add_post("/infill", self.infill)
         r.add_post("/apply-template", self.apply_template)
+        r.add_get("/lora-adapters", self.lora_list)
+        r.add_post("/lora-adapters", self.lora_set)
+        self.loras: list = []
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
@@ -239,6 +242,23 @@ class Server:
         return web.json_response({"content": text,
                                   "tokens_predicted": len(toks)})
 
+    async def lora_list(self, request):
+        """GET /lora-adapters (server.cpp /lora-adapters)."""
+        return web.json_response([
+            {"id": i, "path": a.path, "scale": a.scale}
+            for i, a in enumerate(self.loras)])
+
+    async def lora_set(self, request):
+        """POST /lora-adapters: [{"id": N, "scale": S}, ...]."""
+        from ..runtime.lora import set_lora_scale
+        body = await request.json()
+        for item in body if isinstance(body, list) else [body]:
+            i = int(item.get("id", 0))
+            if 0 <= i < len(self.loras):
+                set_lora_scale(self.rt.params, float(item.get("scale", 1.0)),
+                               self.loras[i])
+        return await self.lora_list(request)
+
     async def apply_template(self, request):
         """/apply-template: render chat messages through the model's chat
         template without generating (server.cpp /apply-template)."""
@@ -368,12 +388,26 @@ def main(argv=None):
     ap.add_argument("--ctx-size", type=int, default=2048)
     ap.add_argument("--cache-type", choices=["bf16", "q8"], default="bf16",
                     help="KV cache type (-ctk/-ctv analogue)")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
     args = ap.parse_args(argv)
 
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8")
+    loras = []
+    for spec in args.lora:
+        from ..runtime.lora import apply_lora, load_lora_gguf
+        path, _, s = spec.rpartition(":")
+        if path and s.replace(".", "").isdigit():
+            adapter = load_lora_gguf(path)
+            adapter.scale = float(s)
+        else:
+            adapter = load_lora_gguf(spec)
+        apply_lora(rt.params, adapter)
+        loras.append(adapter)
     engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size)
     engine.start()
     srv = Server(engine, model_name=str(args.gguf))
+    srv.loras = loras
     web.run_app(srv.app, host=args.host, port=args.port)
 
 
