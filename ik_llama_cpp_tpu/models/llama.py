@@ -265,7 +265,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
             tp_axis: str | None = None, collect_stats: bool = False,
-            return_hidden: bool = False):
+            return_hidden: bool = False, return_layer_hiddens: bool = False):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
     Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
@@ -287,6 +287,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         cos_swa, sin_swa = cos, sin
 
     stats = {} if collect_stats else None
+    layer_hiddens = []
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         is_swa = cfg.layer_is_swa(i)
@@ -308,6 +309,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         if "ffn_post_norm" in blk:
             ff = L.rms_norm(ff, blk["ffn_post_norm"], cfg.rms_eps)
         x = x + ff.astype(x.dtype)
+        if "cvec" in params:   # control vector (lctx.cvec.apply_to at l_out)
+            x = x + params["cvec"][i].astype(x.dtype)
+        if return_layer_hiddens:
+            layer_hiddens.append(x.astype(jnp.float32))
         new_k.append(k_i)
         new_v.append(v_i)
         new_ks.append(ks_i)
@@ -316,6 +321,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     kv = KVCache(jnp.stack(new_k), jnp.stack(new_v),
                  None if new_ks[0] is None else jnp.stack(new_ks),
                  None if new_vs[0] is None else jnp.stack(new_vs))
+    if return_layer_hiddens:
+        return jnp.stack(layer_hiddens), kv
     x = L.rms_norm(x, params["output_norm"], cfg.rms_eps)
     if return_hidden:
         return x.astype(jnp.float32), kv

@@ -172,6 +172,29 @@ class Runtime:
             e = e / (np.linalg.norm(e) + 1e-12)
         return e
 
+    def layer_hiddens(self, ids: list[int]) -> np.ndarray:
+        """Per-layer hidden states (n_layer, T, E) f32 at each position —
+        feeds the control-vector generator (cvector-generator analogue)."""
+        n = len(ids)
+        b = _bucket(n) if n <= PREFILL_BUCKETS[-1] else n
+        key = ("layers", b)
+        if key not in self._step_fns:
+            fwd = FORWARDS[self.cfg.arch]
+            cfg, interp = self.cfg, self.interpret
+
+            @jax.jit
+            def step(params, tokens, kv, n_past):
+                return fwd(params, cfg, tokens, kv, n_past,
+                           interpret=interp, return_layer_hiddens=True)
+
+            self._step_fns[key] = step
+        kv = self.new_cache(1, max(b + 8, 64))
+        padded = np.zeros((1, b), np.int32)
+        padded[0, :n] = ids
+        hs, _ = self._step_fns[key](self.params, jnp.asarray(padded), kv,
+                                    jnp.int32(0))
+        return np.asarray(hs[:, 0, :n], np.float32)
+
     def all_position_logits(self, ids: list[int], capacity: int = 512) -> np.ndarray:
         kv = self.new_cache(1, capacity)
         logits, _, _ = self.eval_tokens(ids, kv, 0, all_logits=True)
