@@ -140,7 +140,8 @@ def _sumsq(x):
     return jnp.sum(xf * xf, axis=tuple(range(xf.ndim - 1)))
 
 
-def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
+def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
+         ep_axis=None):
     """Dense or MoE feed-forward on (B, T, E) normalized input."""
     b, t, e = h.shape
     if "experts" in blk:
@@ -151,7 +152,7 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
             stats[f"blk.{il}.ffn_gate_inp.weight"] = _sumsq(h)
         y = moe_ffn(h.reshape(-1, e), router, blk["experts"], cfg.n_expert_used,
                     gating=cfg.expert_gating_func, norm_topk=cfg.norm_topk_prob,
-                    scale=cfg.expert_weights_scale)
+                    scale=cfg.expert_weights_scale, ep_axis=ep_axis)
         if "ffn_gate_shexp" in blk:
             g = blk["ffn_gate_shexp"](h, interpret=interpret)
             u = blk["ffn_up_shexp"](h, interpret=interpret)
@@ -264,7 +265,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
-            tp_axis: str | None = None, collect_stats: bool = False,
+            tp_axis: str | None = None, ep_axis: str | None = None,
+            collect_stats: bool = False,
             return_hidden: bool = False, return_layer_hiddens: bool = False):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
@@ -303,7 +305,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         x = x + attn_out.astype(x.dtype)
         h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i)
+        ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
+                  ep_axis=ep_axis)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
         if "ffn_post_norm" in blk:

@@ -66,14 +66,28 @@ jax.tree_util.register_pytree_node(
 
 def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             gating: int = GATING_SOFTMAX, norm_topk: bool = False,
-            scale: float = 1.0, selection_bias=None, activation="silu"):
-    """x: (T, E) -> (T, E) f32. Sorted ragged grouped-GEMM dispatch."""
+            scale: float = 1.0, selection_bias=None, activation="silu",
+            ep_axis: str | None = None):
+    """x: (T, E) -> (T, E) f32. Sorted ragged grouped-GEMM dispatch.
+
+    With ``ep_axis`` (inside shard_map over an expert-sharded mesh) each
+    shard holds a contiguous block of experts: routing runs on the replicated
+    router logits, remote assignments are masked to weight 0, and the partial
+    outputs all-reduce over the expert axis — the whole-expert EP design the
+    reference approximates with -ooae active-expert uploads."""
     t, e = x.shape
-    n_expert = experts.gate.shape[0]
+    n_expert = experts.gate.shape[0]     # local expert count
     k = n_expert_used
 
     w, idx = route(router_logits, k, gating=gating, norm_topk=norm_topk,
                    scale=scale, selection_bias=selection_bias)
+
+    if ep_axis is not None:
+        offset = jax.lax.axis_index(ep_axis).astype(jnp.int32) * n_expert
+        local = idx - offset
+        owned = (local >= 0) & (local < n_expert)
+        idx = jnp.where(owned, local, 0)
+        w = jnp.where(owned, w, 0.0)
 
     flat_ids = idx.reshape(-1)                       # (T*k,)
     order = jnp.argsort(flat_ids)                    # stable
@@ -94,4 +108,7 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
                            preferred_element_type=jnp.float32)  # (T*k, E)
 
     y = y[inv_order].reshape(t, k, e)
-    return jnp.sum(y * w[:, :, None], axis=1)
+    out = jnp.sum(y * w[:, :, None], axis=1)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    return out

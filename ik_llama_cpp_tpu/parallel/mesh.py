@@ -22,21 +22,28 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.weights import QLinear, DenseLinear
+from ..ops.moe import ExpertWeights
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 EXPERT_AXIS = "expert"
 
 
-def make_mesh(shape: tuple[int, int] | None = None, devices=None) -> Mesh:
-    """Create a (data, model) mesh. Default: all devices on the model axis."""
+def make_mesh(shape: tuple[int, ...] | None = None, devices=None) -> Mesh:
+    """Create a (data, model) or (data, expert, model) mesh.
+
+    Default: all devices on the model axis. A 3-tuple (dp, ep, tp) adds the
+    expert axis — whole-expert sharding, the EP extension the reference lacks
+    (its -sm graph only splits intra-expert; llama-load-tensors.cpp:5356)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if shape is None:
         shape = (1, n)
-    assert shape[0] * shape[1] == n, (shape, n)
+    names = (DATA_AXIS, MODEL_AXIS) if len(shape) == 2 else \
+        (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS)
+    assert int(np.prod(shape)) == n, (shape, n)
     arr = mesh_utils.create_device_mesh(shape, devices=devices)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(arr, names)
 
 
 def _linear_spec(kind: str):
@@ -55,9 +62,12 @@ def _linear_spec(kind: str):
 
 # which block weights get which split (mirrors llama-load-tensors.cpp:4507-4545)
 _BLOCK_KINDS = {
-    "wq": "col", "wk": "col", "wv": "col", "wo": "row",
+    "wq": "col", "wk": "col", "wv": "col", "wqkv": "col", "wo": "row",
     "ffn_gate": "col", "ffn_up": "col", "ffn_down": "row",
+    "ffn_gate_shexp": "col", "ffn_up_shexp": "col", "ffn_down_shexp": "row",
+    "ffn_gate_inp": "rep", "ffn_gate_inp_shexp": "rep",
     "attn_norm": "rep", "ffn_norm": "rep",
+    "attn_post_norm": "rep", "ffn_post_norm": "rep",
     "attn_q_norm": "rep", "attn_k_norm": "rep",
     "attn_q_bias": "colv", "attn_k_bias": "colv", "attn_v_bias": "colv",
 }
@@ -66,7 +76,7 @@ _BLOCK_KINDS = {
 def _spec_for_leaf_path(path: str, leaf) -> P:
     parts = path.split(".")
     name = parts[-1]
-    if name in ("tok_embd", "output_norm"):
+    if name in ("tok_embd", "output_norm", "cvec"):
         return P(None) if getattr(leaf, "ndim", 2) == 1 else P(None, None)
     kind = _BLOCK_KINDS.get(name)
     if name == "output":
@@ -74,13 +84,27 @@ def _spec_for_leaf_path(path: str, leaf) -> P:
     if kind is None:
         return P()
     if kind == "rep":
+        if isinstance(leaf, (QLinear, DenseLinear)):
+            return P(None, None)
         return P(None)
     if kind == "colv":  # 1-D bias sharded on its only dim
         return P(MODEL_AXIS)
     return _linear_spec(kind)
 
 
-def param_specs(params: Any) -> Any:
+def _expert_specs(ep: bool):
+    """Specs for stacked ExpertWeights (n_expert, K, N):
+    FF dim on 'model' (intra-expert split, llama-load-tensors.cpp:5356-5368)
+    and, with ep, the expert dim on 'expert' (whole-expert EP extension)."""
+    e_ax = EXPERT_AXIS if ep else None
+    return ExpertWeights(
+        gate=P(e_ax, None, MODEL_AXIS),
+        up=P(e_ax, None, MODEL_AXIS),
+        down=P(e_ax, MODEL_AXIS, None),
+    )
+
+
+def param_specs(params: Any, *, ep: bool = False) -> Any:
     """Build a pytree of PartitionSpecs parallel to a llama params pytree."""
 
     def visit(obj, path):
@@ -88,6 +112,8 @@ def param_specs(params: Any) -> Any:
             return {k: visit(v, f"{path}.{k}" if path else k) for k, v in obj.items()}
         if isinstance(obj, list):
             return [visit(v, path) for v in obj]
+        if isinstance(obj, ExpertWeights):
+            return _expert_specs(ep)
         if isinstance(obj, QLinear):
             spec = _spec_for_leaf_path(path, obj)
             bias_spec = None if obj.bias is None else (
@@ -131,7 +157,7 @@ def pad_output_head(params: Any, tp: int) -> Any:
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """device_put every leaf with its NamedSharding (pads the lm head)."""
     params = pad_output_head(params, mesh.shape[MODEL_AXIS])
-    specs = param_specs(params)
+    specs = param_specs(params, ep=EXPERT_AXIS in mesh.axis_names)
 
     def put(leaf, spec):
         if leaf is None:

@@ -19,7 +19,7 @@ from jax.experimental.shard_map import shard_map
 from ..models import llama as llama_mod
 from ..models.config import ModelConfig
 from ..models.llama import KVCache
-from .mesh import DATA_AXIS, MODEL_AXIS, kv_spec, param_specs
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS, kv_spec, param_specs
 
 
 def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
@@ -35,14 +35,17 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params, *,
     """Build a jitted (params, tokens, kv, n_past) -> (logits, kv) over the mesh.
 
     params are only used for their pytree structure (to derive in_specs).
-    """
+    Meshes with an 'expert' axis additionally run whole-expert EP inside the
+    MoE op (moe_ffn ep_axis)."""
     tp = mesh.shape[MODEL_AXIS]
+    has_ep = EXPERT_AXIS in mesh.axis_names and mesh.shape[EXPERT_AXIS] > 1
     cfg_local = local_config(cfg, tp)
-    pspecs = param_specs(params)
+    pspecs = param_specs(params, ep=EXPERT_AXIS in mesh.axis_names)
 
     def per_shard(params, tokens, kv, n_past):
         return llama_mod.forward(params, cfg_local, tokens, kv, n_past,
                                  tp_axis=MODEL_AXIS,
+                                 ep_axis=EXPERT_AXIS if has_ep else None,
                                  logits_last_only=logits_last_only)
 
     fwd = shard_map(

@@ -64,3 +64,45 @@ def test_tp_decode_step_after_prefill(tiny):
     nxt = jnp.asarray([[int(np.asarray(logits)[0, -1].argmax())]], dtype=jnp.int32)
     logits2, kv = fwd(sparams, nxt, kv, jnp.int32(4))
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_moe(tmp_path_factory):
+    from fixtures import make_tiny_moe_gguf
+    path = make_tiny_moe_gguf(
+        tmp_path_factory.mktemp("moe") / "moe8.gguf",
+        n_layer=2, n_embd=64, n_head=8, n_head_kv=8,
+        n_expert=8, n_expert_used=2, n_ff_exp=64, seed=4)
+    gg = load_gguf(path)
+    cfg = config_from_gguf(gg.metadata)
+    params = llama_mod.load_llama_params(gg, cfg)
+    return cfg, params
+
+
+def _single_device_ref(cfg, params, tokens, kv0):
+    return jax.jit(
+        lambda p, tk, kv: llama_mod.forward(p, cfg, tk, kv, jnp.int32(0))
+    )(params, tokens, kv0)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (1, 2, 4), (1, 4, 2), (2, 2, 2)])
+def test_moe_tp_ep_matches_single_device(tiny_moe, mesh_shape):
+    """MoE under intra-expert TP and whole-expert EP (data, expert, model)
+    must reproduce single-device logits."""
+    cfg, params = tiny_moe
+    dp = mesh_shape[0]
+    mesh = make_mesh(mesh_shape)
+    sparams = shard_params(params, mesh)
+
+    b, t, cap = dp, 8, 32
+    tokens = jnp.asarray(np.random.default_rng(1).integers(3, 250, (b, t), np.int32))
+    kv0 = KVCache.create(cfg, b, cap)
+
+    ref_logits, _ = _single_device_ref(cfg, params, tokens, kv0)
+    fwd = make_tp_forward(cfg, mesh, sparams)
+    got_logits, _ = fwd(sparams, tokens, kv0, jnp.int32(0))
+
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    assert np.array_equal(np.asarray(got_logits).argmax(-1),
+                          np.asarray(ref_logits).argmax(-1))
