@@ -281,9 +281,19 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
     q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     rope_dims = cfg.rope_dim or cfg.head_dim
-    cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
+    # rope scaling (linear / yarn) per ggml_rope_ext semantics: linear scales
+    # positions by 1/factor; yarn additionally ramps extrapolation + mscale
+    freq_scale = (1.0 / cfg.rope_scale_factor
+                  if cfg.rope_scaling in ("linear", "yarn")
+                  and cfg.rope_scale_factor not in (0.0, 1.0) else 1.0)
+    ext_factor = 1.0 if (cfg.rope_scaling == "yarn" and freq_scale != 1.0) else 0.0
+    rope_kw = dict(freq_scale=freq_scale, ext_factor=ext_factor,
+                   attn_factor=cfg.rope_attn_factor or 1.0,
+                   n_ctx_orig=cfg.rope_orig_ctx or cfg.n_ctx_train)
+    cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base, **rope_kw)
     if cfg.rope_freq_base_swa > 0 and cfg.swa_layer_mask:
-        # gemma3: SWA layers rope at their own base (build_gemma3.cpp:42)
+        # gemma3: SWA layers rope at their own base, unscaled
+        # (build_gemma3.cpp:42 freq_base_l/freq_scale_l)
         cos_swa, sin_swa = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base_swa)
     else:
         cos_swa, sin_swa = cos, sin

@@ -85,3 +85,34 @@ def test_phi3_causality(phi3_rt):
 def test_gemma2_generate(gemma2_rt):
     _, out = gemma2_rt.generate("hello", max_new_tokens=4, capacity=64)
     assert len(out) >= 1
+
+
+def test_yarn_rope_scaling(tmp_path):
+    """YaRN metadata must change the rope tables (long-context scaling)."""
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
+    import ik_llama_cpp_tpu.gguf.reader as R
+
+    base = make_tiny_llama_gguf(tmp_path / "base.gguf", seed=11)
+    rt0 = Runtime.from_gguf(base)
+    ids = rt0.tokenizer.encode("a b c d e f g h")
+    plain = rt0.all_position_logits(ids, capacity=64)
+
+    # same weights + yarn scaling metadata
+    gg = R.load_gguf(base)
+    w = GGUFWriter(tmp_path / "yarn.gguf", arch="llama")
+    for k, v in gg.metadata.items():
+        if k != "general.architecture":
+            w.add(k, v)
+    w.add("llama.rope.scaling.type", "yarn")
+    w.add("llama.rope.scaling.factor", 4.0)
+    w.add("llama.rope.scaling.original_context_length", 128)
+    for name, info in gg.tensors.items():
+        w.add_tensor(name, info.data, shape=info.shape, ggml_type=info.ggml_type)
+    w.write()
+
+    rt1 = Runtime.from_gguf(tmp_path / "yarn.gguf")
+    assert rt1.cfg.rope_scaling == "yarn"
+    scaled = rt1.all_position_logits(ids, capacity=64)
+    assert np.all(np.isfinite(scaled))
+    assert np.abs(scaled[-1] - plain[-1]).max() > 1e-4   # scaling took effect
