@@ -56,6 +56,11 @@ class ModelConfig:
     expert_weights_norm: bool = False
     rope_yarn_log_mul: float = 0.0
     rope_attn_factor: float = 1.0
+    # SSM (mamba family)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
     # misc
     f_logit_scale: float = 0.0
     f_attention_scale: float = 0.0
@@ -172,6 +177,10 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         expert_weights_norm=bool(a("expert_weights_norm", False)),
         rope_yarn_log_mul=float(a("rope.scaling.yarn_log_multiplier", 0.0)),
         rope_attn_factor=float(a("rope.scaling.attn_factor", 1.0)),
+        ssm_d_conv=int(a("ssm.conv_kernel", 0)),
+        ssm_d_inner=int(a("ssm.inner_size", 0)),
+        ssm_d_state=int(a("ssm.state_size", 0)),
+        ssm_dt_rank=int(a("ssm.time_step_rank", 0)),
         f_logit_scale=float(a("logit_scale", 0.0)),
         f_attention_scale=f_attn_scale,
         attn_softcap=attn_softcap,

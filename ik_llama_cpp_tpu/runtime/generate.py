@@ -46,6 +46,11 @@ for _a in ("deepseek2", "deepseek4"):
     LOADERS[_a] = ds2_mod.load_deepseek2_params
     CACHES[_a] = lambda cfg, b, cap, quant=False: ds2_mod.make_cache(cfg, b, cap)
 
+from ..models import mamba as mamba_mod  # noqa: E402
+FORWARDS["mamba"] = mamba_mod.forward
+LOADERS["mamba"] = mamba_mod.load_mamba_params
+CACHES["mamba"] = lambda cfg, b, cap, quant=False: mamba_mod.MambaCache.create(cfg, b, cap)
+
 
 @dataclass
 class Runtime:
@@ -70,6 +75,10 @@ class Runtime:
         return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
                    kv_quant=kv_quant)
 
+    @property
+    def recurrent(self) -> bool:
+        return self.cfg.arch in ("mamba",)
+
     # ------------------------------------------------------------------
     def _step(self, chunk: int, last_only: bool):
         key = (chunk, last_only)
@@ -77,10 +86,18 @@ class Runtime:
             fwd = FORWARDS[self.cfg.arch]
             cfg, interp = self.cfg, self.interpret
 
-            @jax.jit
-            def step(params, tokens, kv, n_past):
-                return fwd(params, cfg, tokens, kv, n_past,
-                           interpret=interp, logits_last_only=last_only)
+            if self.recurrent:
+                # recurrent state must not advance past the valid length
+                @jax.jit
+                def step(params, tokens, kv, n_past, n_valid):
+                    return fwd(params, cfg, tokens, kv, n_past,
+                               interpret=interp, logits_last_only=last_only,
+                               n_valid=n_valid)
+            else:
+                @jax.jit
+                def step(params, tokens, kv, n_past, n_valid=None):
+                    return fwd(params, cfg, tokens, kv, n_past,
+                               interpret=interp, logits_last_only=last_only)
 
             self._step_fns[key] = step
         return self._step_fns[key]
@@ -99,7 +116,12 @@ class Runtime:
             padded = np.zeros((1, b), np.int32)
             padded[0, :len(chunk)] = chunk
             step = self._step(b, False)
-            logits, kv_new = step(self.params, jnp.asarray(padded), kv, jnp.int32(n_past))
+            if self.recurrent:
+                logits, kv_new = step(self.params, jnp.asarray(padded), kv,
+                                      jnp.int32(n_past), jnp.int32(len(chunk)))
+            else:
+                logits, kv_new = step(self.params, jnp.asarray(padded), kv,
+                                      jnp.int32(n_past))
             # only the first len(chunk) positions are real; roll back cache writes
             # beyond them by trimming n_past bookkeeping (cache rows past kv_len
             # are ignored by the mask on subsequent steps)

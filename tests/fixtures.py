@@ -440,3 +440,69 @@ def make_tiny_phi3_gguf(
         addw(p + "ffn_down.weight", randw(n_embd, n_ff))
     w.write()
     return path
+
+
+def make_tiny_mamba_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    d_state: int = 16,
+    d_conv: int = 4,
+    seed: int = 0,
+) -> Path:
+    """Tiny mamba-architecture GGUF: ssm_in/conv1d/x/dt/a/d/out tensors,
+    recurrent state (no KV cache)."""
+    path = Path(path)
+    arch = "mamba"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    dt_rank = max(1, n_embd // 16)
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-mamba-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 1 << 20)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", 0)
+    w.add(f"{arch}.attention.head_count", 0)
+    w.add(f"{arch}.attention.head_count_kv", 0)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", d_state)
+    w.add(f"{arch}.ssm.time_step_rank", dt_rank)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "ssm_in.weight", randw(2 * d_inner, n_embd))
+        # conv kernel stored with ne = (d_conv, 1, d_inner) like the converter
+        w.add_tensor(p + "ssm_conv1d.weight",
+                     randw(d_inner, d_conv, scale=0.4).astype(np.float32))
+        w.add_tensor(p + "ssm_conv1d.bias", randw(d_inner).astype(np.float32))
+        addw(p + "ssm_x.weight", randw(dt_rank + 2 * d_state, d_inner))
+        addw(p + "ssm_dt.weight", randw(d_inner, dt_rank))
+        w.add_tensor(p + "ssm_dt.bias", randw(d_inner).astype(np.float32))
+        # A = -exp(A_log) < 0 (decay)
+        a_log = rng.standard_normal((d_inner, d_state)).astype(np.float32) * 0.3
+        w.add_tensor(p + "ssm_a.weight", (-np.exp(a_log)).astype(np.float32))
+        w.add_tensor(p + "ssm_d.weight", np.ones(d_inner, np.float32))
+        addw(p + "ssm_out.weight", randw(n_embd, d_inner))
+    w.write()
+    return path
