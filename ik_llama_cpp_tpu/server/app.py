@@ -14,6 +14,7 @@ import json
 import queue
 import time
 import uuid
+from pathlib import Path
 
 import numpy as np
 from aiohttp import web
@@ -95,7 +96,9 @@ class Server:
         r.add_post("/apply-template", self.apply_template)
         r.add_get("/lora-adapters", self.lora_list)
         r.add_post("/lora-adapters", self.lora_set)
+        r.add_post("/slots/{id}", self.slot_action)
         self.loras: list = []
+        self.slot_save_path = "/tmp"
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
@@ -241,6 +244,30 @@ class Server:
         toks, text = await self._run(ids, body, False)
         return web.json_response({"content": text,
                                   "tokens_predicted": len(toks)})
+
+    async def slot_action(self, request):
+        """POST /slots/{id}?action=save|restore|erase (server.cpp:2162)."""
+        idx = int(request.match_info["id"])
+        if not (0 <= idx < self.engine.n_slots):
+            return web.json_response({"error": "invalid slot id"}, status=400)
+        action = request.query.get("action", "")
+        body = {}
+        try:
+            body = await request.json()
+        except Exception:
+            pass
+        fname = body.get("filename", f"slot{idx}.bin")
+        path = str(Path(self.slot_save_path) / Path(fname).name)
+        loop = asyncio.get_event_loop()
+        if action == "save":
+            r = await loop.run_in_executor(None, self.engine.save_slot, idx, path)
+        elif action == "restore":
+            r = await loop.run_in_executor(None, self.engine.restore_slot, idx, path)
+        elif action == "erase":
+            r = self.engine.erase_slot(idx)
+        else:
+            return web.json_response({"error": "unknown action"}, status=400)
+        return web.json_response(r)
 
     async def lora_list(self, request):
         """GET /lora-adapters (server.cpp /lora-adapters)."""

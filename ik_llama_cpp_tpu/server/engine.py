@@ -49,9 +49,11 @@ class Slot:
     state: SlotState = SlotState.IDLE
     req: Optional[Request] = None
     tokens: list[int] = field(default_factory=list)   # prompt + generated
+    cache_tokens: list[int] = field(default_factory=list)  # tokens with valid KV rows
     n_prompt: int = 0
     n_past: int = 0
     n_decoded: int = 0
+    n_shifts: int = 0
     rng: Any = None
     sampler_state: Any = None
     text: str = ""
@@ -76,6 +78,7 @@ class BatchEngine:
         self._decode_fn = None
         # metrics
         self.n_prompt_tokens_processed = 0
+        self.n_prompt_tokens_cached = 0
         self.n_tokens_predicted = 0
         self.n_requests = 0
 
@@ -137,8 +140,18 @@ class BatchEngine:
             slot.req = req
             slot.tokens = list(req.prompt_ids)[-(self.capacity - req.n_predict - 1):]
             slot.n_prompt = len(slot.tokens)
-            slot.n_past = 0
+            # prompt-cache reuse: skip the common prefix with the slot's
+            # previous contents (update_slots' cache_tokens matching,
+            # server-context.cpp) — at least one token must be re-evaluated
+            prefix = 0
+            for a, b in zip(slot.cache_tokens, slot.tokens):
+                if a != b:
+                    break
+                prefix += 1
+            slot.n_past = min(prefix, slot.n_prompt - 1)
+            self.n_prompt_tokens_cached += slot.n_past
             slot.n_decoded = 0
+            slot.n_shifts = 0
             slot.text = ""
             slot.rng = np.random.default_rng(req.seed)
             slot.sampler_state = SamplerState()
@@ -189,6 +202,7 @@ class BatchEngine:
         if req.stream_queue is not None:
             req.stream_queue.put((int(tok), piece, done))
         if done:
+            slot.cache_tokens = list(slot.tokens)
             slot.state = SlotState.IDLE
             slot.req = None
 
@@ -216,19 +230,73 @@ class BatchEngine:
             for s in gen:
                 s.n_past += 1
                 if s.n_past >= self.capacity - 1:
-                    # out of cache: force-finish (context-shift is a later feature)
-                    if s.req and s.req.stream_queue is not None:
-                        s.req.stream_queue.put((-1, "", True))
-                    s.state = SlotState.IDLE
-                    s.req = None
+                    self._context_shift(s)
                     continue
                 self._emit_token(s, logits_np[s.idx])
+
+    def _context_shift(self, slot: Slot):
+        """Out of cache: keep the prompt head + recent half of the context,
+        re-prefill, and continue — the functional equivalent of the
+        reference's K-shift context shift (llama.cpp:7166 + server
+        context-shift), done TPU-style by re-prefilling into the shape-
+        bucketed graph instead of re-roping cached K in place."""
+        n_keep = min(slot.n_prompt, self.capacity // 4)
+        tail = slot.tokens[n_keep:]
+        kept = slot.tokens[:n_keep] + tail[len(tail) // 2:]
+        slot.tokens = kept
+        slot.n_prompt = len(kept)       # everything kept is "prompt" now
+        slot.cache_tokens = []
+        slot.n_past = 0
+        slot.n_shifts += 1
+        slot.state = SlotState.PREFILL
+
+    # ------------------------------------------------------- slot state IO
+    def save_slot(self, idx: int, path: str) -> dict:
+        """Serialize one slot's cached tokens + KV rows (server
+        /slots/{id}?action=save)."""
+        from ..runtime.state import save_state
+        slot = self.slots[idx]
+        row = KVCache(
+            self.kv.k[:, idx:idx + 1], self.kv.v[:, idx:idx + 1],
+            None if self.kv.k_scale is None else self.kv.k_scale[:, idx:idx + 1],
+            None if self.kv.v_scale is None else self.kv.v_scale[:, idx:idx + 1])
+        n = len(slot.cache_tokens)
+        save_state(path, slot.cache_tokens, n, row)
+        return {"id_slot": idx, "n_saved": n, "filename": str(path)}
+
+    def restore_slot(self, idx: int, path: str) -> dict:
+        """Restore a saved slot state into slot idx (action=restore)."""
+        from ..runtime.state import load_state
+        slot = self.slots[idx]
+        row = KVCache(
+            self.kv.k[:, idx:idx + 1], self.kv.v[:, idx:idx + 1],
+            None if self.kv.k_scale is None else self.kv.k_scale[:, idx:idx + 1],
+            None if self.kv.v_scale is None else self.kv.v_scale[:, idx:idx + 1])
+        tokens, n_past, row = load_state(path, row)
+        import jax
+        k = jax.lax.dynamic_update_slice_in_dim(self.kv.k, row.k, idx, axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(self.kv.v, row.v, idx, axis=1)
+        ks, vs = self.kv.k_scale, self.kv.v_scale
+        if ks is not None and row.k_scale is not None:
+            ks = jax.lax.dynamic_update_slice_in_dim(ks, row.k_scale, idx, axis=1)
+            vs = jax.lax.dynamic_update_slice_in_dim(vs, row.v_scale, idx, axis=1)
+        self.kv = KVCache(k, v, ks, vs)
+        slot.cache_tokens = list(tokens)
+        return {"id_slot": idx, "n_restored": len(tokens), "filename": str(path)}
+
+    def erase_slot(self, idx: int) -> dict:
+        slot = self.slots[idx]
+        n = len(slot.cache_tokens)
+        slot.cache_tokens = []
+        return {"id_slot": idx, "n_erased": n}
 
     # ------------------------------------------------------------- metrics
     def metrics_text(self) -> str:
         lines = [
             "# TYPE llamacpp:prompt_tokens_total counter",
             f"llamacpp:prompt_tokens_total {self.n_prompt_tokens_processed}",
+            "# TYPE llamacpp:prompt_tokens_cached counter",
+            f"llamacpp:prompt_tokens_cached {self.n_prompt_tokens_cached}",
             "# TYPE llamacpp:tokens_predicted_total counter",
             f"llamacpp:tokens_predicted_total {self.n_tokens_predicted}",
             "# TYPE llamacpp:requests_total counter",

@@ -161,3 +161,15 @@ def test_infill_no_fim_tokens(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_slot_save_restore_endpoint(server):
+    # generate something into slot 0 first
+    req(server, "/completion", {"prompt": "persist me", "n_predict": 3,
+                                "temperature": 0})
+    r = req(server, "/slots/0?action=save", {"filename": "t_slot0.bin"})
+    assert r["n_saved"] >= 1
+    r2 = req(server, "/slots/0?action=erase", {})
+    assert r2["n_erased"] >= 1
+    r3 = req(server, "/slots/0?action=restore", {"filename": "t_slot0.bin"})
+    assert r3["n_restored"] == r["n_saved"]
