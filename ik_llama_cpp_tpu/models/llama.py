@@ -106,10 +106,14 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                 blk["ffn_gate"] = load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant)
             blk["ffn_up"] = load_linear(t[p + "ffn_up.weight"], use_quant=use_quant)
             blk["ffn_down"] = load_linear(t[p + "ffn_down.weight"], use_quant=use_quant)
-        for opt in ("attn_q_norm", "attn_k_norm", "attn_post_norm",
-                    "ffn_post_norm"):
+        for opt in ("attn_q_norm", "attn_k_norm"):
             if p + opt + ".weight" in t:
                 blk[opt] = load_dense(t[p + opt + ".weight"])
+        # sandwich norms; canonical GGUF names per llama-model.cpp:467/146
+        for key, name in (("attn_post_norm", "post_attention_norm"),
+                          ("ffn_post_norm", "post_ffw_norm")):
+            if p + name + ".weight" in t:
+                blk[key] = load_dense(t[p + name + ".weight"])
         for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias"):
             if p + opt_b in t:
                 blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])

@@ -370,9 +370,9 @@ def make_tiny_gemma_gguf(
         addw(p + "attn_k.weight", randw(kv_dim, n_embd))
         addw(p + "attn_v.weight", randw(kv_dim, n_embd))
         addw(p + "attn_output.weight", randw(n_embd, n_embd))
-        w.add_tensor(p + "attn_post_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "post_attention_norm.weight", np.ones(n_embd, np.float32))
         w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
-        w.add_tensor(p + "ffn_post_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "post_ffw_norm.weight", np.ones(n_embd, np.float32))
         if version == 3:
             w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
             w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
@@ -415,6 +415,9 @@ def make_tiny_phi3_gguf(
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add(f"{arch}.rope.freq_base", 10000.0)
     w.add(f"{arch}.rope.dimension_count", n_rot)
+    w.add(f"{arch}.attention.sliding_window", 2047)
+    tokens.append("<|endoftext|>"); scores.append(0.0); types.append(3)
+    n_vocab = len(tokens)
     w.add(f"{arch}.vocab_size", n_vocab)
     _std_vocab_kv(w, tokens, scores, types)
 
@@ -501,8 +504,8 @@ def make_tiny_mamba_gguf(
         w.add_tensor(p + "ssm_dt.bias", randw(d_inner).astype(np.float32))
         # A = -exp(A_log) < 0 (decay)
         a_log = rng.standard_normal((d_inner, d_state)).astype(np.float32) * 0.3
-        w.add_tensor(p + "ssm_a.weight", (-np.exp(a_log)).astype(np.float32))
-        w.add_tensor(p + "ssm_d.weight", np.ones(d_inner, np.float32))
+        w.add_tensor(p + "ssm_a", (-np.exp(a_log)).astype(np.float32))
+        w.add_tensor(p + "ssm_d", np.ones(d_inner, np.float32))
         addw(p + "ssm_out.weight", randw(n_embd, d_inner))
     w.write()
     return path

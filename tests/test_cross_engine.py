@@ -163,3 +163,56 @@ def test_mla_logit_parity_deepseek2(tmp_path):
     agree = (got[:n].argmax(-1) == ref[:n].argmax(-1)).mean()
     assert l1.max() < 0.12, f"max L1 prob distance {l1.max():.4f}"
     assert agree >= 0.9, f"argmax agreement {agree:.2%}"
+
+
+def _softmax_np(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _parity_check(model, prompt, tol, n_gen=6):
+    p_ids, g_ids, ref = ref_logits(model, prompt, n_gen=n_gen)
+    rt = Runtime.from_gguf(model)
+    ours = rt.tokenizer.encode(prompt)
+    assert ours == list(p_ids), "tokenization mismatch vs reference"
+    seq = list(p_ids) + list(g_ids)
+    got = rt.all_position_logits(seq)
+    ps, pr = _softmax_np(got), _softmax_np(ref)
+    l1 = np.abs(ps - pr).sum(axis=-1)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert l1.max() < tol, f"max L1 prob distance {l1.max():.4f}"
+    assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"
+
+
+@needs_ref
+@pytest.mark.parametrize("version,n_layer", [(2, 26), (3, 6)])
+def test_gemma_logit_parity(tmp_path, version, n_layer):
+    """gemma2/gemma3 vs reference: sandwich norms, softcaps, SWA pattern,
+    per-layer rope base (build_gemma2.cpp / build_gemma3.cpp).
+
+    gemma2 must use a real layer count (26 = 2B): build_gemma2.cpp aborts on
+    MODEL_UNKNOWN in its Q-scale switch. gemma3 needs >=1 non-SWA layer or
+    the reference leaves the global KQ mask unallocated and asserts."""
+    from fixtures import make_tiny_gemma_gguf
+    model = make_tiny_gemma_gguf(tmp_path / f"g{version}.gguf", version=version,
+                                 n_layer=n_layer, seed=6)
+    _parity_check(model, "Hello world, this is a test", 0.15)
+
+
+@needs_ref
+def test_phi3_logit_parity(tmp_path):
+    """phi3 vs reference: fused qkv, fused gate+up, partial rotary."""
+    from fixtures import make_tiny_phi3_gguf
+    model = make_tiny_phi3_gguf(tmp_path / "p3.gguf", seed=6)
+    _parity_check(model, "Hello world, this is a test", 0.15)
+
+
+@pytest.mark.skip(reason="reference fork's mamba is broken: kv-cache k "
+                  "tensor allocated as (n_embd_head_k, n_head_kv*kv_size) "
+                  "ignoring n_embd_k_s (llama.cpp:1510), so with mamba's "
+                  "n_head_kv=0 build_mamba's conv-state reshape asserts "
+                  "(ggml.c:8605). Our implementation follows the documented "
+                  "ssm_conv/ssm_scan math (tests/test_mamba.py).")
+def test_mamba_logit_parity(tmp_path):
+    pass
