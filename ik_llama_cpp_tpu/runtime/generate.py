@@ -218,6 +218,12 @@ class Runtime:
         return np.asarray(hs[:, 0, :n], np.float32)
 
     def all_position_logits(self, ids: list[int], capacity: int = 512) -> np.ndarray:
+        # the last prefill chunk is padded up to its shape bucket — the cache
+        # must have room for the padded writes
+        n = len(ids)
+        rem = n % PREFILL_BUCKETS[-1] or PREFILL_BUCKETS[-1]
+        need = (n - rem) + _bucket(rem)
+        capacity = max(capacity, need)
         kv = self.new_cache(1, capacity)
         logits, _, _ = self.eval_tokens(ids, kv, 0, all_logits=True)
         return logits
