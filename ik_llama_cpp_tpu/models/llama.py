@@ -271,14 +271,20 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
             tp_axis: str | None = None, ep_axis: str | None = None,
             collect_stats: bool = False,
-            return_hidden: bool = False, return_layer_hiddens: bool = False):
+            return_hidden: bool = False, return_layer_hiddens: bool = False,
+            inputs_embeds=None):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
     Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
     hidden states (B, T, E) f32 are returned instead of logits (embedding
-    extraction — the analogue of llama_get_embeddings, llama.h)."""
+    extraction — the analogue of llama_get_embeddings, llama.h).
+    ``inputs_embeds`` (B, T, E) replaces the token-embedding lookup — the
+    llama_batch.embd input path used for multimodal image tokens."""
     b, t = tokens.shape
-    x = params["tok_embd"][tokens]  # (B, T, E) bf16
+    if inputs_embeds is not None:
+        x = inputs_embeds.astype(jnp.bfloat16)
+    else:
+        x = params["tok_embd"][tokens]  # (B, T, E) bf16
     if cfg.embd_scale > 0:   # gemma input scaling (build_gemma*.cpp inp_scaled)
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
 

@@ -98,6 +98,8 @@ class Server:
         r.add_post("/lora-adapters", self.lora_set)
         r.add_post("/slots/{id}", self.slot_action)
         self.loras: list = []
+        self.clip = None            # ClipEncoder when --mmproj given
+        self._mm_lock = asyncio.Lock()
         self.slot_save_path = "/tmp"
 
     # ------------------------------------------------------------ helpers
@@ -348,10 +350,46 @@ class Server:
                       "total_tokens": len(ids) + len(toks)},
         })
 
+    def _extract_images(self, messages: list[dict]):
+        """Replace image_url content parts with <__image__> markers; returns
+        (messages, decoded images). Accepts base64 data URLs (the server's
+        /v1/chat/completions image_url path, examples/mtmd)."""
+        import base64
+        import io
+        images = []
+        out_msgs = []
+        for m in messages:
+            c = m.get("content")
+            if not isinstance(c, list):
+                out_msgs.append(m)
+                continue
+            text_parts = []
+            for part in c:
+                if not isinstance(part, dict):
+                    continue
+                if part.get("type") == "image_url":
+                    url = part.get("image_url", {})
+                    url = url.get("url", url) if isinstance(url, dict) else url
+                    if isinstance(url, str) and url.startswith("data:"):
+                        b64 = url.split(",", 1)[1]
+                        from PIL import Image
+                        images.append(Image.open(io.BytesIO(
+                            base64.b64decode(b64))))
+                        text_parts.append("<__image__>")
+                else:
+                    text_parts.append(part.get("text", ""))
+            out_msgs.append({**m, "content": "".join(text_parts)})
+        return out_msgs, images
+
     async def oai_chat(self, request):
         body = await request.json()
-        prompt = self._chat_prompt(body.get("messages", []),
-                                   tools=body.get("tools"))
+        messages = body.get("messages", [])
+        images = []
+        if self.clip is not None:
+            messages, images = self._extract_images(messages)
+        if images:
+            return await self._chat_multimodal(body, messages, images)
+        prompt = self._chat_prompt(messages, tools=body.get("tools"))
         ids = self.rt.tokenizer.encode(prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         if body.get("stream"):
@@ -388,6 +426,38 @@ class Server:
                       "total_tokens": len(ids) + len(toks)},
         })
 
+    async def _chat_multimodal(self, body, messages, images):
+        """Image-bearing chat: runs the mtmd path (vision encode + embedding
+        splice) outside the batch engine, serialized by a lock."""
+        from ..runtime.mtmd import generate_mm
+        from ..runtime.sampling import SamplerParams
+        prompt = self._chat_prompt(messages)
+        sampler = _sampler_from(body)
+        n_predict = int(body.get("n_predict", body.get("max_tokens", 128)))
+        loop = asyncio.get_event_loop()
+        async with self._mm_lock:
+            n_prompt, out = await loop.run_in_executor(
+                None, lambda: generate_mm(
+                    self.rt, prompt, images, self.clip,
+                    max_new_tokens=n_predict, sampler=sampler,
+                    seed=int(body.get("seed", 0)),
+                    capacity=self.engine.capacity))
+        text = self.rt.tokenizer.decode(
+            [t for t in out if t != self.rt.tokenizer.eos_id])
+        reasoning, content = split_reasoning(text)
+        message = {"role": "assistant", "content": content}
+        if reasoning:
+            message["reasoning_content"] = reasoning
+        return web.json_response({
+            "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
+            "object": "chat.completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{"index": 0, "message": message,
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": n_prompt, "completion_tokens": len(out),
+                      "total_tokens": n_prompt + len(out)},
+        })
+
     async def anthropic_messages(self, request):
         body = await request.json()
         messages = body.get("messages", [])
@@ -417,6 +487,7 @@ def main(argv=None):
                     help="KV cache type (-ctk/-ctv analogue)")
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
+    ap.add_argument("--mmproj", help="CLIP mmproj GGUF for image input")
     args = ap.parse_args(argv)
 
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8")
@@ -435,6 +506,9 @@ def main(argv=None):
     engine.start()
     srv = Server(engine, model_name=str(args.gguf))
     srv.loras = loras
+    if args.mmproj:
+        from ..models.clip import ClipEncoder
+        srv.clip = ClipEncoder(args.mmproj)
     web.run_app(srv.app, host=args.host, port=args.port)
 
 

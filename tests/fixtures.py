@@ -509,3 +509,65 @@ def make_tiny_mamba_gguf(
         addw(p + "ssm_out.weight", randw(n_embd, d_inner))
     w.write()
     return path
+
+
+def make_tiny_mmproj_gguf(
+    path: str | Path,
+    *,
+    n_embd_text: int = 64,
+    n_embd: int = 32,
+    n_head: int = 4,
+    n_ff: int = 64,
+    n_layer: int = 2,
+    image_size: int = 28,
+    patch_size: int = 14,
+    seed: int = 0,
+) -> Path:
+    """Tiny CLIP mmproj GGUF (llava-style MLP projector)."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, arch="clip")
+    w.add("clip.has_vision_encoder", True)
+    w.add("clip.projector_type", "mlp")
+    w.add("clip.vision.image_size", image_size)
+    w.add("clip.vision.patch_size", patch_size)
+    w.add("clip.vision.embedding_length", n_embd)
+    w.add("clip.vision.feed_forward_length", n_ff)
+    w.add("clip.vision.block_count", n_layer)
+    w.add("clip.vision.attention.head_count", n_head)
+    w.add("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add("clip.vision.projection_dim", n_embd_text)
+    w.add("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_pos = (image_size // patch_size) ** 2 + 1
+    w.add_tensor("v.patch_embd.weight",
+                 randw(n_embd, 3 * patch_size * patch_size).reshape(
+                     n_embd, 3, patch_size, patch_size))
+    w.add_tensor("v.patch_embd.bias", randw(n_embd))
+    w.add_tensor("v.class_embd", randw(n_embd))
+    w.add_tensor("v.position_embd.weight", randw(n_pos, n_embd))
+    w.add_tensor("v.pre_ln.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("v.pre_ln.bias", np.zeros(n_embd, np.float32))
+    w.add_tensor("v.post_ln.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("v.post_ln.bias", np.zeros(n_embd, np.float32))
+    for i in range(n_layer):
+        p = f"v.blk.{i}."
+        for tn, shape in (("attn_q", (n_embd, n_embd)), ("attn_k", (n_embd, n_embd)),
+                          ("attn_v", (n_embd, n_embd)), ("attn_out", (n_embd, n_embd)),
+                          ("ffn_up", (n_ff, n_embd)), ("ffn_down", (n_embd, n_ff))):
+            w.add_tensor(p + tn + ".weight", randw(*shape))
+            w.add_tensor(p + tn + ".bias", np.zeros(shape[0], np.float32))
+        for ln in ("ln1", "ln2"):
+            w.add_tensor(p + ln + ".weight", np.ones(n_embd, np.float32))
+            w.add_tensor(p + ln + ".bias", np.zeros(n_embd, np.float32))
+    w.add_tensor("mm.0.weight", randw(n_embd_text, n_embd))
+    w.add_tensor("mm.0.bias", np.zeros(n_embd_text, np.float32))
+    w.add_tensor("mm.2.weight", randw(n_embd_text, n_embd_text))
+    w.add_tensor("mm.2.bias", np.zeros(n_embd_text, np.float32))
+    w.write()
+    return path
