@@ -23,9 +23,16 @@ from ..quant.quantize import quantize
 ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
+    "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen3MoeForCausalLM": "qwen3moe",
+    "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
+    "Gemma3ForConditionalGeneration": "gemma3",
+    "Phi3ForCausalLM": "phi3",
+    "MambaForCausalLM": "mamba",
+    "MambaLMHeadModel": "mamba",
 }
 
 # HF name template -> GGUF name template
@@ -48,6 +55,39 @@ NAME_MAP = [
     ("model.layers.{i}.mlp.up_proj.weight", "blk.{i}.ffn_up.weight"),
     ("model.layers.{i}.mlp.down_proj.weight", "blk.{i}.ffn_down.weight"),
     ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+    # phi3 fused projections
+    ("model.layers.{i}.self_attn.qkv_proj.weight", "blk.{i}.attn_qkv.weight"),
+    ("model.layers.{i}.mlp.gate_up_proj.weight", "blk.{i}.ffn_up.weight"),
+]
+
+# gemma2/3 sandwich norms: HF's post_attention_layernorm is the POST-attn
+# norm (not ffn_norm as in llama); pre_feedforward_layernorm is ffn_norm
+GEMMA_NORM_MAP = [
+    ("model.layers.{i}.input_layernorm.weight", "blk.{i}.attn_norm.weight"),
+    ("model.layers.{i}.post_attention_layernorm.weight",
+     "blk.{i}.post_attention_norm.weight"),
+    ("model.layers.{i}.pre_feedforward_layernorm.weight",
+     "blk.{i}.ffn_norm.weight"),
+    ("model.layers.{i}.post_feedforward_layernorm.weight",
+     "blk.{i}.post_ffw_norm.weight"),
+]
+
+# mamba (HF backbone.* naming; tensor names per llama-model.cpp SSM entries)
+MAMBA_NAME_MAP = [
+    ("backbone.embeddings.weight", "token_embd.weight"),
+    ("backbone.embedding.weight", "token_embd.weight"),
+    ("backbone.norm_f.weight", "output_norm.weight"),
+    ("lm_head.weight", "output.weight"),
+    ("backbone.layers.{i}.norm.weight", "blk.{i}.attn_norm.weight"),
+    ("backbone.layers.{i}.mixer.in_proj.weight", "blk.{i}.ssm_in.weight"),
+    ("backbone.layers.{i}.mixer.conv1d.weight", "blk.{i}.ssm_conv1d.weight"),
+    ("backbone.layers.{i}.mixer.conv1d.bias", "blk.{i}.ssm_conv1d.bias"),
+    ("backbone.layers.{i}.mixer.x_proj.weight", "blk.{i}.ssm_x.weight"),
+    ("backbone.layers.{i}.mixer.dt_proj.weight", "blk.{i}.ssm_dt.weight"),
+    ("backbone.layers.{i}.mixer.dt_proj.bias", "blk.{i}.ssm_dt.bias"),
+    ("backbone.layers.{i}.mixer.A_log", "blk.{i}.ssm_a"),
+    ("backbone.layers.{i}.mixer.D", "blk.{i}.ssm_d"),
+    ("backbone.layers.{i}.mixer.out_proj.weight", "blk.{i}.ssm_out.weight"),
 ]
 
 
@@ -103,13 +143,35 @@ def vocab_from_tokenizer_json(hf_dir: Path):
     return tokens, types, merges
 
 
+def _write_fallback_vocab(w: GGUFWriter, n_vocab: int) -> None:
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]
+    for b in range(min(256, n_vocab - 3)):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(6)
+    while len(tokens) < n_vocab:
+        tokens.append(f"<unused{len(tokens)}>")
+        types.append(5)
+    tokens = tokens[:n_vocab]
+    types = types[:n_vocab]
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray([0.0] * len(tokens), np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+
+
 def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     hf_dir = Path(hf_dir)
     cfg = json.loads((hf_dir / "config.json").read_text())
+    if "text_config" in cfg:    # gemma3 conditional-generation wrapper
+        cfg = {**cfg, **cfg["text_config"]}
     hf_arch = cfg.get("architectures", ["LlamaForCausalLM"])[0]
     arch = ARCH_MAP.get(hf_arch)
     if arch is None:
         raise NotImplementedError(f"unsupported HF architecture {hf_arch}")
+    if arch == "mamba":
+        return _convert_mamba(hf_dir, cfg, out_path)
 
     n_layer = cfg["num_hidden_layers"]
     n_head = cfg["num_attention_heads"]
@@ -117,6 +179,7 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     n_embd = cfg["hidden_size"]
     head_dim = cfg.get("head_dim", n_embd // n_head)
     permute = arch == "llama"  # NORM-rope archs need the q/k permute
+    is_gemma = arch in ("gemma", "gemma2", "gemma3")
 
     w = GGUFWriter(out_path, arch=arch)
     w.add("general.name", hf_dir.name)
@@ -128,10 +191,25 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     w.add(f"{arch}.attention.head_count_kv", n_kv)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.get("rms_norm_eps", 1e-5))
     w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
-    w.add(f"{arch}.rope.dimension_count", head_dim)
-    if head_dim != n_embd // n_head:
+    if arch == "phi3":
+        rot = int(head_dim * cfg.get("partial_rotary_factor", 1.0))
+        w.add(f"{arch}.rope.dimension_count", rot)
+        w.add(f"{arch}.attention.sliding_window",
+              int(cfg.get("sliding_window") or 0) or 262144)
+    else:
+        w.add(f"{arch}.rope.dimension_count", head_dim)
+    if head_dim != n_embd // n_head or is_gemma:
         w.add(f"{arch}.attention.key_length", head_dim)
         w.add(f"{arch}.attention.value_length", head_dim)
+    if is_gemma:
+        if cfg.get("sliding_window"):
+            w.add(f"{arch}.attention.sliding_window", int(cfg["sliding_window"]))
+        if cfg.get("attn_logit_softcapping"):
+            w.add(f"{arch}.attn_logit_softcapping",
+                  float(cfg["attn_logit_softcapping"]))
+        if cfg.get("final_logit_softcapping"):
+            w.add(f"{arch}.final_logit_softcapping",
+                  float(cfg["final_logit_softcapping"]))
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
     rs = cfg.get("rope_scaling") or {}
     if rs.get("rope_type") in ("yarn",) or rs.get("type") == "yarn":
@@ -152,23 +230,7 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     else:
         print("warning: no BPE tokenizer.json found; writing byte-fallback vocab",
               file=sys.stderr)
-        n_vocab = cfg["vocab_size"]
-        tokens = ["<unk>", "<s>", "</s>"]
-        types = [2, 3, 3]
-        for b in range(min(256, n_vocab - 3)):
-            tokens.append(f"<0x{b:02X}>")
-            types.append(6)
-        while len(tokens) < n_vocab:
-            tokens.append(f"<unused{len(tokens)}>")
-            types.append(5)
-        tokens = tokens[:n_vocab]
-        types = types[:n_vocab]
-        scores = [0.0] * len(tokens)
-        w.add("tokenizer.ggml.model", "llama")
-        w.add("tokenizer.ggml.tokens", tokens)
-        w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
-        w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
-        w.add("tokenizer.ggml.unknown_token_id", 0)
+        _write_fallback_vocab(w, cfg["vocab_size"])
     for key, hf_key in (("bos_token_id", "bos_token_id"),
                         ("eos_token_id", "eos_token_id")):
         if cfg.get(hf_key) is not None:
@@ -197,8 +259,17 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
             w.add_tensor(gname, quantize(arr.reshape(-1, arr.shape[-1]), t),
                          shape=tuple(reversed(arr.shape)), ggml_type=t)
 
+    name_map = list(NAME_MAP)
+    if is_gemma:
+        # gemma's norm-name semantics differ; drop the llama-family norm rows
+        name_map = [(h, g) for h, g in name_map if "layernorm" not in h]
+        name_map += GEMMA_NORM_MAP
+        # strip the conditional-generation prefix (language_model.*)
+        tensors = {k.removeprefix("language_model."): v
+                   for k, v in tensors.items()}
+
     emitted = set()
-    for hf_tpl, gg_tpl in NAME_MAP:
+    for hf_tpl, gg_tpl in name_map:
         if "{i}" in hf_tpl:
             for i in range(n_layer):
                 hf_name = hf_tpl.format(i=i)
@@ -209,10 +280,16 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
                     arr = permute_rotary(arr, n_head)
                 elif permute and hf_name.endswith(("k_proj.weight", "k_proj.bias")):
                     arr = permute_rotary(arr, n_kv)
+                if is_gemma and "norm" in gg_tpl:
+                    # gemma stores norm weights as (w - 1): GGUF keeps w
+                    arr = np.asarray(arr, np.float32) + 1.0
                 emit(gg_tpl.format(i=i), arr)
                 emitted.add(hf_name)
         elif hf_tpl in tensors:
-            emit(gg_tpl, tensors[hf_tpl])
+            arr = tensors[hf_tpl]
+            if is_gemma and "norm" in gg_tpl:
+                arr = np.asarray(arr, np.float32) + 1.0
+            emit(gg_tpl, arr)
             emitted.add(hf_tpl)
 
     # MoE stacked experts (qwen3moe): experts.N.{gate,up,down}_proj -> 3-D
@@ -236,6 +313,65 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     if skipped:
         print(f"warning: {len(skipped)} unmapped tensors, e.g. {skipped[:4]}",
               file=sys.stderr)
+    w.write()
+    return Path(out_path)
+
+
+def _convert_mamba(hf_dir: Path, cfg: dict, out_path) -> Path:
+    """Mamba converter (convert_hf_to_gguf.py MambaModel): A_log -> -exp(A),
+    conv1d kept 3-D, head_count 0, ssm.* metadata."""
+    d_model = cfg.get("hidden_size", cfg.get("d_model"))
+    d_conv = cfg.get("conv_kernel", cfg.get("d_conv", 4))
+    d_inner = cfg.get("intermediate_size", cfg.get("d_inner")) or 2 * d_model
+    d_state = cfg.get("state_size", cfg.get("d_state", 16))
+    dt_rank = cfg.get("time_step_rank", cfg.get("dt_rank")) or -(d_model // -16)
+    n_layer = cfg.get("num_hidden_layers", cfg.get("n_layer"))
+
+    w = GGUFWriter(out_path, arch="mamba")
+    w.add("general.name", hf_dir.name)
+    w.add("mamba.block_count", n_layer)
+    w.add("mamba.context_length", 1 << 20)
+    w.add("mamba.embedding_length", d_model)
+    w.add("mamba.feed_forward_length", 0)
+    w.add("mamba.attention.head_count", 0)
+    w.add("mamba.attention.layer_norm_rms_epsilon",
+          cfg.get("layer_norm_epsilon", 1e-5))
+    w.add("mamba.ssm.conv_kernel", d_conv)
+    w.add("mamba.ssm.inner_size", d_inner)
+    w.add("mamba.ssm.state_size", d_state)
+    w.add("mamba.ssm.time_step_rank", int(dt_rank))
+    w.add("mamba.vocab_size", cfg["vocab_size"])
+    vocab = vocab_from_tokenizer_json(hf_dir)
+    if vocab is not None:
+        tokens, types, merges = vocab
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+        w.add("tokenizer.ggml.merges", merges)
+    else:
+        _write_fallback_vocab(w, cfg["vocab_size"])
+    for key in ("bos_token_id", "eos_token_id"):
+        if cfg.get(key) is not None:
+            w.add(f"tokenizer.ggml.{key}", int(cfg[key]))
+
+    tensors = load_hf_tensors(hf_dir)
+    emitted = set()
+    for hf_tpl, gg_tpl in MAMBA_NAME_MAP:
+        if "{i}" in hf_tpl:
+            for i in range(n_layer):
+                hf_name = hf_tpl.format(i=i)
+                if hf_name not in tensors:
+                    continue
+                arr = np.asarray(tensors[hf_name], np.float32)
+                if hf_name.endswith("A_log"):
+                    arr = -np.exp(arr)
+                if hf_name.endswith("conv1d.weight"):
+                    arr = arr.reshape(d_inner, d_conv)
+                w.add_tensor(gg_tpl.format(i=i), arr)
+                emitted.add(hf_name)
+        elif hf_tpl in tensors:
+            w.add_tensor(gg_tpl, np.asarray(tensors[hf_tpl], np.float32))
+            emitted.add(hf_tpl)
     w.write()
     return Path(out_path)
 

@@ -66,3 +66,56 @@ def test_reference_engine_reads_converted_file(hf_model, tmp_path):
     r = subprocess.run(["/tmp/gen_logits", str(out), str(tmp_path / "o.bin"),
                         "Hi", "2"], env=env, capture_output=True)
     assert r.returncode == 0, r.stderr.decode()[-600:]
+
+
+def _sm(x):
+    x = np.asarray(x, np.float64)
+    x = x - x.max(-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(-1, keepdims=True)
+
+
+def _convert_parity(hf_cfg_cls, hf_model_cls, tmp_path, name, ids=None,
+                    tol=0.15, **cfg_kw):
+    d = tmp_path / name
+    cfg = hf_cfg_cls(**cfg_kw)
+    torch.manual_seed(0)
+    model = hf_model_cls(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / f"{name}.gguf"
+    convert(d, out, outtype="f32")
+    ids = ids or [1, 17, 42, 99, 7, 250, 3]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].float().numpy()
+    rt = Runtime.from_gguf(out)
+    ours = rt.all_position_logits(ids)
+    l1 = np.abs(_sm(ours) - _sm(hf_logits)).sum(-1)
+    agree = (ours.argmax(-1) == hf_logits.argmax(-1)).mean()
+    assert l1.max() < tol, f"{name}: max L1 {l1.max():.4f}"
+    assert agree >= 0.85, f"{name}: argmax agree {agree:.2%}"
+
+
+def test_convert_gemma2(tmp_path):
+    _convert_parity(
+        transformers.Gemma2Config, transformers.Gemma2ForCausalLM, tmp_path,
+        "tiny-gemma2", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, rms_norm_eps=1e-5,
+        sliding_window=64, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, tie_word_embeddings=True)
+
+
+def test_convert_phi3(tmp_path):
+    _convert_parity(
+        transformers.Phi3Config, transformers.Phi3ForCausalLM, tmp_path,
+        "tiny-phi3", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2, tie_word_embeddings=False)
+
+
+def test_convert_mamba(tmp_path):
+    _convert_parity(
+        transformers.MambaConfig, transformers.MambaForCausalLM, tmp_path,
+        "tiny-mamba", vocab_size=256, hidden_size=64, state_size=16,
+        num_hidden_layers=2, conv_kernel=4, expand=2, use_cache=False)
