@@ -56,6 +56,58 @@ class NgramDraft:
         return []
 
 
+class NgramMapDraft:
+    """Frequency-weighted n-gram map drafting — the reference's ngram-map-k
+    stage (common/ngram-map.cpp): maintains counts of what followed each
+    n-gram and proposes the historically most frequent continuation chain."""
+
+    def __init__(self, n: int = 3):
+        self.n = n
+        self.counts: dict[tuple, dict[int, int]] = {}
+        self._fed = 0
+
+    def update(self, tokens: list[int]):
+        n = self.n
+        for i in range(max(self._fed - n, 0), len(tokens) - n):
+            key = tuple(tokens[i:i + n])
+            nxt = tokens[i + n]
+            d = self.counts.setdefault(key, {})
+            d[nxt] = d.get(nxt, 0) + 1
+        self._fed = len(tokens)
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        self.update(tokens)
+        out: list[int] = []
+        seq = list(tokens)
+        for _ in range(n_draft):
+            key = tuple(seq[-self.n:])
+            d = self.counts.get(key)
+            if not d:
+                break
+            nxt = max(d, key=d.get)
+            out.append(nxt)
+            seq.append(nxt)
+        return out
+
+
+def autotune_n_draft(target: Runtime, prompt, *, candidates=(4, 8, 16),
+                     n_tokens: int = 32, draft: Optional[Runtime] = None,
+                     seed: int = 0):
+    """--spec-autotune analogue (common/spec-tuner.cpp): time each n_draft
+    on a short probe generation and return (best_n, {n: tok_per_s})."""
+    import time
+    results = {}
+    for n in candidates:
+        t0 = time.perf_counter()
+        _, out, _ = generate_speculative(target, prompt, n_tokens, draft=draft,
+                                         n_draft=n, seed=seed,
+                                         stop_at_eos=False)
+        dt = time.perf_counter() - t0
+        results[n] = len(out) / dt
+    best = max(results, key=results.get)
+    return best, results
+
+
 def generate_speculative(
     target: Runtime,
     prompt,
@@ -67,6 +119,7 @@ def generate_speculative(
     seed: int = 0,
     capacity: int = 1024,
     stop_at_eos: bool = True,
+    stage: str = "ngram",      # self-spec stage when draft is None: ngram | ngram-map
 ):
     """Returns (prompt_ids, generated_ids, SpecStats)."""
     sampler = sampler or SamplerParams(temp=0.0)
@@ -76,7 +129,7 @@ def generate_speculative(
 
     kv = target.new_cache(1, capacity)
     logits, kv, n_past = target.eval_tokens(ids, kv, 0)
-    ngram = NgramDraft()
+    ngram = NgramMapDraft() if stage == "ngram-map" else NgramDraft()
 
     d_kv = d_n_past = None
     if draft is not None:

@@ -39,3 +39,30 @@ def test_ngram_proposer():
     toks = [1, 2, 3, 4, 1, 2]
     assert ng.propose(toks, 2) == [3, 4]
     assert ng.propose([1, 2, 3], 2) == []
+
+
+def test_ngram_map_draft_proposes_frequent():
+    from ik_llama_cpp_tpu.runtime.speculative import NgramMapDraft
+    d = NgramMapDraft(n=2)
+    # "1 2 3" seen twice, "1 2 9" once -> after (1, 2) propose 3
+    seq = [1, 2, 3, 5, 1, 2, 3, 5, 1, 2, 9, 5, 1, 2]
+    prop = d.propose(seq, 2)
+    assert prop[:1] == [3]
+
+
+def test_ngram_map_stage_end_to_end(rt):
+    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
+    prompt = "the cat sat on the mat. the cat sat on the mat. the cat"
+    _, out, stats = generate_speculative(rt, prompt, 24, stage="ngram-map",
+                                         stop_at_eos=False)
+    assert len(out) == 24
+    # greedy equivalence with plain decode
+    _, ref = rt.generate(prompt, max_new_tokens=24, stop_at_eos=False)
+    assert out == ref
+
+
+def test_autotune(rt):
+    from ik_llama_cpp_tpu.runtime.speculative import autotune_n_draft
+    best, res = autotune_n_draft(rt, "a b c a b c a b", candidates=(2, 4),
+                                 n_tokens=8)
+    assert best in (2, 4) and len(res) == 2
