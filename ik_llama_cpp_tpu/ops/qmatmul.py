@@ -101,9 +101,9 @@ def qmatmul(
     bias=None,
     *,
     group: int = 32,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ):
     """Fused dequant-matmul: (M, K) x int8 (K, N) -> f32 (M, N).
