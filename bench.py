@@ -148,6 +148,77 @@ def main():
     t_fw = max(t_all - floor, 1e-6) / R
     pp_tps = T / t_fw
 
+    # ---- TG: on-device greedy decode loop over a warm KV cache ----------
+    S = 1024          # cache capacity; decode starts at n_past = 512
+    R_TG = 32 if on_tpu else 4
+
+    @jax.jit
+    def decode_r(w, kv_k, kv_v, tok0):
+        lws = (w["wq"], w["wkv"], w["wo"], w["wgu"], w["wd"],
+               w["norm1"], w["norm2"])
+
+        def step(carry, r):
+            tok, kk, vv, n_past = carry
+            pos = n_past[None, None]                       # (1,1)
+            cos, sin = L.rope_cache(pos, D, 500000.0)
+            x = w["embd"][tok][None, None, :]              # (1,1,E)
+            kv_len = n_past[None] + 1
+
+            def body(xc, i):
+                x, kk, vv = xc
+                lw = jax.tree_util.tree_map(lambda a: a[i], lws)
+                (wq_c, wq_s), (wkv_c, wkv_s), (wo_c, wo_s), \
+                    (wgu_c, wgu_s), (wd_c, wd_s), n1, n2 = lw
+                h = L.rms_norm(x, n1).reshape(-1, E)
+                q = qmatmul(h, wq_c, wq_s, group=G).reshape(1, 1, H, D)
+                kv = qmatmul(h, wkv_c, wkv_s, group=G).reshape(1, 1, 2, HKV, D)
+                k_new, v_new = kv[:, :, 0], kv[:, :, 1]
+                q = L.apply_rope(q, cos, sin, 0)
+                k_new = L.apply_rope(k_new, cos, sin, 0)
+                kk = jax.lax.dynamic_update_slice(
+                    kk, k_new.astype(kk.dtype)[None],
+                    (i, jnp.int32(0), n_past, jnp.int32(0), jnp.int32(0)))
+                vv = jax.lax.dynamic_update_slice(
+                    vv, v_new.astype(vv.dtype)[None],
+                    (i, jnp.int32(0), n_past, jnp.int32(0), jnp.int32(0)))
+                a = attend(q.astype(jnp.bfloat16), kk[i], vv[i],
+                           q_pos=pos, kv_len=kv_len,
+                           scale=1.0 / float(np.sqrt(D)))
+                a = qmatmul(a.reshape(-1, E), wo_c, wo_s, group=G)
+                x = x + a.reshape(1, 1, E).astype(x.dtype)
+                h = L.rms_norm(x, n2)
+                gu = qmatmul(h.reshape(-1, E), wgu_c, wgu_s, group=G)
+                g, u = gu[:, :FF], gu[:, FF:]
+                ff = qmatmul(L.swiglu(g, u).astype(jnp.bfloat16), wd_c, wd_s,
+                             group=G)
+                return (x + ff.reshape(1, 1, E).astype(x.dtype), kk, vv), None
+
+            (x, kk, vv), _ = jax.lax.scan(body, (x, kk, vv),
+                                          jnp.arange(NLAYER))
+            x = L.rms_norm(x, jnp.ones((E,), jnp.float32))
+            lg = qmatmul(x[0, -1:], w["head"][0], w["head"][1], group=G)
+            nxt = jnp.argmax(lg[0]).astype(jnp.int32)
+            return (nxt, kk, vv, n_past + 1), nxt
+
+        carry = (tok0, kv_k, kv_v, jnp.int32(S // 2))
+        (tok, kk, vv, n_past), toks = jax.lax.scan(step, carry, jnp.arange(R_TG))
+        return toks
+
+    kv_k = jnp.zeros((NLAYER, 1, S, HKV, D), jnp.bfloat16)
+    kv_v = jnp.zeros((NLAYER, 1, S, HKV, D), jnp.bfloat16)
+
+    def tg_once(seed):
+        tok0 = jnp.int32(seed % V)
+        t0 = time.perf_counter()
+        toks = decode_r(w, kv_k, kv_v, tok0)
+        _ = np.asarray(toks[:4])
+        return time.perf_counter() - t0
+
+    tg_once(0)      # compile
+    tg_times = [tg_once(i + 1) for i in range(3)]
+    t_tg = max(min(tg_times) - floor, 1e-6) / R_TG
+    tg_tps = 1.0 / t_tg
+
     baseline = 269.6  # reference CPU 8B Q4_K_S PP512 t/s
     result = {
         "metric": "pp512_tokens_per_s_8b_q4k_planar",
@@ -157,6 +228,8 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "t_forward_ms": round(t_fw * 1e3, 2),
+            "tg_tokens_per_s": round(tg_tps, 2),
+            "tg_vs_baseline": round(tg_tps / 13.48, 2),  # ref Q4_K_S TG128
             "fetch_floor_ms": round(floor * 1e3, 2),
             "compile_s": round(compile_t, 1),
             "weightgen_s": round(gen_s, 1),

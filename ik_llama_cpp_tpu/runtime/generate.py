@@ -194,6 +194,54 @@ class Runtime:
             e = e / (np.linalg.norm(e) + 1e-12)
         return e
 
+    def _decode_loop(self, n_steps: int):
+        """Jitted on-device greedy decode loop: n_steps forward+argmax steps
+        inside ONE executable (lax.scan), so token generation never pays a
+        host round-trip per token — the TPU-native answer to the reference's
+        tight llama_decode loop."""
+        key = ("loop", n_steps)
+        if key not in self._step_fns:
+            fwd = FORWARDS[self.cfg.arch]
+            cfg, interp = self.cfg, self.interpret
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def loop(params, tok0, kv, n_past0):
+                def body(carry, _):
+                    tok, kv, n_past = carry
+                    logits, kv = fwd(params, cfg, tok, kv, n_past,
+                                     interpret=interp, logits_last_only=True)
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                    return (nxt[:, None], kv, n_past + 1), nxt
+                (_, kv, n_past), toks = jax.lax.scan(
+                    body, (tok0, kv, n_past0), None, length=n_steps)
+                return toks.T, kv, n_past       # (B, n_steps)
+
+            self._step_fns[key] = loop
+        return self._step_fns[key]
+
+    def generate_greedy_on_device(self, prompt: str | list[int],
+                                  max_new_tokens: int = 32,
+                                  capacity: int = 512,
+                                  stop_at_eos: bool = True):
+        """Greedy generation with the whole decode loop on device.
+
+        Returns (prompt_ids, generated_ids) like generate()."""
+        ids = self.tokenizer.encode(prompt) if isinstance(prompt, str) \
+            else list(prompt)
+        capacity = max(capacity, len(ids) + max_new_tokens + 8)
+        kv = self.new_cache(1, capacity)
+        logits, kv, n_past = self.eval_tokens(ids, kv, 0)
+        first = int(np.argmax(logits[-1]))
+        if max_new_tokens <= 1:
+            return ids, [first]
+        loop = self._decode_loop(max_new_tokens - 1)
+        toks, kv, _ = loop(self.params, jnp.asarray([[first]], jnp.int32),
+                           kv, jnp.int32(n_past))
+        out = [first] + [int(t) for t in np.asarray(toks[0])]
+        if stop_at_eos and self.tokenizer.eos_id in out:
+            out = out[: out.index(self.tokenizer.eos_id) + 1]
+        return ids, out
+
     def layer_hiddens(self, ids: list[int]) -> np.ndarray:
         """Per-layer hidden states (n_layer, T, E) f32 at each position —
         feeds the control-vector generator (cvector-generator analogue)."""

@@ -216,3 +216,15 @@ def test_phi3_logit_parity(tmp_path):
                   "ssm_conv/ssm_scan math (tests/test_mamba.py).")
 def test_mamba_logit_parity(tmp_path):
     pass
+
+
+def test_on_device_decode_matches_host_loop(tmp_path):
+    """The jitted on-device greedy scan must produce the same tokens as the
+    host-driven loop."""
+    model = make_tiny_llama_gguf(tmp_path / "odd.gguf", seed=8)
+    rt = Runtime.from_gguf(model)
+    prompt = "The quick brown fox"
+    _, host_out = rt.generate(prompt, max_new_tokens=12, stop_at_eos=False)
+    _, dev_out = rt.generate_greedy_on_device(prompt, max_new_tokens=12,
+                                              stop_at_eos=False)
+    assert host_out == dev_out
