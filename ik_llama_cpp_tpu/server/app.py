@@ -69,11 +69,28 @@ def _sampler_from(body: dict) -> SamplerParams:
 
 
 class Server:
-    def __init__(self, engine: BatchEngine, model_name: str = "model"):
+    def __init__(self, engine: BatchEngine, model_name: str = "model",
+                 api_key: str | None = None):
         self.engine = engine
         self.rt = engine.rt
         self.model_name = model_name
-        self.app = web.Application()
+        self.api_key = api_key
+
+        @web.middleware
+        async def auth(request, handler):
+            # /health stays open (load-balancer probes), like the reference
+            if self.api_key and request.path != "/health":
+                got = request.headers.get("Authorization", "")
+                got = got.removeprefix("Bearer ").strip() or \
+                    request.headers.get("x-api-key", "")
+                if got != self.api_key:
+                    return web.json_response(
+                        {"error": {"message": "invalid api key",
+                                   "type": "authentication_error"}},
+                        status=401)
+            return await handler(request)
+
+        self.app = web.Application(middlewares=[auth])
         r = self.app.router
         r.add_get("/health", self.health)
         r.add_get("/props", self.props)
@@ -87,6 +104,7 @@ class Server:
         r.add_post("/v1/completions", self.oai_completions)
         r.add_post("/v1/chat/completions", self.oai_chat)
         r.add_post("/v1/messages", self.anthropic_messages)
+        r.add_post("/v1/messages/count_tokens", self.anthropic_count_tokens)
         r.add_post("/embedding", self.embeddings)
         r.add_post("/embeddings", self.embeddings)
         r.add_post("/v1/embeddings", self.oai_embeddings)
@@ -111,20 +129,27 @@ class Server:
             sampler=_sampler_from(body),
             seed=int(body.get("seed", int(time.time() * 1000) % 2**31)),
             stop=body.get("stop", []) or [],
+            reasoning_budget=int(body.get("reasoning_budget", -1)),
             stream_queue=q,
         )
         self.engine.submit(req)
         loop = asyncio.get_event_loop()
         toks, text = [], []
-        while True:
-            tok, piece, done = await loop.run_in_executor(None, q.get)
-            if tok >= 0:
-                toks.append(tok)
-                text.append(piece)
-            if on_token and piece:
-                await on_token(piece, done)
-            if done:
-                break
+        try:
+            while True:
+                tok, piece, done = await loop.run_in_executor(None, q.get)
+                if tok >= 0:
+                    toks.append(tok)
+                    text.append(piece)
+                if on_token and piece:
+                    await on_token(piece, done)
+                if done:
+                    break
+        except (asyncio.CancelledError, ConnectionResetError):
+            # client disconnect: release the slot (SERVER_TASK_TYPE_CANCEL
+            # semantics — the reference cancels the task and frees the slot)
+            req.cancelled = True
+            raise
         return toks, "".join(text)
 
     def _chat_prompt(self, messages: list[dict], tools: list | None = None) -> str:
@@ -466,14 +491,55 @@ class Server:
         prompt = self._chat_prompt(messages)
         ids = self.rt.tokenizer.encode(prompt)
         body.setdefault("max_tokens", 128)
+        rid = f"msg_{uuid.uuid4().hex[:16]}"
+        if body.get("stream"):
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+
+            async def ev(name, data):
+                await resp.write(f"event: {name}\ndata: {json.dumps(data)}\n\n"
+                                 .encode())
+
+            await ev("message_start", {"type": "message_start", "message": {
+                "id": rid, "type": "message", "role": "assistant",
+                "content": [], "model": self.model_name,
+                "usage": {"input_tokens": len(ids), "output_tokens": 0}}})
+            await ev("content_block_start", {
+                "type": "content_block_start", "index": 0,
+                "content_block": {"type": "text", "text": ""}})
+
+            async def on_token(piece, done):
+                await ev("content_block_delta", {
+                    "type": "content_block_delta", "index": 0,
+                    "delta": {"type": "text_delta", "text": piece}})
+
+            toks, text = await self._run(ids, body, True, on_token)
+            await ev("content_block_stop", {"type": "content_block_stop",
+                                            "index": 0})
+            await ev("message_delta", {"type": "message_delta",
+                                       "delta": {"stop_reason": "end_turn"},
+                                       "usage": {"output_tokens": len(toks)}})
+            await ev("message_stop", {"type": "message_stop"})
+            await resp.write_eof()
+            return resp
         toks, text = await self._run(ids, body, False)
         return web.json_response({
-            "id": f"msg_{uuid.uuid4().hex[:16]}",
+            "id": rid,
             "type": "message", "role": "assistant",
             "content": [{"type": "text", "text": text}],
             "model": self.model_name, "stop_reason": "end_turn",
             "usage": {"input_tokens": len(ids), "output_tokens": len(toks)},
         })
+
+    async def anthropic_count_tokens(self, request):
+        """POST /v1/messages/count_tokens (server.cpp Anthropic API)."""
+        body = await request.json()
+        messages = body.get("messages", [])
+        if body.get("system"):
+            messages = [{"role": "system", "content": body["system"]}] + messages
+        prompt = self._chat_prompt(messages)
+        return web.json_response(
+            {"input_tokens": len(self.rt.tokenizer.encode(prompt))})
 
 
 def main(argv=None):
@@ -488,6 +554,7 @@ def main(argv=None):
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
     ap.add_argument("--mmproj", help="CLIP mmproj GGUF for image input")
+    ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
     args = ap.parse_args(argv)
 
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8")
@@ -504,7 +571,7 @@ def main(argv=None):
         loras.append(adapter)
     engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size)
     engine.start()
-    srv = Server(engine, model_name=str(args.gguf))
+    srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
     srv.loras = loras
     if args.mmproj:
         from ..models.clip import ClipEncoder

@@ -41,6 +41,10 @@ class Request:
     stop: list[str] = field(default_factory=list)
     stream_queue: Optional[queue.Queue] = None  # receives (token_id, text|None, done)
     id: int = 0
+    cancelled: bool = False       # client disconnect -> slot release
+    # max tokens inside <think>...</think> before a forced close
+    # (common/reasoning-budget.cpp semantics; -1 = unlimited)
+    reasoning_budget: int = -1
 
 
 @dataclass
@@ -57,6 +61,8 @@ class Slot:
     rng: Any = None
     sampler_state: Any = None
     text: str = ""
+    forced: list = field(default_factory=list)   # forced next tokens
+    n_think: int = 0
     t_start: float = 0.0
     t_first_token: float = 0.0
 
@@ -153,6 +159,8 @@ class BatchEngine:
             slot.n_decoded = 0
             slot.n_shifts = 0
             slot.text = ""
+            slot.forced = []
+            slot.n_think = 0
             slot.rng = np.random.default_rng(req.seed)
             slot.sampler_state = SamplerState()
             slot.state = SlotState.PREFILL
@@ -182,8 +190,11 @@ class BatchEngine:
 
     def _emit_token(self, slot: Slot, logits: np.ndarray):
         req = slot.req
-        tok = sample_token(logits, req.sampler, slot.rng, history=slot.tokens,
-                           state=slot.sampler_state)
+        if slot.forced:
+            tok = slot.forced.pop(0)
+        else:
+            tok = sample_token(logits, req.sampler, slot.rng,
+                               history=slot.tokens, state=slot.sampler_state)
         slot.tokens.append(int(tok))
         slot.n_decoded += 1
         self.n_tokens_predicted += 1
@@ -199,6 +210,17 @@ class BatchEngine:
             if stop_s and stop_s in slot.text:
                 slot.text = slot.text.split(stop_s)[0]
                 done = True
+        # thinking-token budget: force-close the <think> block when exceeded
+        # (common/reasoning-budget.cpp)
+        if req.reasoning_budget >= 0 and not slot.forced and not done:
+            tail = slot.text.rsplit("<think>", 1)
+            if len(tail) == 2 and "</think>" not in tail[1]:
+                slot.n_think += 1
+                if slot.n_think >= req.reasoning_budget:
+                    slot.forced = self.rt.tokenizer.encode(
+                        "\n</think>\n", add_bos=False)
+        if req.cancelled:
+            done = True
         if req.stream_queue is not None:
             req.stream_queue.put((int(tok), piece, done))
         if done:

@@ -100,3 +100,29 @@ def test_slot_save_restore(engine, tmp_path):
     kv = engine.rt.new_cache(1, 128)
     logits, _, _ = engine.rt.eval_tokens(ids, kv, 0)
     assert out[0] == int(np.argmax(logits[-1]))
+
+
+def test_reasoning_budget_forces_close(engine):
+    """With reasoning_budget=N, a runaway <think> block is force-closed by
+    injecting the closing tag tokens (common/reasoning-budget.cpp)."""
+    from ik_llama_cpp_tpu.server.engine import SlotState
+    eng2 = BatchEngine(engine.rt, n_slots=1, capacity=64)   # not started
+    q = queue.Queue()
+    req_ = Request(prompt_ids=[10, 11, 12], n_predict=64,
+                   sampler=SamplerParams(temp=0.0, logit_bias={2: -101.0}),
+                   reasoning_budget=3, stream_queue=q)
+    eng2.submit(req_)
+    eng2._admit()
+    slot = eng2.slots[0]
+    slot.state = SlotState.GENERATING
+    slot.text = "I will think. <think>"    # as if the model opened a block
+    logits = np.zeros(engine.rt.cfg.n_vocab, np.float32)
+    logits[40] = 5.0                       # model wants to ramble forever
+    for _ in range(30):
+        if slot.state != SlotState.GENERATING:
+            break
+        eng2._emit_token(slot, logits)
+    assert "</think>" in slot.text
+    # rambling stopped within budget + len("</think>" tokens) of the open
+    head = slot.text.split("</think>")[0]
+    assert head.count(engine.rt.tokenizer.decode([40])) <= 4

@@ -173,3 +173,58 @@ def test_slot_save_restore_endpoint(server):
     assert r2["n_erased"] >= 1
     r3 = req(server, "/slots/0?action=restore", {"filename": "t_slot0.bin"})
     assert r3["n_restored"] == r["n_saved"]
+
+
+def test_anthropic_count_tokens(server):
+    r = req(server, "/v1/messages/count_tokens",
+            {"messages": [{"role": "user", "content": "Hello there"}]})
+    assert r["input_tokens"] > 2
+
+
+def test_anthropic_streaming(server):
+    url = f"http://127.0.0.1:{server}/v1/messages"
+    body = json.dumps({"messages": [{"role": "user", "content": "Hi"}],
+                       "max_tokens": 4, "stream": True}).encode()
+    r = urllib.request.urlopen(urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}), timeout=60)
+    text = r.read().decode()
+    assert "event: message_start" in text
+    assert "event: content_block_delta" in text
+    assert "event: message_stop" in text
+
+
+def test_api_key_auth(tmp_path_factory):
+    model = make_tiny_llama_gguf(tmp_path_factory.mktemp("auth") / "m.gguf", seed=1)
+    port = free_port()
+    env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+           "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+           "PYTHONPATH": str(REPO)}
+    import subprocess, sys
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ik_llama_cpp_tpu.server", "--gguf", str(model),
+         "--port", str(port), "--api-key", "sekrit"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        for _ in range(120):
+            try:
+                req(port, "/health")
+                break
+            except Exception:
+                if proc.poll() is not None:
+                    raise RuntimeError(proc.stderr.read().decode()[-2000:])
+                time.sleep(0.5)
+        # no key -> 401
+        import urllib.error
+        try:
+            req(port, "/props")
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # with key -> ok
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/props",
+            headers={"Authorization": "Bearer sekrit"}), timeout=30)
+        assert json.loads(r.read())["arch"] == "llama"
+    finally:
+        proc.terminate()
