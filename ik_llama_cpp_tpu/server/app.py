@@ -92,6 +92,7 @@ class Server:
 
         self.app = web.Application(middlewares=[auth])
         r = self.app.router
+        r.add_get("/", self.webui)
         r.add_get("/health", self.health)
         r.add_get("/props", self.props)
         r.add_get("/metrics", self.metrics)
@@ -159,6 +160,12 @@ class Server:
                                    add_generation_prompt=True)
 
     # ---------------------------------------------------------- endpoints
+    async def webui(self, request):
+        """Built-in chat WebUI (the reference ships a React SPA; ours is a
+        dependency-free single file)."""
+        html = (Path(__file__).parent / "webui.html").read_text()
+        return web.Response(text=html, content_type="text/html")
+
     async def health(self, request):
         return web.json_response({"status": "ok"})
 

@@ -114,6 +114,26 @@ def collect_imatrix(rt, text: str, n_ctx: int = 512, n_chunks: int = -1,
             for name, v in acc.items()}, n_chunk
 
 
+def layer_similarity(rt, text: str, n_ctx: int = 128) -> list[float]:
+    """--layer-similarity: cosine similarity between each layer's input and
+    output hidden states (imatrix.cpp's layer-importance heuristic — low
+    similarity = the layer changes the representation more)."""
+    ids = rt.tokenizer.encode(text)[:n_ctx]
+    hs = rt.layer_hiddens(ids)              # (L, T, E) — l_out per layer
+    sims = []
+    prev = None
+    for il in range(hs.shape[0]):
+        cur = hs[il]
+        if prev is None:
+            sims.append(1.0)
+        else:
+            num = float((prev * cur).sum())
+            den = float(np.linalg.norm(prev) * np.linalg.norm(cur)) + 1e-12
+            sims.append(num / den)
+        prev = cur
+    return sims
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--gguf", required=True)
@@ -121,11 +141,16 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="imatrix.dat")
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=-1)
+    ap.add_argument("--layer-similarity", action="store_true")
     args = ap.parse_args(argv)
 
     from ..runtime.generate import Runtime
     rt = Runtime.from_gguf(args.gguf)
     text = open(args.text, encoding="utf-8").read()
+    if args.layer_similarity:
+        sims = layer_similarity(rt, text, min(args.n_ctx, 128))
+        for il, s in enumerate(sims):
+            print(f"layer {il:3d}: cos-sim(l_in, l_out) = {s:.4f}")
     stats, ncall = collect_imatrix(rt, text, args.n_ctx, args.chunks)
     save_imatrix(args.output, {k: (v, ncall) for k, v in stats.items()},
                  ncall, args.text)

@@ -166,3 +166,50 @@ def test_passkey_prompt_roundtrip():
     from ik_llama_cpp_tpu.tools.passkey import build_prompt
     p = build_prompt(12345, n_junk=10, pos_frac=0.5)
     assert "12345" in p and p.endswith("The pass key is")
+
+
+def test_timings():
+    import io
+    from ik_llama_cpp_tpu.runtime.timings import Timings
+    t = Timings()
+    with t.load():
+        pass
+    with t.prompt(10):
+        pass
+    with t.eval(5):
+        pass
+    d = t.as_dict()
+    assert d["n_prompt"] == 10 and d["n_eval"] == 5
+    buf = io.StringIO()
+    t.print(file=buf)
+    assert "prompt eval time" in buf.getvalue()
+
+
+def test_eval_callback_dump(tmp_path, capsys):
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.tools.eval_callback import main as ec_main
+    model = make_tiny_llama_gguf(tmp_path / "m.gguf", seed=3)
+    out = tmp_path / "dump.npz"
+    ec_main(["-m", str(model), "-p", "hi there", "-o", str(out)])
+    import numpy as np
+    data = np.load(out)
+    assert "l_out-0" in data and "result_output" in data
+    assert data["l_out-0"].shape[-1] == 64
+
+
+def test_layer_similarity(tmp_path):
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.tools.imatrix import layer_similarity
+    model = make_tiny_llama_gguf(tmp_path / "m.gguf", seed=3)
+    rt = Runtime.from_gguf(model)
+    sims = layer_similarity(rt, "the quick brown fox jumps")
+    assert len(sims) == rt.cfg.n_layer
+    assert all(-1.0 <= s <= 1.001 for s in sims)
+
+
+def test_webui_served(tmp_path):
+    from ik_llama_cpp_tpu.server.app import Server
+    from pathlib import Path
+    html = (Path("ik_llama_cpp_tpu/server/webui.html")).read_text()
+    assert "/v1/chat/completions" in html
