@@ -24,7 +24,8 @@ from ..ops.flash_attention import flash_attention, flash_attention_q8
 from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
-from .weights import DenseLinear, QLinear, dequant_tensor, load_dense, load_linear
+from .weights import (DenseLinear, QLinear, dequant_tensor, fuse_linears,
+                      load_dense, load_linear)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -64,8 +65,14 @@ class KVCache:
         return self.k.shape[2]
 
 
-def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True):
-    """GGUF -> pytree of device weights."""
+def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True,
+                      fuse: bool = False):
+    """GGUF -> pytree of device weights.
+
+    ``fuse`` merges q/k/v and gate/up into single matmuls at load (the
+    reference's merge-qkv / fused-up-gate, llama-load-tensors.cpp) — saves
+    decode-step dispatches. Leave False for tensor-parallel sharding (the
+    TP column split assumes separate q/k/v) and per-projection LoRA."""
     t = gg.tensors
     params: dict[str, Any] = {}
     params["tok_embd"] = jnp.asarray(
@@ -117,9 +124,26 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias"):
             if p + opt_b in t:
                 blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])
+        if fuse:
+            _fuse_block(blk)
         blocks.append(blk)
     params["blocks"] = blocks
     return params
+
+
+def _fuse_block(blk: dict) -> None:
+    """Merge separate q/k/v (and gate/up) into fused linears in place."""
+    if all(k in blk for k in ("wq", "wk", "wv")) and not any(
+            k in blk for k in ("attn_q_bias", "attn_k_bias", "attn_v_bias")):
+        fused = fuse_linears([blk["wq"], blk["wk"], blk["wv"]])
+        if fused is not None:
+            blk["wqkv"] = fused
+            del blk["wq"], blk["wk"], blk["wv"]
+    if "ffn_gate" in blk and "ffn_up" in blk:
+        fused = fuse_linears([blk["ffn_gate"], blk["ffn_up"]])
+        if fused is not None:
+            blk["ffn_up"] = fused
+            del blk["ffn_gate"]
 
 
 def _load_experts(t, prefix: str) -> ExpertWeights:

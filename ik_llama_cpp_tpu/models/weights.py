@@ -173,3 +173,31 @@ def load_linear(info: GGUFTensorInfo, *, use_quant: bool = True) -> QLinear | De
 
 def load_dense(info: GGUFTensorInfo, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(dequant_tensor(info), dtype=dtype)
+
+
+def fuse_linears(linears: list) -> "QLinear | DenseLinear | None":
+    """Concatenate linears along the output dim into ONE matmul — the
+    load-time analogue of the reference's merge-qkv / merge-up-gate
+    (llama-load-tensors.cpp): fewer, larger MXU dispatches (the TG hot path
+    is dispatch-bound once HBM is saturated). Returns None if the linears
+    are not fusable (mixed kinds / mismatched K or group)."""
+    if all(isinstance(l, QLinear) for l in linears):
+        k = linears[0].codes.shape[0]
+        g = linears[0].group
+        if any(l.codes.shape[0] != k or l.group != g for l in linears):
+            return None
+        has_bias = [l.bias is not None for l in linears]
+        if any(has_bias) and not all(has_bias):
+            return None
+        return QLinear(
+            jnp.concatenate([l.codes for l in linears], axis=1),
+            jnp.concatenate([l.scale for l in linears], axis=1),
+            jnp.concatenate([l.bias for l in linears], axis=1)
+            if all(has_bias) else None,
+            group=g)
+    if all(isinstance(l, DenseLinear) for l in linears):
+        k = linears[0].w.shape[0]
+        if any(l.w.shape[0] != k for l in linears):
+            return None
+        return DenseLinear(jnp.concatenate([l.w for l in linears], axis=1))
+    return None

@@ -64,14 +64,18 @@ class Runtime:
 
     @classmethod
     def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False,
-                  kv_quant: bool = False):
+                  kv_quant: bool = False, fuse: bool = True):
         gg = load_gguf(path)
         cfg = config_from_gguf(gg.metadata)
         tok = tokenizer_from_gguf(gg.metadata)
         loader = LOADERS.get(cfg.arch)
         if loader is None:
             raise NotImplementedError(f"arch {cfg.arch!r} not supported yet")
-        params = loader(gg, cfg, use_quant=use_quant)
+        import inspect
+        kw = {}
+        if "fuse" in inspect.signature(loader).parameters:
+            kw["fuse"] = fuse     # merge qkv / gate-up (single-chip fast path)
+        params = loader(gg, cfg, use_quant=use_quant, **kw)
         return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
                    kv_quant=kv_quant)
 

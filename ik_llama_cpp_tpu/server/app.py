@@ -564,7 +564,9 @@ def main(argv=None):
     ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
     args = ap.parse_args(argv)
 
-    rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8")
+    # per-projection LoRA requires unfused q/k/v linears
+    rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
+                           fuse=not args.lora)
     loras = []
     for spec in args.lora:
         from ..runtime.lora import apply_lora, load_lora_gguf

@@ -30,7 +30,7 @@ def _mk_adapter(tmp_path, cfg, seed=3):
 def base(tmp_path_factory):
     d = tmp_path_factory.mktemp("lora")
     model = make_tiny_llama_gguf(d / "base.gguf", seed=5)
-    rt = Runtime.from_gguf(model)
+    rt = Runtime.from_gguf(model, fuse=False)   # per-projection adapters
     return d, model, rt
 
 
@@ -81,7 +81,7 @@ def test_merge_lora_matches_runtime(base):
     strip_lora(rt.params)
     rt._step_fns.clear()
 
-    rt2 = Runtime.from_gguf(merged_path)
+    rt2 = Runtime.from_gguf(merged_path, fuse=False)
     merged_logits = rt2.all_position_logits(ids, capacity=64)
     # merged F16 weights vs runtime low-rank: small numeric differences only
     assert np.abs(runtime_logits - merged_logits).max() < 0.15

@@ -59,6 +59,14 @@ def test_native_speedup():
     n, rows = 4096, 256
     rb = GEOMETRY[GGMLType.Q4_K].row_bytes(n)
     raw = rng.integers(0, 256, size=(rows, rb), dtype=np.uint8)
-    t0 = time.perf_counter(); planar_decode(raw, GGMLType.Q4_K, n); t_py = time.perf_counter() - t0
-    t0 = time.perf_counter(); planar_decode_native(raw, GGMLType.Q4_K, n); t_nat = time.perf_counter() - t0
+    def best(fn, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(raw, GGMLType.Q4_K, n)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_py = best(planar_decode)
+    t_nat = best(planar_decode_native)
     assert t_nat < t_py, (t_nat, t_py)
