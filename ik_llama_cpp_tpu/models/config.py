@@ -75,6 +75,7 @@ class ModelConfig:
     rope_freq_base_swa: float = 0.0   # rope base for SWA layers (gemma3: 1e4)
     embd_scale: float = 0.0           # input embedding scale (gemma: sqrt(E))
     act: str = "silu"                 # FFN activation: silu | gelu | relu2
+    moe_act: str = "silu"             # MoE activation (gpt-oss: swiglu_oai)
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:
@@ -140,6 +141,16 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         rope_base_swa = 10000.0
         f_attn_scale = (1.0 / (n_embd / max(n_head, 1)) ** 0.5 if n_layer == 62
                         else 1.0 / float(head_dim) ** 0.5)
+    moe_act = "silu"
+    expert_gating = int(a("expert_gating_func", 1))
+    if arch == "gpt-oss":
+        # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
+        # softmax-over-topk routing, clamped swiglu_oai experts
+        swa_mask = tuple(il % 2 == 0 for il in range(n_layer))
+        moe_act = "swiglu_oai"
+        expert_gating = 3     # GATING_SOFTMAX_WEIGHT
+        rope_dim_key = int(a("rope.dimension_count", head_dim))
+        f_attn_scale = f_attn_scale or 1.0 / float(rope_dim_key) ** 0.5
 
     return ModelConfig(
         arch=arch,
@@ -162,7 +173,7 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         use_qk_norm=qk_norm,
         n_expert=int(a("expert_count", 0)),
         n_expert_used=int(a("expert_used_count", 0)),
-        expert_gating_func=int(a("expert_gating_func", 1)),
+        expert_gating_func=expert_gating,
         n_ff_exp=int(a("expert_feed_forward_length", 0)),
         n_ff_shexp=int(a("expert_shared_feed_forward_length", 0)),
         norm_topk_prob=bool(a("norm_topk_prob", arch in ("qwen3moe",))),
@@ -190,5 +201,6 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         rope_freq_base_swa=rope_base_swa,
         embd_scale=embd_scale,
         act=act,
+        moe_act=moe_act,
         extra={},
     )

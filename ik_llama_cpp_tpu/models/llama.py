@@ -89,8 +89,13 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         blk = {
             "attn_norm": load_dense(t[p + "attn_norm.weight"]),
             "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
-            "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
         }
+        if cfg.arch == "gpt-oss":
+            # gpt-oss names its pre-FFN norm "post_attention_norm"
+            # (llama-load-tensors.cpp:3996: ffn_norm <- ATTN_POST_NORM)
+            blk["ffn_norm"] = load_dense(t[p + "post_attention_norm.weight"])
+        else:
+            blk["ffn_norm"] = load_dense(t[p + "ffn_norm.weight"])
         if p + "attn_qkv.weight" in t:   # fused QKV (phi3-style wqkv)
             blk["wqkv"] = load_linear(t[p + "attn_qkv.weight"], use_quant=use_quant)
         else:
@@ -100,6 +105,8 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         if p + "ffn_gate_inp.weight" in t:  # MoE layer (qwen2moe/qwen3moe style)
             blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"],
                                               use_quant=False)
+            if p + "ffn_gate_inp.bias" in t:   # router bias (gpt-oss)
+                blk["ffn_gate_inp_b"] = load_dense(t[p + "ffn_gate_inp.bias"])
             blk["experts"] = _load_experts(t, p)
             if p + "ffn_gate_shexp.weight" in t:  # shared expert (qwen2moe)
                 blk["ffn_gate_shexp"] = load_linear(t[p + "ffn_gate_shexp.weight"], use_quant=use_quant)
@@ -117,13 +124,19 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             if p + opt + ".weight" in t:
                 blk[opt] = load_dense(t[p + opt + ".weight"])
         # sandwich norms; canonical GGUF names per llama-model.cpp:467/146
-        for key, name in (("attn_post_norm", "post_attention_norm"),
-                          ("ffn_post_norm", "post_ffw_norm")):
-            if p + name + ".weight" in t:
-                blk[key] = load_dense(t[p + name + ".weight"])
-        for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias"):
+        if cfg.arch != "gpt-oss":
+            for key, name in (("attn_post_norm", "post_attention_norm"),
+                              ("ffn_post_norm", "post_ffw_norm")):
+                if p + name + ".weight" in t:
+                    blk[key] = load_dense(t[p + name + ".weight"])
+        for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias",
+                      "attn_output.bias"):
             if p + opt_b in t:
                 blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])
+        for sn in ("attn_sinks.weight", "attn_sinks"):
+            if p + sn in t:               # per-head sink logits (gpt-oss)
+                blk["attn_sinks"] = load_dense(t[p + sn])
+                break
         if fuse:
             _fuse_block(blk)
         blocks.append(blk)
@@ -155,10 +168,18 @@ def _load_experts(t, prefix: str) -> ExpertWeights:
             arr = arr.transpose(0, 2, 1)  # (n_expert, K, N)
         return jnp.asarray(np.ascontiguousarray(arr), dtype=jnp.bfloat16)
 
+    def bias(name):
+        if prefix + name not in t:
+            return None
+        return jnp.asarray(dequant_tensor(t[prefix + name]), jnp.float32)
+
     return ExpertWeights(
         gate=stacked("ffn_gate_exps.weight", True),
         up=stacked("ffn_up_exps.weight", True),
         down=stacked("ffn_down_exps.weight", True),
+        gate_b=bias("ffn_gate_exps.bias"),
+        up_b=bias("ffn_up_exps.bias"),
+        down_b=bias("ffn_down_exps.bias"),
     )
 
 
@@ -174,13 +195,16 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
     b, t, e = h.shape
     if "experts" in blk:
         router = blk["ffn_gate_inp"](h.reshape(-1, e), interpret=interpret)
+        if "ffn_gate_inp_b" in blk:
+            router = router + blk["ffn_gate_inp_b"]
         if stats is not None:
             stats[f"blk.{il}.ffn_gate_exps.weight"] = _sumsq(h)
             stats[f"blk.{il}.ffn_up_exps.weight"] = _sumsq(h)
             stats[f"blk.{il}.ffn_gate_inp.weight"] = _sumsq(h)
         y = moe_ffn(h.reshape(-1, e), router, blk["experts"], cfg.n_expert_used,
                     gating=cfg.expert_gating_func, norm_topk=cfg.norm_topk_prob,
-                    scale=cfg.expert_weights_scale, ep_axis=ep_axis)
+                    scale=cfg.expert_weights_scale, ep_axis=ep_axis,
+                    activation=cfg.moe_act)
         if "ffn_gate_shexp" in blk:
             g = blk["ffn_gate_shexp"](h, interpret=interpret)
             u = blk["ffn_up_shexp"](h, interpret=interpret)
@@ -265,7 +289,15 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
     kv_len = npv + t
     qb = q.astype(jnp.bfloat16)
-    if quant and _use_pallas():
+    sinks = blk.get("attn_sinks")
+    if sinks is not None:
+        # sinks need the softmax-denominator extension: XLA attend path
+        attn = attend(qb, kv_k if not quant else dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
+                      kv_v if not quant else dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
+                      q_pos=q_pos, kv_len=kv_len, scale=scale,
+                      softcap=cfg.attn_softcap, swa_window=swa_window,
+                      sinks=sinks)
+    elif quant and _use_pallas():
         attn = flash_attention_q8(qb, kv_k, kv_ks, kv_v, kv_vs, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
                                   swa_window=swa_window)
@@ -285,6 +317,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     if stats is not None:
         stats[f"blk.{il}.attn_output.weight"] = _sumsq(attn)
     out = blk["wo"](attn, interpret=interpret)
+    if "attn_output_bias" in blk:
+        out = out + blk["attn_output_bias"]
     if tp_axis is not None:
         # the reference's GGML_OP_REDUCE / ncclAllReduce (reduce.cu:164)
         out = jax.lax.psum(out, tp_axis)

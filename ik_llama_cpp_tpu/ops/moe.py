@@ -50,16 +50,22 @@ def route(router_logits, n_expert_used: int, *, gating: int = GATING_SOFTMAX,
 
 @dataclass
 class ExpertWeights:
-    """Stacked bf16 expert projections (dequantized at load time)."""
+    """Stacked bf16 expert projections (dequantized at load time).
+
+    Optional per-expert biases (gpt-oss): gate_b/up_b (n_expert, FF),
+    down_b (n_expert, E)."""
 
     gate: Any  # (n_expert, E, FF)
     up: Any    # (n_expert, E, FF)
     down: Any  # (n_expert, FF, E)
+    gate_b: Any = None
+    up_b: Any = None
+    down_b: Any = None
 
 
 jax.tree_util.register_pytree_node(
     ExpertWeights,
-    lambda ew: ((ew.gate, ew.up, ew.down), ()),
+    lambda ew: ((ew.gate, ew.up, ew.down, ew.gate_b, ew.up_b, ew.down_b), ()),
     lambda aux, ch: ExpertWeights(*ch),
 )
 
@@ -96,16 +102,29 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
     group_sizes = jnp.bincount(flat_ids, length=n_expert).astype(jnp.int32)
 
     xs = xs.astype(experts.gate.dtype)
+    sorted_ids = flat_ids[order]
     g = jax.lax.ragged_dot(xs, experts.gate, group_sizes,
                            preferred_element_type=jnp.float32)
     u = jax.lax.ragged_dot(xs, experts.up, group_sizes,
                            preferred_element_type=jnp.float32)
-    if activation == "silu":
+    if experts.gate_b is not None:
+        g = g + experts.gate_b[sorted_ids]
+    if experts.up_b is not None:
+        u = u + experts.up_b[sorted_ids]
+    if activation == "swiglu_oai":
+        # gpt-oss clamped glu (ggml_swiglu_oai: alpha=1.702, limit=7)
+        alpha, limit = 1.702, 7.0
+        gc = jnp.minimum(g, limit)
+        uc = jnp.clip(u, -limit, limit)
+        h = gc * jax.nn.sigmoid(alpha * gc) * (uc + 1.0)
+    elif activation == "silu":
         h = (g * jax.nn.sigmoid(g)) * u
     else:
         h = jax.nn.gelu(g, approximate=True) * u
     y = jax.lax.ragged_dot(h.astype(experts.down.dtype), experts.down, group_sizes,
                            preferred_element_type=jnp.float32)  # (T*k, E)
+    if experts.down_b is not None:
+        y = y + experts.down_b[sorted_ids]
 
     y = y[inv_order].reshape(t, k, e)
     out = jnp.sum(y * w[:, :, None], axis=1)

@@ -571,3 +571,84 @@ def make_tiny_mmproj_gguf(
     w.add_tensor("mm.2.bias", np.zeros(n_embd_text, np.float32))
     w.write()
     return path
+
+
+def make_tiny_gptoss_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 96,
+    quant: GGMLType = GGMLType.F16,
+    seed: int = 0,
+) -> Path:
+    """Tiny gpt-oss-architecture GGUF: attention sinks + qkv/output biases,
+    biased router, per-expert biases, swiglu_oai MoE, alternating SWA."""
+    path = Path(path)
+    arch = "gpt-oss"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-gptoss-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.sliding_window", 32)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        from ik_llama_cpp_tpu.gguf.constants import GEOMETRY
+        t = quant
+        if t != GGMLType.F32 and arr.shape[-1] % GEOMETRY[t].block_elems != 0:
+            t = GGMLType.F16
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), t),
+                     shape=tuple(reversed(arr.shape)), ggml_type=t)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "attn_q.bias", randw(n_embd) * 0.1)
+        w.add_tensor(p + "attn_k.bias", randw(kv_dim) * 0.1)
+        w.add_tensor(p + "attn_v.bias", randw(kv_dim) * 0.1)
+        w.add_tensor(p + "attn_output.bias", randw(n_embd) * 0.1)
+        w.add_tensor(p + "attn_sinks.weight", randw(n_head))
+        w.add_tensor(p + "post_attention_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+        w.add_tensor(p + "ffn_gate_inp.bias", randw(n_expert) * 0.1)
+        addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+        w.add_tensor(p + "ffn_gate_exps.bias", randw(n_expert, n_ff_exp) * 0.1)
+        w.add_tensor(p + "ffn_up_exps.bias", randw(n_expert, n_ff_exp) * 0.1)
+        w.add_tensor(p + "ffn_down_exps.bias", randw(n_expert, n_embd) * 0.1)
+    w.write()
+    return path
