@@ -28,6 +28,7 @@ def main():
     from ik_llama_cpp_tpu.ops.qmatmul import qmatmul
     from ik_llama_cpp_tpu.ops import layers as L
     from ik_llama_cpp_tpu.ops.attention import attend
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention
 
     on_tpu = jax.default_backend() not in ("cpu",)
     # 8B-class dims (LLaMA-3.1-8B)
@@ -80,9 +81,15 @@ def main():
         k, v = kv[:, :, 0], kv[:, :, 1]
         q = L.apply_rope(q, cos, sin, 0)
         k = L.apply_rope(k, cos, sin, 0)
-        a = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                   v.astype(jnp.bfloat16), q_pos=q_pos, kv_len=kv_len,
-                   scale=1.0 / float(np.sqrt(D)))
+        if on_tpu and q.shape[1] > 1:
+            a = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                                v.astype(jnp.bfloat16),
+                                jnp.zeros((b,), jnp.int32), kv_len,
+                                scale=1.0 / float(np.sqrt(D)))
+        else:
+            a = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                       v.astype(jnp.bfloat16), q_pos=q_pos, kv_len=kv_len,
+                       scale=1.0 / float(np.sqrt(D)))
         a = qmatmul(a.reshape(-1, E), wo_c, wo_s, group=G).reshape(b, t, E)
         x = x + a.astype(x.dtype)
         h = L.rms_norm(x, n2)

@@ -88,7 +88,7 @@ def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 )
 def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
                     softcap: float = 0.0, swa_window: int = 0,
-                    block_q: int = 128, block_kv: int = 256,
+                    block_q: int = 512, block_kv: int = 2048,
                     interpret: bool = False):
     """q: (B, T, H, D); k, v: (B, S, Hkv, D).
 
@@ -214,7 +214,7 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 )
 def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
                        softcap: float = 0.0, swa_window: int = 0,
-                       block_q: int = 128, block_kv: int = 256,
+                       block_q: int = 512, block_kv: int = 2048,
                        interpret: bool = False):
     """FA over an int8 quantized KV cache with per-(token, head) scales.
 
