@@ -56,6 +56,46 @@ class NgramDraft:
         return []
 
 
+class SuffixDraft:
+    """Longest-suffix-match drafting — the reference's suffix-tree stage
+    (common/suffix-tree.cpp): find the earlier position whose preceding
+    context shares the LONGEST suffix with the current position, propose
+    what followed it. Unbounded match length (vs NgramDraft's fixed n)."""
+
+    def __init__(self, n_min: int = 1, max_scan: int = 4096):
+        self.n_min = n_min
+        self.max_scan = max_scan
+        # last occurrence positions per token for fast candidate lookup
+        self._pos: dict[int, list[int]] = {}
+        self._fed = 0
+
+    def _feed(self, tokens: list[int]):
+        for i in range(self._fed, len(tokens)):
+            self._pos.setdefault(tokens[i], []).append(i)
+        self._fed = len(tokens)
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        self._feed(tokens)
+        n = len(tokens)
+        if n < self.n_min + 1:
+            return []
+        last = tokens[-1]
+        best_len, best_j = 0, -1
+        cands = self._pos.get(last, [])
+        for j in reversed(cands[-self.max_scan:]):
+            if j == n - 1:
+                continue
+            # match length of suffix ending at j vs suffix ending at n-1
+            m = 1
+            while m <= j and tokens[j - m] == tokens[n - 1 - m]:
+                m += 1
+            if m > best_len:
+                best_len, best_j = m, j
+        if best_len < self.n_min or best_j < 0:
+            return []
+        return tokens[best_j + 1: best_j + 1 + n_draft]
+
+
 class NgramMapDraft:
     """Frequency-weighted n-gram map drafting — the reference's ngram-map-k
     stage (common/ngram-map.cpp): maintains counts of what followed each
@@ -129,7 +169,8 @@ def generate_speculative(
 
     kv = target.new_cache(1, capacity)
     logits, kv, n_past = target.eval_tokens(ids, kv, 0)
-    ngram = NgramMapDraft() if stage == "ngram-map" else NgramDraft()
+    ngram = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
+             "ngram": NgramDraft}.get(stage, NgramDraft)()
 
     d_kv = d_n_past = None
     if draft is not None:

@@ -66,3 +66,23 @@ def test_autotune(rt):
     best, res = autotune_n_draft(rt, "a b c a b c a b", candidates=(2, 4),
                                  n_tokens=8)
     assert best in (2, 4) and len(res) == 2
+
+
+def test_suffix_draft_longest_match():
+    from ik_llama_cpp_tpu.runtime.speculative import SuffixDraft
+    d = SuffixDraft()
+    #      0  1  2  3  4  5  6  7  8  9  10 11
+    seq = [1, 2, 3, 9, 5, 1, 2, 3, 7, 1, 2, 3]
+    # suffix [1,2,3] matches at j=7 (len 3) better than j=2
+    prop = d.propose(seq, 2)
+    assert prop == [7, 1]      # continuation after position 7's match
+
+
+def test_suffix_stage_end_to_end(rt):
+    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
+    prompt = "one two three four. one two three four. one two three"
+    _, out, stats = generate_speculative(rt, prompt, 20, stage="suffix",
+                                         stop_at_eos=False)
+    _, ref = rt.generate(prompt, max_new_tokens=20, stop_at_eos=False)
+    assert out == ref
+    assert stats.n_draft > 0
