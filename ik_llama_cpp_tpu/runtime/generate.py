@@ -59,12 +59,17 @@ class Runtime:
     params: Any
     interpret: bool = False
     kv_quant: bool = False  # int8 KV cache (-ctk/-ctv q8 analogue)
+    mesh: Any = None        # jax Mesh for tensor/expert-parallel serving
 
     _step_fns: dict = field(default_factory=dict)
 
     @classmethod
     def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False,
-                  kv_quant: bool = False, fuse: bool = True):
+                  kv_quant: bool = False, fuse: bool = True,
+                  tensor_parallel: int = 0, expert_parallel: int = 1):
+        """``tensor_parallel`` > 1 shards the model over a (1[, ep], tp)
+        device mesh — the reference's -sm graph, expressed as pjit shardings
+        (parallel/mesh.py). 0/1 = single chip."""
         gg = load_gguf(path)
         cfg = config_from_gguf(gg.metadata)
         tok = tokenizer_from_gguf(gg.metadata)
@@ -72,12 +77,21 @@ class Runtime:
         if loader is None:
             raise NotImplementedError(f"arch {cfg.arch!r} not supported yet")
         import inspect
+        mesh = None
+        if tensor_parallel and tensor_parallel > 1:
+            fuse = False         # TP column split needs separate q/k/v
         kw = {}
         if "fuse" in inspect.signature(loader).parameters:
             kw["fuse"] = fuse     # merge qkv / gate-up (single-chip fast path)
         params = loader(gg, cfg, use_quant=use_quant, **kw)
+        if tensor_parallel and tensor_parallel > 1:
+            from ..parallel.mesh import make_mesh, shard_params
+            shape = ((1, tensor_parallel) if expert_parallel <= 1
+                     else (1, expert_parallel, tensor_parallel))
+            mesh = make_mesh(shape)
+            params = shard_params(params, mesh)
         return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
-                   kv_quant=kv_quant)
+                   kv_quant=kv_quant, mesh=mesh)
 
     @property
     def recurrent(self) -> bool:
@@ -90,7 +104,15 @@ class Runtime:
             fwd = FORWARDS[self.cfg.arch]
             cfg, interp = self.cfg, self.interpret
 
-            if self.recurrent:
+            if self.mesh is not None:
+                from ..parallel.tp import make_tp_forward
+                tp_fwd = make_tp_forward(cfg, self.mesh, self.params,
+                                         logits_last_only=last_only)
+
+                def step(params, tokens, kv, n_past, n_valid=None,
+                         _f=tp_fwd):
+                    return _f(params, tokens, kv, n_past)
+            elif self.recurrent:
                 # recurrent state must not advance past the valid length
                 @jax.jit
                 def step(params, tokens, kv, n_past, n_valid):

@@ -562,11 +562,17 @@ def main(argv=None):
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
     ap.add_argument("--mmproj", help="CLIP mmproj GGUF for image input")
     ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
+    ap.add_argument("-tp", "--tensor-parallel", type=int, default=0,
+                    help="shard the model over N chips (-sm graph analogue)")
+    ap.add_argument("-ep", "--expert-parallel", type=int, default=1,
+                    help="whole-expert sharding factor (MoE)")
     args = ap.parse_args(argv)
 
     # per-projection LoRA requires unfused q/k/v linears
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
-                           fuse=not args.lora)
+                           fuse=not args.lora,
+                           tensor_parallel=args.tensor_parallel,
+                           expert_parallel=args.expert_parallel)
     loras = []
     for spec in args.lora:
         from ..runtime.lora import apply_lora, load_lora_gguf

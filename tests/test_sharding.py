@@ -106,3 +106,19 @@ def test_moe_tp_ep_matches_single_device(tiny_moe, mesh_shape):
                                rtol=2e-2, atol=2e-2)
     assert np.array_equal(np.asarray(got_logits).argmax(-1),
                           np.asarray(ref_logits).argmax(-1))
+
+
+def test_runtime_tensor_parallel(tmp_path):
+    """Runtime.from_gguf(tensor_parallel=8) must match the single-chip
+    runtime (the -sm graph serving path)."""
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    path = make_tiny_llama_gguf(tmp_path / "tp.gguf",
+                                n_layer=2, n_embd=64, n_head=8, n_head_kv=8,
+                                n_ff=128, seed=13)
+    rt1 = Runtime.from_gguf(path)
+    rt8 = Runtime.from_gguf(path, tensor_parallel=8)
+    ids = rt1.tokenizer.encode("hello sharded world")
+    a = rt1.all_position_logits(ids, capacity=64)
+    b = rt8.all_position_logits(ids, capacity=64)
+    assert np.array_equal(a.argmax(-1), b.argmax(-1))
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
