@@ -76,6 +76,9 @@ class ModelConfig:
     embd_scale: float = 0.0           # input embedding scale (gemma: sqrt(E))
     act: str = "silu"                 # FFN activation: silu | gelu | relu2
     moe_act: str = "silu"             # MoE activation (gpt-oss: swiglu_oai)
+    norm_type: str = "rms"            # rms | layer (starcoder2-style LN+bias)
+    residual_scale: float = 0.0       # granite f_residual_scale
+    no_rope_step: int = 0             # smollm3: skip rope every Nth layer
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:
@@ -142,7 +145,21 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         f_attn_scale = (1.0 / (n_embd / max(n_head, 1)) ** 0.5 if n_layer == 62
                         else 1.0 / float(head_dim) ** 0.5)
     moe_act = "silu"
+    norm_type = "rms"
+    residual_scale = 0.0
+    no_rope_step = 0
     expert_gating = int(a("expert_gating_func", 1))
+    if arch in ("granite", "granitemoe"):
+        # granite multipliers (llama-hparams.cpp:1344-1351; build_llama.cpp
+        # residual/embedding/logit scaling)
+        residual_scale = float(a("residual_scale", 1.0))
+        embd_scale = float(a("embedding_scale", 1.0))
+        f_attn_scale = float(a("attention.scale", 0.0))
+    elif arch == "smollm3":
+        no_rope_step = 4      # llama-hparams.cpp:1496
+    elif arch == "starcoder2":
+        norm_type = "layer"
+        act = "gelu"
     if arch == "gpt-oss":
         # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
         # softmax-over-topk routing, clamped swiglu_oai experts
@@ -202,5 +219,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         embd_scale=embd_scale,
         act=act,
         moe_act=moe_act,
+        norm_type=norm_type,
+        residual_scale=residual_scale,
+        no_rope_step=no_rope_step,
         extra={},
     )

@@ -80,6 +80,8 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         dtype=jnp.bfloat16,
     )
     params["output_norm"] = load_dense(t["output_norm.weight"])
+    if "output_norm.bias" in t:
+        params["output_norm_b"] = load_dense(t["output_norm.bias"])
     out_name = "output.weight" if "output.weight" in t else "token_embd.weight"
     params["output"] = load_linear(t[out_name], use_quant=use_quant)
 
@@ -130,7 +132,8 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                 if p + name + ".weight" in t:
                     blk[key] = load_dense(t[p + name + ".weight"])
         for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias",
-                      "attn_output.bias"):
+                      "attn_output.bias", "attn_norm.bias", "ffn_norm.bias",
+                      "ffn_up.bias", "ffn_down.bias", "ffn_gate.bias"):
             if p + opt_b in t:
                 blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])
         for sn in ("attn_sinks.weight", "attn_sinks"):
@@ -183,6 +186,12 @@ def _load_experts(t, prefix: str) -> ExpertWeights:
     )
 
 
+def _norm(x, w, b, cfg: ModelConfig):
+    if cfg.norm_type == "layer":
+        return L.layer_norm(x, w, b, cfg.rms_eps)
+    return L.rms_norm(x, w, cfg.rms_eps)
+
+
 def _sumsq(x):
     """Per-column sum of squares over all token rows (imatrix statistic)."""
     xf = x.astype(jnp.float32)
@@ -218,8 +227,19 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
     if "ffn_gate" in blk:
         gate = blk["ffn_gate"](h, interpret=interpret)
         up = blk["ffn_up"](h, interpret=interpret)
-    else:   # fused gate+up in one tensor (phi3, build_phi3.cpp LLM_FFN_SWIGLU)
+    else:
         both = blk["ffn_up"](h, interpret=interpret)
+        if "ffn_up_bias" in blk:
+            both = both + blk["ffn_up_bias"]
+        if both.shape[-1] == cfg.n_ff:
+            # no gate at all (starcoder2 GELU-SEQ, build_starcoder2.cpp:70)
+            y = L.gelu(both.astype(jnp.float32)) if cfg.act == "gelu" \
+                else L.silu(both.astype(jnp.float32))
+            y = blk["ffn_down"](y.astype(jnp.bfloat16), interpret=interpret)
+            if "ffn_down_bias" in blk:
+                y = y + blk["ffn_down_bias"]
+            return y
+        # fused gate+up in one tensor (phi3, build_phi3.cpp LLM_FFN_SWIGLU)
         gate, up = jnp.split(both, 2, axis=-1)
     act = L.glu(gate, up, cfg.act).astype(jnp.bfloat16)
     if stats is not None:
@@ -263,8 +283,9 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         q = L.rms_norm(q, blk["attn_q_norm"], cfg.rms_eps)
         k = L.rms_norm(k, blk["attn_k_norm"], cfg.rms_eps)
 
-    q = L.apply_rope(q, cos, sin, cfg.rope_type)
-    k = L.apply_rope(k, cos, sin, cfg.rope_type)
+    if cos is not None:           # smollm3 NoPE layers pass cos=None
+        q = L.apply_rope(q, cos, sin, cfg.rope_type)
+        k = L.apply_rope(k, cos, sin, cfg.rope_type)
 
     # append to cache at each row's n_past (vector for continuous batching)
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
@@ -371,10 +392,12 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         is_swa = cfg.layer_is_swa(i)
-        h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        nope = cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0
+        h = _norm(x, blk["attn_norm"], blk.get("attn_norm_bias"), cfg)
         attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
             blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos,
-            cos_swa if is_swa else cos, sin_swa if is_swa else sin, interpret,
+            None if nope else (cos_swa if is_swa else cos),
+            None if nope else (sin_swa if is_swa else sin), interpret,
             tp_axis=tp_axis, stats=stats, il=i,
             kv_ks=None if kv.k_scale is None else kv.k_scale[i],
             kv_vs=None if kv.v_scale is None else kv.v_scale[i],
@@ -382,7 +405,12 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         if "attn_post_norm" in blk:   # gemma2/3 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         x = x + attn_out.astype(x.dtype)
-        h = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+        if cfg.residual_scale > 0:
+            # granite f_residual_scale — this fork scales the WHOLE stream
+            # after the residual add (build_llama.cpp:114 on the output of
+            # build_std_attention(add_input=true))
+            x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
+        h = _norm(x, blk["ffn_norm"], blk.get("ffn_norm_bias"), cfg)
         ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
                   ep_axis=ep_axis)
         if tp_axis is not None:
@@ -390,6 +418,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         if "ffn_post_norm" in blk:
             ff = L.rms_norm(ff, blk["ffn_post_norm"], cfg.rms_eps)
         x = x + ff.astype(x.dtype)
+        if cfg.residual_scale > 0:
+            x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         if "cvec" in params:   # control vector (lctx.cvec.apply_to at l_out)
             x = x + params["cvec"][i].astype(x.dtype)
         if return_layer_hiddens:
@@ -404,7 +434,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                  None if new_vs[0] is None else jnp.stack(new_vs))
     if return_layer_hiddens:
         return jnp.stack(layer_hiddens), kv
-    x = L.rms_norm(x, params["output_norm"], cfg.rms_eps)
+    x = _norm(x, params["output_norm"], params.get("output_norm_b"), cfg)
     if return_hidden:
         return x.astype(jnp.float32), kv
     if logits_last_only:
@@ -416,6 +446,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         # vocab-sharded head -> gather full logits, drop vocab padding
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
         logits = logits[..., :cfg.n_vocab]
+    if cfg.f_logit_scale > 0:     # granite: logits / f_logit_scale
+        logits = logits / cfg.f_logit_scale
     if cfg.final_softcap > 0:
         logits = L.softcap(logits, cfg.final_softcap)
     if collect_stats:

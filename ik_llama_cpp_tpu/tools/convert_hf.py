@@ -33,6 +33,8 @@ ARCH_MAP = {
     "Phi3ForCausalLM": "phi3",
     "MambaForCausalLM": "mamba",
     "MambaLMHeadModel": "mamba",
+    "Starcoder2ForCausalLM": "starcoder2",
+    "GraniteForCausalLM": "granite",
 }
 
 # HF name template -> GGUF name template
@@ -58,6 +60,18 @@ NAME_MAP = [
     # phi3 fused projections
     ("model.layers.{i}.self_attn.qkv_proj.weight", "blk.{i}.attn_qkv.weight"),
     ("model.layers.{i}.mlp.gate_up_proj.weight", "blk.{i}.ffn_up.weight"),
+    # starcoder2 (biased LN + c_fc/c_proj FFN)
+    ("model.layers.{i}.self_attn.q_proj.bias", "blk.{i}.attn_q.bias"),
+    ("model.layers.{i}.self_attn.k_proj.bias", "blk.{i}.attn_k.bias"),
+    ("model.layers.{i}.self_attn.v_proj.bias", "blk.{i}.attn_v.bias"),
+    ("model.layers.{i}.self_attn.o_proj.bias", "blk.{i}.attn_output.bias"),
+    ("model.layers.{i}.input_layernorm.bias", "blk.{i}.attn_norm.bias"),
+    ("model.layers.{i}.post_attention_layernorm.bias", "blk.{i}.ffn_norm.bias"),
+    ("model.layers.{i}.mlp.c_fc.weight", "blk.{i}.ffn_up.weight"),
+    ("model.layers.{i}.mlp.c_fc.bias", "blk.{i}.ffn_up.bias"),
+    ("model.layers.{i}.mlp.c_proj.weight", "blk.{i}.ffn_down.weight"),
+    ("model.layers.{i}.mlp.c_proj.bias", "blk.{i}.ffn_down.bias"),
+    ("model.norm.bias", "output_norm.bias"),
 ]
 
 # gemma2/3 sandwich norms: HF's post_attention_layernorm is the POST-attn
@@ -178,7 +192,7 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     n_kv = cfg.get("num_key_value_heads", n_head)
     n_embd = cfg["hidden_size"]
     head_dim = cfg.get("head_dim", n_embd // n_head)
-    permute = arch == "llama"  # NORM-rope archs need the q/k permute
+    permute = arch in ("llama", "granite")  # NORM-rope archs: q/k permute
     is_gemma = arch in ("gemma", "gemma2", "gemma3")
 
     w = GGUFWriter(out_path, arch=arch)
@@ -189,7 +203,17 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     w.add(f"{arch}.feed_forward_length", cfg["intermediate_size"])
     w.add(f"{arch}.attention.head_count", n_head)
     w.add(f"{arch}.attention.head_count_kv", n_kv)
-    w.add(f"{arch}.attention.layer_norm_rms_epsilon", cfg.get("rms_norm_eps", 1e-5))
+    if arch == "starcoder2":
+        w.add(f"{arch}.attention.layer_norm_epsilon",
+              cfg.get("norm_epsilon", 1e-5))
+    else:
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              cfg.get("rms_norm_eps", 1e-5))
+    if arch == "granite":
+        w.add(f"{arch}.embedding_scale", float(cfg.get("embedding_multiplier", 1.0)))
+        w.add(f"{arch}.residual_scale", float(cfg.get("residual_multiplier", 1.0)))
+        w.add(f"{arch}.attention.scale", float(cfg.get("attention_multiplier", 0.0)))
+        w.add(f"{arch}.logit_scale", float(cfg.get("logits_scaling", 1.0)))
     w.add(f"{arch}.rope.freq_base", cfg.get("rope_theta", 10000.0))
     if arch == "phi3":
         rot = int(head_dim * cfg.get("partial_rotary_factor", 1.0))

@@ -652,3 +652,114 @@ def make_tiny_gptoss_gguf(
         w.add_tensor(p + "ffn_down_exps.bias", randw(n_expert, n_embd) * 0.1)
     w.write()
     return path
+
+
+def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
+                             n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
+                             n_ff=128):
+    """Generic llama-structured fixture with an arbitrary arch name +
+    extra metadata (granite, smollm3, ...)."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    for k, v in (extra_kv or {}).items():
+        w.add(k, v)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path
+
+
+def make_tiny_starcoder2_gguf(path, *, seed=0, n_layer=2, n_embd=64,
+                              n_head=4, n_head_kv=2, n_ff=128):
+    """starcoder2: LayerNorm (weight+bias), biased attn/ffn, no-gate GELU FFN."""
+    path = Path(path)
+    arch = "starcoder2"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-starcoder2")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("output_norm.bias", np.zeros(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "attn_norm.bias", randw(n_embd) * 0.02)
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "attn_q.bias", randw(n_embd) * 0.05)
+        w.add_tensor(p + "attn_k.bias", randw(kv_dim) * 0.05)
+        w.add_tensor(p + "attn_v.bias", randw(kv_dim) * 0.05)
+        w.add_tensor(p + "attn_output.bias", randw(n_embd) * 0.05)
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_norm.bias", randw(n_embd) * 0.02)
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        w.add_tensor(p + "ffn_up.bias", randw(n_ff) * 0.05)
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        w.add_tensor(p + "ffn_down.bias", randw(n_embd) * 0.05)
+    w.write()
+    return path

@@ -119,3 +119,27 @@ def test_convert_mamba(tmp_path):
         transformers.MambaConfig, transformers.MambaForCausalLM, tmp_path,
         "tiny-mamba", vocab_size=256, hidden_size=64, state_size=16,
         num_hidden_layers=2, conv_kernel=4, expand=2, use_cache=False)
+
+
+def test_convert_starcoder2(tmp_path):
+    _convert_parity(
+        transformers.Starcoder2Config, transformers.Starcoder2ForCausalLM,
+        tmp_path, "tiny-sc2", vocab_size=256, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=512,
+        norm_epsilon=1e-5, use_bias=True, tie_word_embeddings=False)
+
+
+def test_convert_granite(tmp_path):
+    _convert_parity(
+        transformers.GraniteConfig, transformers.GraniteForCausalLM,
+        tmp_path, "tiny-granite", vocab_size=256, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=512,
+        embedding_multiplier=2.0, residual_multiplier=1.0,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        tie_word_embeddings=False)
+    # NOTE: residual_multiplier fixed at 1.0 here — the reference fork scales
+    # the whole residual stream (build_llama.cpp:114 after add_input=true)
+    # while HF granite scales only the branch; we match the fork (see
+    # tests/test_cross_engine.py::test_granite_logit_parity).
