@@ -35,7 +35,7 @@ def _bucket(n: int) -> int:
 
 _DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
                  "gemma2", "gemma3", "phi3", "qwen2moe", "qwen3moe",
-                 "internlm2", "smollm3", "olmo", "mistral3", "granite",
+                 "internlm2", "smollm3", "mistral3", "granite",
                  "exaone", "starcoder2", "mixtral", "gpt-oss")
 FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
