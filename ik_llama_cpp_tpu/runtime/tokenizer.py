@@ -48,158 +48,72 @@ def _cat(ch):
     return unicodedata.category(ch)
 
 
+import regex as _rx
+
+_GPT2_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+_LLAMA3_RE = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|"
+              r"\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
+              r"\s+(?!\S)|\s+")
+_CJK = r"[\u4E00-\u9FA5\u0800-\u4E00\uAC00-\uD7FF]+"
+
+# per-`tokenizer.ggml.pre` regex lists, applied sequentially like the
+# reference's unicode_regex_split (llama-vocab.cpp:280-400)
+_PRE_EXPRS: dict[str, list[str]] = {
+    "default": [_GPT2_RE],
+    "gpt-2": [_GPT2_RE],
+    "gpt2": [_GPT2_RE],
+    "mpt": [_GPT2_RE],
+    "olmo": [_GPT2_RE],
+    "jais": [_GPT2_RE],
+    "llama3": [_LLAMA3_RE],
+    "llama-v3": [_LLAMA3_RE],
+    "llama-bpe": [_LLAMA3_RE],
+    "falcon": [r"[\p{P}\$\+<=>\^~\|`]+",
+               r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
+               r"[0-9][0-9][0-9]"],
+    "starcoder": [r"\p{N}", _GPT2_RE],
+    "refact": [r"\p{N}", _GPT2_RE],
+    "command-r": [r"\p{N}", _GPT2_RE],
+    "smaug-bpe": [r"\p{N}", _GPT2_RE],
+    "deepseek-coder": [r"[\r\n]", r"\s?\p{L}+", r"\s?\p{P}+", _CJK,
+                      r"\p{N}"],
+    "deepseek-llm": [r"[\r\n]",
+                     r"\s?[A-Za-z\u00B5\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u01BA]+",
+                     r"\s?[!-/:-~\uFF01-\uFF0F\uFF1A-\uFF5E\u2018-\u201F\u3000-\u3002]+",
+                     r"\s+$", _CJK, r"\p{N}+"],
+    "qwen2": [r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+              r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"],
+    "stablelm2": [r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+                  r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"],
+}
+
+
 class _Pretok:
-    """Implements the gpt2 / llama3 style splitting without the regex module."""
+    """BPE pre-tokenizer: the reference applies a per-`pre` list of regexes
+    sequentially, each splitting every current piece into matches + gaps
+    (unicode_regex_split, src/unicode.cpp). Python's `regex` module gives us
+    the same unicode property classes the reference implements by hand."""
 
     def __init__(self, kind: str):
-        self.kind = kind
+        exprs = _PRE_EXPRS.get(kind, _PRE_EXPRS["default"])
+        self.pats = [_rx.compile(e) for e in exprs]
 
     def __call__(self, text: str) -> list[str]:
-        if self.kind == "llama3":
-            return self._llama3(text)
-        return self._gpt2(text)
-
-    # gpt2: 's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
-    def _gpt2(self, text: str) -> list[str]:
-        out = []
-        i, n = 0, len(text)
-        while i < n:
-            ch = text[i]
-            # contractions
-            if ch == "'" and i + 1 < n:
-                for suf in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
-                    if text.startswith(suf, i):
-                        out.append(suf)
-                        i += len(suf)
-                        break
-                else:
-                    out.append(self._punct_run(text, i)[0])
-                    i += len(out[-1])
-                continue
-            j = i
-            lead = ""
-            if ch == " " and i + 1 < n and not text[i + 1].isspace():
-                lead = " "
-                j = i + 1
-                ch = text[j]
-            if _cat(ch).startswith("L"):
-                k = j
-                while k < n and _cat(text[k]).startswith("L"):
-                    k += 1
-                out.append(lead + text[j:k])
-                i = k
-            elif _cat(ch).startswith("N"):
-                k = j
-                while k < n and _cat(text[k]).startswith("N"):
-                    k += 1
-                out.append(lead + text[j:k])
-                i = k
-            elif ch.isspace():
-                # \s+(?!\S) or \s+
-                k = i
-                while k < n and text[k].isspace():
-                    k += 1
-                if k < n and k - i > 1:
-                    out.append(text[i:k - 1])
-                    i = k - 1
-                else:
-                    out.append(text[i:k])
-                    i = k
-            else:
-                run, _ = self._punct_run(text, j)
-                out.append(lead + run)
-                i = j + len(run)
-        return out
-
-    def _punct_run(self, text, i):
-        n = len(text)
-        k = i
-        while k < n and not text[k].isspace() and not _cat(text[k]).startswith(("L", "N")):
-            k += 1
-        return text[i:k], k
-
-    # llama3: (?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+
-    def _llama3(self, text: str) -> list[str]:
-        out = []
-        i, n = 0, len(text)
-        while i < n:
-            ch = text[i]
-            low = text[i:i + 4].lower()
-            matched = False
-            for suf in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
-                if low.startswith(suf) and ch == "'":
-                    out.append(text[i:i + len(suf)])
-                    i += len(suf)
-                    matched = True
-                    break
-            if matched:
-                continue
-            # [^\r\n\p{L}\p{N}]?\p{L}+
-            j = i
-            if ch not in "\r\n" and not _cat(ch).startswith(("L", "N")):
-                if i + 1 < n and _cat(text[i + 1]).startswith("L"):
-                    j = i + 1
-            if j < n and _cat(text[j]).startswith("L"):
-                k = j
-                while k < n and _cat(text[k]).startswith("L"):
-                    k += 1
-                out.append(text[i:k])
-                i = k
-                continue
-            # \p{N}{1,3}
-            if _cat(ch).startswith("N"):
-                k = min(i + 3, n)
-                j = i
-                while j < k and _cat(text[j]).startswith("N"):
-                    j += 1
-                out.append(text[i:j])
-                i = j
-                continue
-            #  ?[^\s\p{L}\p{N}]+[\r\n]*
-            j = i
-            lead = ""
-            if ch == " ":
-                nxt = text[i + 1] if i + 1 < n else ""
-                if nxt and not nxt.isspace() and not _cat(nxt).startswith(("L", "N")):
-                    lead = " "
-                    j = i + 1
-            if j < n and not text[j].isspace() and not _cat(text[j]).startswith(("L", "N")):
-                k = j
-                while k < n and not text[k].isspace() and not _cat(text[k]).startswith(("L", "N")):
-                    k += 1
-                while k < n and text[k] in "\r\n":
-                    k += 1
-                out.append(lead + text[j:k] if not lead else " " + text[j:k])
-                i = k
-                continue
-            # \s*[\r\n]+
-            if ch.isspace():
-                k = i
-                while k < n and text[k].isspace():
-                    k += 1
-                seg = text[i:k]
-                if "\n" in seg or "\r" in seg:
-                    # greedy \s*[\r\n]+ : trailing whitespace after last newline
-                    last = max(seg.rfind("\n"), seg.rfind("\r"))
-                    if last + 1 < len(seg):
-                        out.append(seg[:last + 1])
-                        i += last + 1
-                        continue
-                    out.append(seg)
-                    i = k
-                    continue
-                # \s+(?!\S) / \s+
-                if k < n and k - i > 1:
-                    out.append(text[i:k - 1])
-                    i = k - 1
-                else:
-                    out.append(text[i:k])
-                    i = k
-                continue
-            out.append(ch)
-            i += 1
-        return out
-
+        pieces = [text]
+        for pat in self.pats:
+            nxt: list[str] = []
+            for p in pieces:
+                last = 0
+                for m in pat.finditer(p):
+                    if m.start() > last:
+                        nxt.append(p[last:m.start()])
+                    if m.group():
+                        nxt.append(m.group())
+                    last = m.end()
+                if last < len(p):
+                    nxt.append(p[last:])
+            pieces = nxt
+        return pieces
 
 @dataclass
 class Tokenizer:
@@ -231,17 +145,21 @@ class Tokenizer:
                     if s.startswith("<0x") and s.endswith(">"):
                         self.byte_tokens[int(s[3:-1], 16)] = i
         self.specials = []
-        if self.token_types is not None:
+        self.user_specials = []     # USER_DEFINED: always partitioned, even
+        if self.token_types is not None:   # with parse_special=False
             for i, tt in enumerate(self.token_types):
                 if tt in (TT_CONTROL, TT_USER_DEFINED) and self.tokens[i]:
                     self.specials.append(self.tokens[i])
+                    if tt == TT_USER_DEFINED:
+                        self.user_specials.append(self.tokens[i])
         self.specials.sort(key=len, reverse=True)
+        self.user_specials.sort(key=len, reverse=True)
         if self.merges:
             self.merge_ranks = {}
             for rank, m in enumerate(self.merges):
                 a, _, b = m.partition(" ")
                 self.merge_ranks[(a, b)] = rank
-        self._pretok = _Pretok("llama3" if self.pre in ("llama3", "llama-v3", "llama-bpe") else "gpt2")
+        self._pretok = _Pretok(self.pre)
 
     # ------------------------------------------------------------------ SPM
     def _spm_encode_piece(self, text: str) -> list[int]:
@@ -359,25 +277,36 @@ class Tokenizer:
             ids.append(self.eos_id)
         return ids
 
-    def _encode_raw(self, text: str) -> list[int]:
+    def _encode_plain(self, text: str) -> list[int]:
         if self.model == "llama":
             return self._encode_spm(text)
         return self._encode_bpe(text)
 
-    def _encode_with_specials(self, text: str) -> list[int]:
-        if not self.specials:
-            return self._encode_raw(text)
-        pattern = "|".join(re.escape(s) for s in self.specials)
+    def _split_on(self, text: str, specials: list[str]) -> list[int]:
+        pattern = "|".join(re.escape(s) for s in specials)
         out = []
         pos = 0
         for m in re.finditer(pattern, text):
             if m.start() > pos:
-                out.extend(self._encode_raw(text[pos:m.start()]))
+                out.extend(self._encode_plain(text[pos:m.start()]))
             out.append(self.vocab[m.group(0)])
             pos = m.end()
         if pos < len(text):
-            out.extend(self._encode_raw(text[pos:]))
+            out.extend(self._encode_plain(text[pos:]))
         return out
+
+    def _encode_raw(self, text: str) -> list[int]:
+        # USER_DEFINED tokens partition the text regardless of parse_special
+        # (llama-vocab.cpp tokenizer_st_partition: only CONTROL/UNKNOWN are
+        # gated on parse_special)
+        if not self.user_specials:
+            return self._encode_plain(text)
+        return self._split_on(text, self.user_specials)
+
+    def _encode_with_specials(self, text: str) -> list[int]:
+        if not self.specials:
+            return self._encode_plain(text)
+        return self._split_on(text, self.specials)
 
     def decode(self, ids: Iterable[int]) -> str:
         if self.model == "llama":

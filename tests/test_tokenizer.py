@@ -14,7 +14,8 @@ from ik_llama_cpp_tpu.runtime.tokenizer import tokenizer_from_gguf
 REF = Path("/root/reference/models")
 
 # vocabs we commit to exact parity on in round 1
-VOCABS = ["llama-spm", "gpt-2"]
+VOCABS = ["llama-spm", "gpt-2", "phi-3", "mpt", "starcoder", "refact",
+          "falcon", "deepseek-coder", "deepseek-llm"]
 
 
 def load_cases(name):
