@@ -308,6 +308,29 @@ class Tokenizer:
             return self._encode_plain(text)
         return self._split_on(text, self.specials)
 
+    def decode_bytes(self, ids: Iterable[int]) -> bytes:
+        """Raw UTF-8 bytes of the pieces — for streaming detokenization where
+        a multibyte character may span tokens (the server buffers bytes until
+        they form valid UTF-8, like the reference's partial-UTF8 handling)."""
+        buf = bytearray()
+        if self.model == "llama":
+            for i in ids:
+                tt = self.token_types[i] if self.token_types is not None else TT_NORMAL
+                piece = self.tokens[i]
+                if tt == TT_BYTE:
+                    buf.append(int(piece[3:-1], 16))
+                else:
+                    buf.extend(piece.replace(_SPACE, " ").encode("utf-8"))
+            return bytes(buf)
+        for i in ids:
+            piece = self.tokens[i]
+            tt = self.token_types[i] if self.token_types is not None else TT_NORMAL
+            if tt in (TT_CONTROL, TT_USER_DEFINED):
+                buf.extend(piece.encode("utf-8"))
+            else:
+                buf.extend(bytes(_BYTE_DEC.get(c, ord(" ")) for c in piece))
+        return bytes(buf)
+
     def decode(self, ids: Iterable[int]) -> str:
         if self.model == "llama":
             buf = bytearray()

@@ -63,6 +63,7 @@ class Slot:
     text: str = ""
     forced: list = field(default_factory=list)   # forced next tokens
     n_think: int = 0
+    pending: bytes = b""        # partial UTF-8 tail awaiting continuation
     t_start: float = 0.0
     t_first_token: float = 0.0
 
@@ -161,6 +162,7 @@ class BatchEngine:
             slot.text = ""
             slot.forced = []
             slot.n_think = 0
+            slot.pending = b""
             slot.rng = np.random.default_rng(req.seed)
             slot.sampler_state = SamplerState()
             slot.state = SlotState.PREFILL
@@ -198,7 +200,19 @@ class BatchEngine:
         slot.tokens.append(int(tok))
         slot.n_decoded += 1
         self.n_tokens_predicted += 1
-        piece = self.rt.tokenizer.decode([int(tok)])
+        # streaming-safe detok: buffer bytes until they form valid UTF-8
+        raw = slot.pending + self.rt.tokenizer.decode_bytes([int(tok)])
+        try:
+            piece = raw.decode("utf-8")
+            slot.pending = b""
+        except UnicodeDecodeError as e:
+            if e.reason.startswith("unexpected end") or e.start > 0 and \
+                    len(raw) - e.start < 4:
+                piece = raw[: e.start].decode("utf-8", errors="replace")
+                slot.pending = raw[e.start:]
+            else:
+                piece = raw.decode("utf-8", errors="replace")
+                slot.pending = b""
         slot.text += piece
         done = False
         if tok == self.rt.tokenizer.eos_id:

@@ -126,3 +126,32 @@ def test_reasoning_budget_forces_close(engine):
     # rambling stopped within budget + len("</think>" tokens) of the open
     head = slot.text.split("</think>")[0]
     assert head.count(engine.rt.tokenizer.decode([40])) <= 4
+
+
+def test_streaming_multibyte_utf8(engine):
+    """Emoji/CJK bytes split across byte-fallback tokens must stream without
+    replacement characters."""
+    tok = engine.rt.tokenizer
+    # byte-fallback encode of an emoji spans 4 BYTE tokens in the tiny vocab
+    ids = tok.encode("🚀🦙", add_bos=False)
+    assert len(ids) >= 8
+    from ik_llama_cpp_tpu.server.engine import BatchEngine, SlotState
+    eng2 = BatchEngine(engine.rt, n_slots=1, capacity=64)
+    q = queue.Queue()
+    req_ = Request(prompt_ids=[10, 11], n_predict=len(ids),
+                   sampler=SamplerParams(temp=0.0), stream_queue=q)
+    eng2.submit(req_)
+    eng2._admit()
+    slot = eng2.slots[0]
+    slot.state = SlotState.GENERATING
+    # force the engine to emit exactly the emoji byte tokens
+    slot.forced = list(ids)
+    logits = np.zeros(engine.rt.cfg.n_vocab, np.float32)
+    pieces = []
+    for _ in range(len(ids)):
+        eng2._emit_token(slot, logits)
+        t, piece, done = q.get(timeout=5)
+        pieces.append(piece)
+    text = "".join(pieces)
+    assert "�" not in text
+    assert "🚀" in text and "🦙" in text
