@@ -311,8 +311,12 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_len = npv + t
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
-    if sinks is not None:
-        # sinks need the softmax-denominator extension: XLA attend path
+    if sinks is not None and _use_pallas() and not quant:
+        attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale,
+                               softcap=cfg.attn_softcap, swa_window=swa_window,
+                               sinks=sinks)
+    elif sinks is not None:
+        # quantized-KV + sinks: XLA attend path (dequantize first)
         attn = attend(qb, kv_k if not quant else dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
                       kv_v if not quant else dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,

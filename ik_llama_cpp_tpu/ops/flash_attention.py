@@ -29,16 +29,30 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-               acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts, d, dv, h):
+def _fa_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts, d,
+               dv, h, has_sinks=False):
+    if has_sinks:
+        sinks_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = rest
+        sinks_ref = None
     j = pl.program_id(2)
     nj = pl.num_programs(2)
+    head = pl.program_id(0) % h
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if has_sinks:
+            # attention sink (gpt-oss): an extra per-head logit in the
+            # softmax denominator == online-softmax state initialized to
+            # m = sink, l = 1 (ggml_flash_attn_ext_add_sinks semantics)
+            sk = sinks_ref[head]
+            m_ref[:] = jnp.full_like(m_ref, sk)
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
 
     batch = pl.program_id(0) // h
     q_pos0 = qpos_ref[batch]
@@ -88,6 +102,7 @@ def _fa_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 )
 def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
                     softcap: float = 0.0, swa_window: int = 0,
+                    sinks=None,
                     block_q: int = 512, block_kv: int = 2048,
                     interpret: bool = False):
     """q: (B, T, H, D); k, v: (B, S, Hkv, D).
@@ -120,13 +135,24 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
     grid = (b * h, tpad // tq, spad // ts)
 
+    in_prefix = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos0 (B,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_len (B,)
+    ]
+    args_prefix = [
+        jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
+        jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
+    ]
+    if sinks is not None:
+        in_prefix.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # sinks (H,)
+        args_prefix.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, softcap=softcap,
-                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
+                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h,
+                          has_sinks=sinks is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos0 (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_len (1,)
+        in_specs=in_prefix + [
             pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts, dp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
@@ -148,9 +174,7 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
-      jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
-      qr, kr, vr)
+    )(*args_prefix, qr, kr, vr)
 
     out = out[:, :t, :dv].reshape(b, h, t, dv).transpose(0, 2, 1, 3)
     return out

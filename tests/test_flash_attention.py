@@ -83,3 +83,32 @@ def test_q8_kv_cache_matches_bf16():
     nxt = jnp.asarray([[int(got[0, -1].argmax())]], dtype=jnp.int32)
     got2, kv_q = llama_mod.forward(params, cfg, nxt, kv_q, jnp.int32(24))
     assert np.isfinite(np.asarray(got2)).all()
+
+
+def test_fa_sinks_matches_oracle():
+    """Pallas FA with attention sinks vs the attend() oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ik_llama_cpp_tpu.ops.attention import attend
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(4)
+    B, T, H, HKV, D, S = 1, 16, 4, 2, 64, 64
+    q = jax.random.normal(key, (B, T, H, D), jnp.float32) * 0.5
+    k = jax.random.normal(jax.random.PRNGKey(5), (B, S, HKV, D), jnp.float32) * 0.5
+    v = jax.random.normal(jax.random.PRNGKey(6), (B, S, HKV, D), jnp.float32) * 0.5
+    sinks = jnp.asarray([0.5, -1.0, 2.0, 0.0], jnp.float32)
+    npv = jnp.full((B,), S - T, jnp.int32)
+    kvlen = jnp.full((B,), S, jnp.int32)
+    qpos = npv[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    ref = attend(q, k, v, q_pos=qpos, kv_len=kvlen, scale=0.125, sinks=sinks)
+    got = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16), npv, kvlen, scale=0.125,
+                          sinks=sinks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2)
+    # sinks must actually matter
+    ref0 = attend(q, k, v, q_pos=qpos, kv_len=kvlen, scale=0.125)
+    assert np.abs(np.asarray(ref) - np.asarray(ref0)).max() > 1e-3
