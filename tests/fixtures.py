@@ -763,3 +763,78 @@ def make_tiny_starcoder2_gguf(path, *, seed=0, n_layer=2, n_embd=64,
         w.add_tensor(p + "ffn_down.bias", randw(n_embd) * 0.05)
     w.write()
     return path
+
+
+def make_tiny_qwen2moe_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 48,
+    n_ff_shexp: int = 96,
+    seed: int = 0,
+) -> Path:
+    """Tiny qwen2moe GGUF: attn biases, softmax router (norm off), gated
+    shared expert (ffn_gate_inp_shexp sigmoid gate)."""
+    path = Path(path)
+    arch = "qwen2moe"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-qwen2moe-test")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        w.add_tensor(p + "attn_q.bias", randw(n_embd) * 0.1)
+        w.add_tensor(p + "attn_k.bias", randw(kv_dim) * 0.1)
+        w.add_tensor(p + "attn_v.bias", randw(kv_dim) * 0.1)
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+        addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+        addw(p + "ffn_gate_shexp.weight", randw(n_ff_shexp, n_embd))
+        addw(p + "ffn_up_shexp.weight", randw(n_ff_shexp, n_embd))
+        addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
+        w.add_tensor(p + "ffn_gate_inp_shexp.weight", randw(1, n_embd))
+    w.write()
+    return path

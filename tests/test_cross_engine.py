@@ -259,3 +259,11 @@ def test_smollm3_logit_parity(tmp_path):
     model = make_tiny_llamalike_gguf(tmp_path / "sm3.gguf", arch="smollm3",
                                      seed=15, n_layer=4)
     _parity_check(model, "Hello world, this is a test", 0.15)
+
+
+@needs_ref
+def test_qwen2moe_logit_parity(tmp_path):
+    """qwen2moe: attn biases + MoE + sigmoid-gated shared expert."""
+    from fixtures import make_tiny_qwen2moe_gguf
+    model = make_tiny_qwen2moe_gguf(tmp_path / "q2m.gguf", seed=16)
+    _parity_check(model, "Hello world, this is a test", 0.20)
