@@ -70,6 +70,11 @@ _BLOCK_KINDS = {
     "attn_post_norm": "rep", "ffn_post_norm": "rep",
     "attn_q_norm": "rep", "attn_k_norm": "rep",
     "attn_q_bias": "colv", "attn_k_bias": "colv", "attn_v_bias": "colv",
+    # deepseek2 MLA (llama-load-tensors.cpp:4459-4545 split rules):
+    # per-head wq_b/wkv_b columns on 'model', wo rows; the latent path
+    # (wq_a, wkv_a_mqa, norms) is replicated like replicated_k_l
+    "wq_a": "rep", "wq_b": "col", "wkv_a_mqa": "rep", "wkv_b": "col",
+    "q_a_norm": "rep", "kv_a_norm": "rep", "exp_probs_b": "rep",
 }
 
 

@@ -31,7 +31,7 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
 
 
 def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params, *,
-                    logits_last_only: bool = False):
+                    fwd=None, logits_last_only: bool = False):
     """Build a jitted (params, tokens, kv, n_past) -> (logits, kv) over the mesh.
 
     params are only used for their pytree structure (to derive in_specs).
@@ -41,18 +41,23 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params, *,
     has_ep = EXPERT_AXIS in mesh.axis_names and mesh.shape[EXPERT_AXIS] > 1
     cfg_local = local_config(cfg, tp)
     pspecs = param_specs(params, ep=EXPERT_AXIS in mesh.axis_names)
+    if fwd is None:
+        fwd = llama_mod.forward
+    import inspect
+    fwd_kw = {}
+    if "ep_axis" in inspect.signature(fwd).parameters:
+        fwd_kw["ep_axis"] = EXPERT_AXIS if has_ep else None
 
     def per_shard(params, tokens, kv, n_past):
-        return llama_mod.forward(params, cfg_local, tokens, kv, n_past,
-                                 tp_axis=MODEL_AXIS,
-                                 ep_axis=EXPERT_AXIS if has_ep else None,
-                                 logits_last_only=logits_last_only)
+        return fwd(params, cfg_local, tokens, kv, n_past,
+                   tp_axis=MODEL_AXIS,
+                   logits_last_only=logits_last_only, **fwd_kw)
 
-    fwd = shard_map(
+    sharded = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(pspecs, P(DATA_AXIS, None), KVCache(kv_spec(), kv_spec()), P()),
         out_specs=(P(DATA_AXIS, None, None), KVCache(kv_spec(), kv_spec())),
         check_rep=False,
     )
-    return jax.jit(fwd)
+    return jax.jit(sharded)

@@ -88,7 +88,8 @@ class Runtime:
             from ..parallel.mesh import make_mesh, shard_params
             shape = ((1, tensor_parallel) if expert_parallel <= 1
                      else (1, expert_parallel, tensor_parallel))
-            mesh = make_mesh(shape)
+            n_dev = int(np.prod(shape))
+            mesh = make_mesh(shape, devices=jax.devices()[:n_dev])
             params = shard_params(params, mesh)
         return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
                    kv_quant=kv_quant, mesh=mesh)
@@ -107,7 +108,7 @@ class Runtime:
             if self.mesh is not None:
                 from ..parallel.tp import make_tp_forward
                 tp_fwd = make_tp_forward(cfg, self.mesh, self.params,
-                                         logits_last_only=last_only)
+                                         fwd=fwd, logits_last_only=last_only)
 
                 def step(params, tokens, kv, n_past, n_valid=None,
                          _f=tp_fwd):

@@ -122,3 +122,19 @@ def test_runtime_tensor_parallel(tmp_path):
     b = rt8.all_position_logits(ids, capacity=64)
     assert np.array_equal(a.argmax(-1), b.argmax(-1))
     np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
+
+
+def test_deepseek2_mla_tp(tmp_path):
+    """DeepSeek2 MLA under TP: per-head wq_b/wkv_b column split, replicated
+    latent path — must match single-chip logits (the reference's
+    distribute_mla_tensors_for_split_mode_graph semantics)."""
+    from fixtures import make_tiny_deepseek2_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    path = make_tiny_deepseek2_gguf(tmp_path / "ds2tp.gguf", n_head=4, seed=17)
+    rt1 = Runtime.from_gguf(path)
+    rt4 = Runtime.from_gguf(path, tensor_parallel=4)
+    ids = rt1.tokenizer.encode("hello sharded latent world")
+    a = rt1.all_position_logits(ids, capacity=64)
+    b = rt4.all_position_logits(ids, capacity=64)
+    assert np.array_equal(a.argmax(-1), b.argmax(-1))
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
