@@ -34,7 +34,15 @@ from .llama import KVCache, _load_experts, _sumsq
 from .weights import _use_pallas, dequant_tensor, load_dense, load_linear
 
 
-def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True):
+def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True,
+                          mla: bool = True):
+    """``mla=True`` enables the latent-cache absorb path (the reference's
+    -mla 2/3, build_deepseek2.cpp:148-206): wk_b/wv_b per-head projections
+    are derived from wkv_b at load (llm_prepare_mla, llama.cpp:2936) and the
+    KV cache stores only [kv_lora_rank | rope] per token instead of
+    per-head K/V — the memory feature that fits 160k-token DeepSeek contexts.
+    mla=False keeps the full per-head K/V cache (mla=0 semantics; currently
+    required for tensor-parallel serving)."""
     t = gg.tensors
     params: dict[str, Any] = {}
     params["tok_embd"] = jnp.asarray(
@@ -55,6 +63,17 @@ def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = 
             "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
             "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
         }
+        if mla:
+            # derive per-head absorb projections from wkv_b (llm_prepare_mla)
+            d_nope, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+            kvb_w = dequant_tensor(t[p + "attn_kv_b.weight"])  # (h*(nope+dv), lora_kv)
+            kvb_w = kvb_w.reshape(cfg.n_head, d_nope + dv, cfg.n_lora_kv)
+            blk["wk_b"] = jnp.asarray(
+                np.ascontiguousarray(kvb_w[:, :d_nope, :]), jnp.bfloat16)
+            blk["wv_b"] = jnp.asarray(
+                np.ascontiguousarray(kvb_w[:, d_nope:, :].transpose(0, 2, 1)),
+                jnp.bfloat16)   # (h, lora_kv, dv)
+            del blk["wkv_b"]
         if p + "attn_q_a.weight" in t:  # full variant with q lora
             blk["wq_a"] = load_linear(t[p + "attn_q_a.weight"], use_quant=use_quant)
             blk["q_a_norm"] = load_dense(t[p + "attn_q_a_norm.weight"])
@@ -77,6 +96,64 @@ def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = 
         blocks.append(blk)
     params["blocks"] = blocks
     return params
+
+
+def _mla_absorb_attention(blk, x, cfg: ModelConfig, kv_lat_cache, npv, q_pos,
+                          cos, sin, kq_scale, interpret=False, tp_axis=None):
+    """Latent-cache attention (FlashMLA-3 absorb): cache rows are
+    [latent(lora_kv) | roped k_pe(d_rope)] shared across heads (MQA); query
+    nope parts are absorbed through wk_b so scores form directly against the
+    latents, and the weighted latents re-project through wv_b."""
+    b, t, _ = x.shape
+    h = cfg.n_head
+    d_rope = cfg.qk_rope_head_dim
+    d_nope = cfg.qk_nope_head_dim
+    dk = d_nope + d_rope
+    lora_kv = cfg.n_lora_kv
+
+    if "wq_a" in blk:
+        q = blk["wq_a"](x, interpret=interpret)
+        q = L.rms_norm(q, blk["q_a_norm"], cfg.rms_eps)
+        q = blk["wq_b"](q, interpret=interpret)
+    else:
+        q = blk["wq"](x, interpret=interpret)
+    q = q.reshape(b, t, h, dk)
+    q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
+    q_pe = L.apply_rope(q_pe, cos, sin, cfg.rope_type)
+
+    kv_c = blk["wkv_a_mqa"](x, interpret=interpret)
+    kv_lat = L.rms_norm(kv_c[..., :lora_kv], blk["kv_a_norm"], cfg.rms_eps)
+    k_pe = L.apply_rope(kv_c[..., lora_kv:].reshape(b, t, 1, d_rope),
+                        cos, sin, cfg.rope_type)
+
+    # absorb: q_lat[h] = q_nope[h] @ wk_b[h]  (d_nope -> lora_kv)
+    q_lat = jnp.einsum("bthd,hdl->bthl", q_nope.astype(jnp.float32),
+                       blk["wk_b"].astype(jnp.float32))
+    q_full = jnp.concatenate([q_lat, q_pe.astype(jnp.float32)], axis=-1)
+
+    row = jnp.concatenate([kv_lat, k_pe[:, :, 0, :]], axis=-1)  # (B,T,Lk+R)
+    row = row.reshape(b, t, 1, lora_kv + d_rope).astype(kv_lat_cache.dtype)
+    upd = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
+        c, new, (st, jnp.int32(0), jnp.int32(0))))
+    kv_lat_cache = upd(kv_lat_cache, row, npv)
+
+    kv_len = npv + t
+    v_view = kv_lat_cache[..., :lora_kv]     # values = the latents themselves
+    qb = q_full.astype(jnp.bfloat16)
+    if _use_pallas():
+        attn = flash_attention(qb, kv_lat_cache, v_view, npv, kv_len,
+                               scale=kq_scale)
+    else:
+        attn = attend(qb, kv_lat_cache, v_view, q_pos=q_pos,
+                      kv_len=kv_len, scale=kq_scale)
+    # re-project weighted latents per head: (B,T,H,lora_kv) @ (h,lora_kv,dv)
+    out = jnp.einsum("bthl,hlv->bthv", attn.astype(jnp.float32),
+                     blk["wv_b"].astype(jnp.float32))
+    out = out.astype(jnp.bfloat16).reshape(b, t, h * cfg.v_head_dim)
+    out = blk["wo"](out, interpret=interpret)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out, kv_lat_cache
 
 
 def _mla_attention(blk, x, cfg: ModelConfig, kv_k, kv_v, npv, q_pos, cos, sin,
@@ -184,12 +261,19 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         attn_factor=attn_factor_scaled * cfg.rope_attn_factor if yarn else 1.0,
         n_ctx_orig=cfg.rope_orig_ctx or cfg.n_ctx_train)
 
+    absorb = "wk_b" in params["blocks"][0]
     new_k, new_v = [], []
     for i, blk in enumerate(params["blocks"]):
         hcur = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        attn_out, k_i, v_i = _mla_attention(
-            blk, hcur, cfg, kv.k[i], kv.v[i], npv, q_pos, cos, sin, kq_scale,
-            interpret, tp_axis)
+        if absorb:
+            attn_out, k_i = _mla_absorb_attention(
+                blk, hcur, cfg, kv.k[i], npv, q_pos, cos, sin, kq_scale,
+                interpret, tp_axis)
+            v_i = kv.v[i]       # unused placeholder (latent-only cache)
+        else:
+            attn_out, k_i, v_i = _mla_attention(
+                blk, hcur, cfg, kv.k[i], kv.v[i], npv, q_pos, cos, sin,
+                kq_scale, interpret, tp_axis)
         x = x + attn_out.astype(x.dtype)
         hcur = L.rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
         ff = _ds_ffn(blk, hcur, cfg, interpret=interpret)
@@ -212,7 +296,15 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     return logits, kv
 
 
-def make_cache(cfg: ModelConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> KVCache:
+def make_cache(cfg: ModelConfig, batch: int, capacity: int,
+               dtype=jnp.bfloat16, *, mla: bool = True) -> KVCache:
+    if mla:
+        # latent-only cache: [kv_lora_rank | rope] per token, one shared
+        # "head" (the reference's mla>=2 compressed cache)
+        kshape = (cfg.n_layer, batch, capacity, 1,
+                  cfg.n_lora_kv + cfg.qk_rope_head_dim)
+        return KVCache(jnp.zeros(kshape, dtype),
+                       jnp.zeros((cfg.n_layer, 1, 1, 1, 1), dtype))
     dk = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
     kshape = (cfg.n_layer, batch, capacity, cfg.n_head, dk)
     vshape = (cfg.n_layer, batch, capacity, cfg.n_head, cfg.v_head_dim)

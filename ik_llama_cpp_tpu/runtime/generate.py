@@ -81,8 +81,12 @@ class Runtime:
         if tensor_parallel and tensor_parallel > 1:
             fuse = False         # TP column split needs separate q/k/v
         kw = {}
-        if "fuse" in inspect.signature(loader).parameters:
+        sig = inspect.signature(loader).parameters
+        if "fuse" in sig:
             kw["fuse"] = fuse     # merge qkv / gate-up (single-chip fast path)
+        if "mla" in sig:
+            # latent absorb cache (single-chip); TP uses the full-KV path
+            kw["mla"] = not (tensor_parallel and tensor_parallel > 1)
         params = loader(gg, cfg, use_quant=use_quant, **kw)
         if tensor_parallel and tensor_parallel > 1:
             from ..parallel.mesh import make_mesh, shard_params
@@ -130,6 +134,9 @@ class Runtime:
         return self._step_fns[key]
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
+        if self.cfg.arch in ("deepseek2", "deepseek4"):
+            absorb = "wk_b" in self.params["blocks"][0]
+            return ds2_mod.make_cache(self.cfg, batch, capacity, mla=absorb)
         return CACHES[self.cfg.arch](self.cfg, batch, capacity, quant=self.kv_quant)
 
     def eval_tokens(self, ids: list[int], kv: KVCache, n_past: int = 0,

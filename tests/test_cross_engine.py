@@ -267,3 +267,38 @@ def test_qwen2moe_logit_parity(tmp_path):
     from fixtures import make_tiny_qwen2moe_gguf
     model = make_tiny_qwen2moe_gguf(tmp_path / "q2m.gguf", seed=16)
     _parity_check(model, "Hello world, this is a test", 0.20)
+
+
+def test_mla_absorb_matches_full_kv(tmp_path):
+    """The latent-cache absorb path (mla>=2 semantics) must reproduce the
+    full-KV path's logits — same math, compressed cache."""
+    from fixtures import make_tiny_deepseek2_gguf
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.models.config import config_from_gguf
+    from ik_llama_cpp_tpu.models import deepseek2 as ds2
+
+    path = make_tiny_deepseek2_gguf(tmp_path / "mla.gguf", seed=18)
+    rt_full = Runtime.from_gguf(path, tensor_parallel=0)
+    # force full-KV variant for the baseline
+    gg = load_gguf(path)
+    cfg = config_from_gguf(gg.metadata)
+    full_params = ds2.load_deepseek2_params(gg, cfg, mla=False)
+    rt_full.params = full_params
+    rt_full._step_fns.clear()
+    ids = rt_full.tokenizer.encode("the quick brown fox jumps")
+    base = rt_full.all_position_logits(ids, capacity=64)
+
+    rt_mla = Runtime.from_gguf(path)      # absorb by default
+    assert "wk_b" in rt_mla.params["blocks"][0]
+    # compressed cache: one shared head of (lora_kv + rope)
+    kv = rt_mla.new_cache(1, 32)
+    assert kv.k.shape[3] == 1
+    assert kv.k.shape[4] == rt_mla.cfg.n_lora_kv + rt_mla.cfg.qk_rope_head_dim
+    got = rt_mla.all_position_logits(ids, capacity=64)
+    # absorb reorders the bf16 matmul chain; compare distributions
+    ps, pb = _softmax_np(got), _softmax_np(base)
+    l1 = np.abs(ps - pb).sum(-1)
+    agree = (got.argmax(-1) == base.argmax(-1)).mean()
+    assert l1.max() < 0.15, f"max L1 {l1.max():.4f}"
+    assert agree >= 0.9, f"argmax agreement {agree:.2%}"
+

@@ -131,7 +131,15 @@ def test_deepseek2_mla_tp(tmp_path):
     from fixtures import make_tiny_deepseek2_gguf
     from ik_llama_cpp_tpu.runtime.generate import Runtime
     path = make_tiny_deepseek2_gguf(tmp_path / "ds2tp.gguf", n_head=4, seed=17)
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.models.config import config_from_gguf
+    from ik_llama_cpp_tpu.models import deepseek2 as ds2
     rt1 = Runtime.from_gguf(path)
+    # TP serves the full-KV path; compare against the same variant
+    gg = load_gguf(path)
+    rt1.params = ds2.load_deepseek2_params(gg, config_from_gguf(gg.metadata),
+                                           mla=False)
+    rt1._step_fns.clear()
     rt4 = Runtime.from_gguf(path, tensor_parallel=4)
     ids = rt1.tokenizer.encode("hello sharded latent world")
     a = rt1.all_position_logits(ids, capacity=64)
