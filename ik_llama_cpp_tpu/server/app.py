@@ -179,6 +179,12 @@ class Server:
             "n_layer": cfg.n_layer,
             "n_embd": cfg.n_embd,
             "n_vocab": cfg.n_vocab,
+            "chat_template": getattr(self.rt.tokenizer, "chat_template", None),
+            "default_generation_settings": {
+                "temperature": 0.8, "top_k": 40, "top_p": 0.95,
+                "min_p": 0.05, "n_predict": 128,
+            },
+            "total_slots": self.engine.n_slots,
         })
 
     async def metrics(self, request):
@@ -490,12 +496,51 @@ class Server:
                       "total_tokens": n_prompt + len(out)},
         })
 
+    @staticmethod
+    def _anthropic_flatten(messages: list[dict]) -> list[dict]:
+        """Flatten Anthropic content blocks (text / tool_use / tool_result)
+        into plain-text chat messages for templating."""
+        out = []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, str):
+                out.append(m)
+                continue
+            parts = []
+            for blk in c or []:
+                t = blk.get("type")
+                if t == "text":
+                    parts.append(blk.get("text", ""))
+                elif t == "tool_use":
+                    parts.append(f"<tool_call>{json.dumps({'name': blk.get('name'), 'arguments': blk.get('input', {})})}</tool_call>")
+                elif t == "tool_result":
+                    content = blk.get("content")
+                    if isinstance(content, list):
+                        content = "".join(p.get("text", "") for p in content
+                                          if isinstance(p, dict))
+                    parts.append(f"<tool_response>{content}</tool_response>")
+            out.append({**m, "content": "\n".join(parts)})
+        return out
+
     async def anthropic_messages(self, request):
         body = await request.json()
-        messages = body.get("messages", [])
+        messages = self._anthropic_flatten(body.get("messages", []))
         if body.get("system"):
-            messages = [{"role": "system", "content": body["system"]}] + messages
-        prompt = self._chat_prompt(messages)
+            sys_c = body["system"]
+            if isinstance(sys_c, list):
+                sys_c = "".join(p.get("text", "") for p in sys_c
+                                if isinstance(p, dict))
+            messages = [{"role": "system", "content": sys_c}] + messages
+        tools = None
+        if body.get("tools"):
+            # Anthropic tool schema -> the OpenAI-style shape chat templates
+            # expect (input_schema -> parameters)
+            tools = [{"type": "function",
+                      "function": {"name": t.get("name"),
+                                   "description": t.get("description", ""),
+                                   "parameters": t.get("input_schema", {})}}
+                     for t in body["tools"]]
+        prompt = self._chat_prompt(messages, tools=tools)
         ids = self.rt.tokenizer.encode(prompt)
         body.setdefault("max_tokens", 128)
         rid = f"msg_{uuid.uuid4().hex[:16]}"
@@ -530,11 +575,26 @@ class Server:
             await resp.write_eof()
             return resp
         toks, text = await self._run(ids, body, False)
+        reasoning, content_text = split_reasoning(text)
+        content_text, calls = parse_tool_calls(content_text)
+        content = []
+        if reasoning:
+            content.append({"type": "thinking", "thinking": reasoning})
+        if content_text:
+            content.append({"type": "text", "text": content_text})
+        for c in calls:
+            content.append({"type": "tool_use",
+                            "id": "toolu_" + uuid.uuid4().hex[:16],
+                            "name": c.name,
+                            "input": json.loads(c.arguments or "{}")})
+        if not content:
+            content = [{"type": "text", "text": ""}]
         return web.json_response({
             "id": rid,
             "type": "message", "role": "assistant",
-            "content": [{"type": "text", "text": text}],
-            "model": self.model_name, "stop_reason": "end_turn",
+            "content": content,
+            "model": self.model_name,
+            "stop_reason": "tool_use" if calls else "end_turn",
             "usage": {"input_tokens": len(ids), "output_tokens": len(toks)},
         })
 

@@ -228,3 +228,28 @@ def test_api_key_auth(tmp_path_factory):
         assert json.loads(r.read())["arch"] == "llama"
     finally:
         proc.terminate()
+
+
+def test_anthropic_tool_use_roundtrip(server):
+    # tool_result block in input must flatten without error
+    r = req(server, "/v1/messages",
+            {"messages": [
+                {"role": "user", "content": [{"type": "text", "text": "hi"}]},
+                {"role": "assistant", "content": [
+                    {"type": "tool_use", "id": "t1", "name": "f",
+                     "input": {"x": 1}}]},
+                {"role": "user", "content": [
+                    {"type": "tool_result", "tool_use_id": "t1",
+                     "content": [{"type": "text", "text": "42"}]}]},
+            ],
+             "tools": [{"name": "f", "description": "fn",
+                        "input_schema": {"type": "object"}}],
+             "max_tokens": 4})
+    assert r["type"] == "message"
+    assert r["content"][0]["type"] in ("text", "thinking", "tool_use")
+
+
+def test_props_chat_template(server):
+    p = req(server, "/props")
+    assert "default_generation_settings" in p
+    assert p["total_slots"] == 2
