@@ -90,6 +90,35 @@ class BatchEngine:
         self.n_requests = 0
 
     # ---------------------------------------------------------------- jits
+    def _prefill_many(self, n_rows: int, bucket: int):
+        """Batched prefill: n_rows slots' chunks (same bucket) in ONE forward
+        — the analogue of update_slots packing all prompt chunks into a
+        single llama_batch (server-context.cpp:4131-4206)."""
+        key = ("many", n_rows, bucket)
+        if key not in self._prefill_fns:
+            cfg = self.cfg
+            fwd = FORWARDS[cfg.arch]
+
+            @jax.jit
+            def prefill_rows(params, tokens, kv, slot_idx, n_past):
+                # gather the slots' cache rows -> (L, n_rows, S, H, D)
+                kv_rows = KVCache(
+                    jnp.take(kv.k, slot_idx, axis=1),
+                    jnp.take(kv.v, slot_idx, axis=1),
+                    None if kv.k_scale is None else jnp.take(kv.k_scale, slot_idx, axis=1),
+                    None if kv.v_scale is None else jnp.take(kv.v_scale, slot_idx, axis=1))
+                logits, kv_rows = fwd(params, cfg, tokens, kv_rows, n_past,
+                                      logits_last_only=False)
+                kv2 = KVCache(
+                    kv.k.at[:, slot_idx].set(kv_rows.k),
+                    kv.v.at[:, slot_idx].set(kv_rows.v),
+                    None if kv.k_scale is None else kv.k_scale.at[:, slot_idx].set(kv_rows.k_scale),
+                    None if kv.v_scale is None else kv.v_scale.at[:, slot_idx].set(kv_rows.v_scale))
+                return logits, kv2
+
+            self._prefill_fns[key] = prefill_rows
+        return self._prefill_fns[key]
+
     def _prefill(self, bucket: int):
         if bucket not in self._prefill_fns:
             cfg = self.cfg
@@ -242,12 +271,44 @@ class BatchEngine:
             slot.state = SlotState.IDLE
             slot.req = None
 
+    def _do_prefill_batch(self, slots: list):
+        """One chunk step for several PREFILL slots sharing a bucket size."""
+        bucket = None
+        chunks = []
+        for s in slots:
+            chunk = s.tokens[s.n_past: min(s.n_prompt, s.n_past + PREFILL_BUCKETS[-1])]
+            chunks.append(chunk)
+        bucket = max(_bucket(len(c)) for c in chunks)
+        toks = np.zeros((len(slots), bucket), np.int32)
+        for r, c in enumerate(chunks):
+            toks[r, :len(c)] = c
+        idx = np.asarray([s.idx for s in slots], np.int32)
+        n_past = np.asarray([s.n_past for s in slots], np.int32)
+        fn = self._prefill_many(len(slots), bucket)
+        logits, self.kv = fn(self.rt.params, jnp.asarray(toks), self.kv,
+                             jnp.asarray(idx), jnp.asarray(n_past))
+        logits_np = np.asarray(logits)
+        for r, s in enumerate(slots):
+            s.n_past += len(chunks[r])
+            self.n_prompt_tokens_processed += len(chunks[r])
+            if s.n_past >= s.n_prompt:
+                s.state = SlotState.GENERATING
+                if s.t_first_token == 0.0:
+                    s.t_first_token = time.time()
+                self._emit_token(s, logits_np[r, len(chunks[r]) - 1])
+
     def run_loop(self):
         decode = self._decode()
         pad_tokens = np.zeros((self.n_slots, 1), np.int32)
         while not self._stop.is_set():
             self._admit()
             prefills = [s for s in self.slots if s.state == SlotState.PREFILL]
+            if len(prefills) > 1:
+                while prefills:
+                    self._do_prefill_batch(prefills)
+                    prefills = [s for s in prefills
+                                if s.state == SlotState.PREFILL]
+                self._admit()
             for slot in prefills:
                 self._do_prefill(slot)
                 self._admit()

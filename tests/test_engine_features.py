@@ -155,3 +155,22 @@ def test_streaming_multibyte_utf8(engine):
     text = "".join(pieces)
     assert "�" not in text
     assert "🚀" in text and "🦙" in text
+
+
+def test_batched_prefill_concurrent(engine):
+    """Multiple requests arriving together prefill in a batched step and
+    produce the same outputs as sequential evaluation."""
+    import threading
+    prompts = [list(range(10, 26)), list(range(100, 120)), ]
+    results = [None, None]
+
+    def go(i):
+        results[i] = run_req(engine, prompts[i], n_predict=4)
+
+    ths = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for t in ths: t.start()
+    for t in ths: t.join(timeout=180)
+    for i, p in enumerate(prompts):
+        kv = engine.rt.new_cache(1, 128)
+        logits, _, _ = engine.rt.eval_tokens(p, kv, 0)
+        assert results[i][0] == int(np.argmax(logits[-1])), i
