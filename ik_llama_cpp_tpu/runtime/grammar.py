@@ -156,7 +156,10 @@ class GrammarParser:
                 break
             c = self.text[self.pos]
             if c == "\n":
-                break
+                if not stop:        # top level: newline ends the rule
+                    break
+                self._ws()          # inside (...) newlines are whitespace
+                continue
             if stop and c == stop:
                 break
             if c == "|":
@@ -168,7 +171,26 @@ class GrammarParser:
                 op = self.text[self.pos]
                 self.pos += 1
                 el = self._make_repetition(base, [el], op)
-            seq.append(el)
+                seq.append(el)
+            elif self.pos < len(self.text) and self.text[self.pos] == "{":
+                # bounded repetition {m} / {m,} / {m,n} (GBNF extension)
+                end = self.text.index("}", self.pos)
+                spec = self.text[self.pos + 1: end]
+                self.pos = end + 1
+                if "," in spec:
+                    lo_s, hi_s = spec.split(",", 1)
+                    lo = int(lo_s or 0)
+                    hi = int(hi_s) if hi_s.strip() else None
+                else:
+                    lo = hi = int(spec)
+                seq.extend([el] * lo)
+                if hi is None:
+                    seq.append(self._make_repetition(base, [el], "*"))
+                else:
+                    for _ in range(hi - lo):
+                        seq.append(self._make_repetition(base, [el], "?"))
+            else:
+                seq.append(el)
         return seq
 
     def _parse_element(self, base: str) -> El:

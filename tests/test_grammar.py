@@ -109,3 +109,35 @@ def test_grammar_constrained_generation():
         logits, kv, n_past = rt.eval_tokens([tok], kv, n_past)
     text = rt.tokenizer.decode(out)
     json.loads(text)  # must parse
+
+
+import pytest
+from pathlib import Path
+
+_REF_GRAMMARS = sorted(Path("/root/reference/grammars").glob("*.gbnf"))
+
+
+@pytest.mark.parametrize("path", _REF_GRAMMARS, ids=lambda p: p.stem)
+def test_reference_sample_grammars_parse(path):
+    """Every sample grammar shipped by the reference must parse."""
+    from ik_llama_cpp_tpu.runtime.grammar import Grammar
+    g = Grammar(path.read_text())
+    assert g is not None
+
+
+def test_reference_json_grammar_accepts_json():
+    from ik_llama_cpp_tpu.runtime.grammar import Grammar
+    g = Grammar((Path("/root/reference/grammars") / "json.gbnf").read_text())
+    s = '{"a": [1, 2.5, "x"], "b": null, "c": true}'
+    m = g.copy()
+    for ch in s:
+        assert m.accept_char(ord(ch)), f"rejected at {ch!r}"
+    assert m.done()
+
+
+def test_reference_arithmetic_grammar():
+    from ik_llama_cpp_tpu.runtime.grammar import Grammar
+    g = Grammar((Path("/root/reference/grammars") / "arithmetic.gbnf").read_text())
+    m = g.copy()
+    for ch in "1+2*(3-4)\n":
+        assert m.accept_char(ord(ch)), ch
