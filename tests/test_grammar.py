@@ -132,7 +132,7 @@ def test_reference_json_grammar_accepts_json():
     m = g.copy()
     for ch in s:
         assert m.accept_char(ord(ch)), f"rejected at {ch!r}"
-    assert m.done()
+    assert m.done if not callable(m.done) else m.done()
 
 
 def test_reference_arithmetic_grammar():
