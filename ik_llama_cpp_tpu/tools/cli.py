@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("-s", "--seed", type=int, default=-1)
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-ctk", "--cache-type", choices=["bf16", "q8"], default="bf16")
+    ap.add_argument("--prompt-cache", help="session file: restore the KV state "
+                    "if it exists, save it after generation (main.cpp "
+                    "--prompt-cache parity)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -41,9 +44,37 @@ def main(argv=None):
     seed = args.seed if args.seed >= 0 else int(time.time()) % 2**31
 
     def run(prompt: str):
+        import os
+        import numpy as np
+        from ..runtime.sampling import SamplerState, sample as sample_token
+        from ..runtime.state import load_state, save_state
         t1 = time.time()
-        ids, out = rt.generate(prompt, max_new_tokens=args.n_predict,
-                               sampler=sampler, seed=seed, capacity=args.ctx_size)
+        ids = rt.tokenizer.encode(prompt)
+        kv = rt.new_cache(1, args.ctx_size)
+        n_past = 0
+        prefix = 0
+        if args.prompt_cache and os.path.exists(args.prompt_cache):
+            cached_ids, n_past, kv = load_state(args.prompt_cache, kv)
+            for a_, b_ in zip(cached_ids, ids):
+                if a_ != b_:
+                    break
+                prefix += 1
+            prefix = min(prefix, n_past, len(ids) - 1)
+            n_past = prefix
+            print(f"session: reused {prefix} cached tokens", file=sys.stderr)
+        logits, kv, n_past = rt.eval_tokens(ids[prefix:], kv, n_past)
+        rng = np.random.default_rng(seed)
+        st = SamplerState()
+        out = []
+        for _ in range(args.n_predict):
+            tok = sample_token(logits[-1], sampler, rng, history=ids + out,
+                               state=st)
+            out.append(int(tok))
+            if tok == rt.tokenizer.eos_id:
+                break
+            logits, kv, n_past = rt.eval_tokens([int(tok)], kv, n_past)
+        if args.prompt_cache:
+            save_state(args.prompt_cache, ids + out, n_past, kv)
         dt = time.time() - t1
         text = rt.tokenizer.decode(out)
         print(text)
