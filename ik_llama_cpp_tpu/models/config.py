@@ -79,6 +79,8 @@ class ModelConfig:
     norm_type: str = "rms"            # rms | layer (starcoder2-style LN+bias)
     residual_scale: float = 0.0       # granite f_residual_scale
     no_rope_step: int = 0             # smollm3: skip rope every Nth layer
+    parallel_residual: bool = False   # command-r: x + attn(n(x)) + ffn(n(x))
+    logit_scale_mul: bool = False     # command-r multiplies; granite divides
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:
@@ -160,6 +162,14 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     elif arch == "starcoder2":
         norm_type = "layer"
         act = "gelu"
+    parallel_residual = False
+    logit_mul = False
+    if arch == "command-r":
+        # build_command_r.cpp: one shared LayerNorm feeds BOTH the attention
+        # and the FFN; their outputs add into the residual together
+        norm_type = "layer"
+        parallel_residual = True
+        logit_mul = True
     if arch == "gpt-oss":
         # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
         # softmax-over-topk routing, clamped swiglu_oai experts
@@ -222,5 +232,7 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         norm_type=norm_type,
         residual_scale=residual_scale,
         no_rope_step=no_rope_step,
+        parallel_residual=parallel_residual,
+        logit_scale_mul=logit_mul,
         extra={},
     )

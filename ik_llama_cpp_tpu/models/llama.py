@@ -96,6 +96,8 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             # gpt-oss names its pre-FFN norm "post_attention_norm"
             # (llama-load-tensors.cpp:3996: ffn_norm <- ATTN_POST_NORM)
             blk["ffn_norm"] = load_dense(t[p + "post_attention_norm.weight"])
+        elif cfg.parallel_residual:
+            pass    # command-r: the shared attn_norm also feeds the FFN
         else:
             blk["ffn_norm"] = load_dense(t[p + "ffn_norm.weight"])
         if p + "attn_qkv.weight" in t:   # fused QKV (phi3-style wqkv)
@@ -408,6 +410,23 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             swa_window=cfg.swa_window if is_swa else 0)
         if "attn_post_norm" in blk:   # gemma2/3 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
+        if cfg.parallel_residual:
+            # command-r: FFN reads the SAME normed input; both branches add
+            # into the residual together (build_command_r.cpp)
+            ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
+                      ep_axis=ep_axis)
+            if tp_axis is not None:
+                ff = jax.lax.psum(ff, tp_axis)
+            x = x + attn_out.astype(x.dtype) + ff.astype(x.dtype)
+            if "cvec" in params:
+                x = x + params["cvec"][i].astype(x.dtype)
+            if return_layer_hiddens:
+                layer_hiddens.append(x.astype(jnp.float32))
+            new_k.append(k_i)
+            new_v.append(v_i)
+            new_ks.append(ks_i)
+            new_vs.append(vs_i)
+            continue
         x = x + attn_out.astype(x.dtype)
         if cfg.residual_scale > 0:
             # granite f_residual_scale — this fork scales the WHOLE stream
@@ -450,8 +469,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         # vocab-sharded head -> gather full logits, drop vocab padding
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
         logits = logits[..., :cfg.n_vocab]
-    if cfg.f_logit_scale > 0:     # granite: logits / f_logit_scale
-        logits = logits / cfg.f_logit_scale
+    if cfg.f_logit_scale > 0:
+        # granite divides; command-r multiplies (build_command_r.cpp:65)
+        logits = logits * cfg.f_logit_scale if cfg.logit_scale_mul \
+            else logits / cfg.f_logit_scale
     if cfg.final_softcap > 0:
         logits = L.softcap(logits, cfg.final_softcap)
     if collect_stats:

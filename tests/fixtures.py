@@ -656,7 +656,8 @@ def make_tiny_gptoss_gguf(
 
 def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
                              n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
-                             n_ff=128):
+                             n_ff=128, ffn_norm=True, eps_key="rms",
+                             tied=False):
     """Generic llama-structured fixture with an arbitrary arch name +
     extra metadata (granite, smollm3, ...)."""
     path = Path(path)
@@ -672,7 +673,10 @@ def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
     w.add(f"{arch}.feed_forward_length", n_ff)
     w.add(f"{arch}.attention.head_count", n_head)
     w.add(f"{arch}.attention.head_count_kv", n_head_kv)
-    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    if eps_key == "rms":
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    else:
+        w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add(f"{arch}.rope.freq_base", 10000.0)
     w.add(f"{arch}.rope.dimension_count", head_dim)
     w.add(f"{arch}.vocab_size", n_vocab)
@@ -690,7 +694,8 @@ def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
 
     addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
     w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
-    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    if not tied:
+        addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
     kv_dim = n_head_kv * head_dim
     for i in range(n_layer):
         p = f"blk.{i}."
@@ -699,7 +704,8 @@ def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
         addw(p + "attn_k.weight", randw(kv_dim, n_embd))
         addw(p + "attn_v.weight", randw(kv_dim, n_embd))
         addw(p + "attn_output.weight", randw(n_embd, n_embd))
-        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        if ffn_norm:
+            w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
         addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
         addw(p + "ffn_up.weight", randw(n_ff, n_embd))
         addw(p + "ffn_down.weight", randw(n_embd, n_ff))

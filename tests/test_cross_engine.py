@@ -302,3 +302,15 @@ def test_mla_absorb_matches_full_kv(tmp_path):
     assert l1.max() < 0.15, f"max L1 {l1.max():.4f}"
     assert agree >= 0.9, f"argmax agreement {agree:.2%}"
 
+
+
+@needs_ref
+def test_command_r_logit_parity(tmp_path):
+    """command-r: shared-LayerNorm parallel attention+FFN residual, logit
+    scale multiply (build_command_r.cpp)."""
+    from fixtures import make_tiny_llamalike_gguf
+    model = make_tiny_llamalike_gguf(
+        tmp_path / "cr.gguf", arch="command-r", seed=19,
+        ffn_norm=False, eps_key="layer", tied=True,
+        extra_kv={"command-r.logit_scale": 0.5})
+    _parity_check(model, "Hello world, this is a test", 0.15)
