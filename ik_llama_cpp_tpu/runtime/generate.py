@@ -26,6 +26,29 @@ from .sampling import SamplerParams, sample as sample_token
 PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 
 
+def _log_model_load(gg: GGUFModel, cfg: ModelConfig) -> None:
+    """Reference-style load log (docs/parameters.md "Look in the logs"):
+    per-type tensor counts and total sizes."""
+    import logging
+    import collections
+    log = logging.getLogger("ik_llama_cpp_tpu")
+    counts: dict = collections.Counter()
+    nbytes: dict = collections.Counter()
+    total = 0
+    for name, info in gg.tensors.items():
+        tname = info.ggml_type.name
+        counts[tname] += 1
+        nbytes[tname] += len(info.data)
+        total += len(info.data)
+    for tname in sorted(counts):
+        log.info("model tensors: %-8s %4d tensors  %8.2f MiB",
+                 tname, counts[tname], nbytes[tname] / (1 << 20))
+    log.info("model: arch=%s layers=%d embd=%d heads=%d/%d ff=%d vocab=%d "
+             "ctx_train=%d  file=%.2f MiB",
+             cfg.arch, cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.n_head_kv,
+             cfg.n_ff, cfg.n_vocab, cfg.n_ctx_train, total / (1 << 20))
+
+
 def _bucket(n: int) -> int:
     for b in PREFILL_BUCKETS:
         if n <= b:
@@ -96,6 +119,7 @@ class Runtime:
             n_dev = int(np.prod(shape))
             mesh = make_mesh(shape, devices=jax.devices()[:n_dev])
             params = shard_params(params, mesh)
+        _log_model_load(gg, cfg)
         return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
                    kv_quant=kv_quant, mesh=mesh)
 
