@@ -81,6 +81,7 @@ class ModelConfig:
     no_rope_step: int = 0             # smollm3: skip rope every Nth layer
     parallel_residual: bool = False   # command-r: x + attn(n(x)) + ffn(n(x))
     logit_scale_mul: bool = False     # command-r multiplies; granite divides
+    nope_layer_mask: tuple = ()       # cohere2: no rope on global layers
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:
@@ -164,12 +165,22 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         act = "gelu"
     parallel_residual = False
     logit_mul = False
+    nope_mask: tuple = ()
     if arch == "command-r":
         # build_command_r.cpp: one shared LayerNorm feeds BOTH the attention
         # and the FFN; their outputs add into the residual together
         norm_type = "layer"
         parallel_residual = True
         logit_mul = True
+    elif arch == "cohere2":
+        # build_cohere2.cpp: command-r structure + 3:1 SWA pattern with NoPE
+        # on the global (non-sliding) layers
+        norm_type = "layer"
+        parallel_residual = True
+        logit_mul = True
+        swa_window = swa_window or 4096
+        swa_mask = tuple(il % 4 < 3 for il in range(n_layer))
+        nope_mask = tuple(not (il % 4 < 3) for il in range(n_layer))
     if arch == "gpt-oss":
         # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
         # softmax-over-topk routing, clamped swiglu_oai experts
@@ -234,5 +245,6 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         no_rope_step=no_rope_step,
         parallel_residual=parallel_residual,
         logit_scale_mul=logit_mul,
+        nope_layer_mask=nope_mask,
         extra={},
     )

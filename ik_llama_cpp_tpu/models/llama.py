@@ -398,7 +398,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         is_swa = cfg.layer_is_swa(i)
-        nope = cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0
+        nope = (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
+            (bool(cfg.nope_layer_mask) and cfg.nope_layer_mask[i])
         h = _norm(x, blk["attn_norm"], blk.get("attn_norm_bias"), cfg)
         attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
             blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos,

@@ -314,3 +314,17 @@ def test_command_r_logit_parity(tmp_path):
         ffn_norm=False, eps_key="layer", tied=True,
         extra_kv={"command-r.logit_scale": 0.5})
     _parity_check(model, "Hello world, this is a test", 0.15)
+
+
+@needs_ref
+def test_cohere2_logit_parity(tmp_path):
+    """cohere2 (Command R7B): parallel residual + 3:1 SWA pattern with NoPE
+    global layers (build_cohere2.cpp)."""
+    from fixtures import make_tiny_llamalike_gguf
+    model = make_tiny_llamalike_gguf(
+        tmp_path / "c2.gguf", arch="cohere2", seed=20, n_layer=4,
+        ffn_norm=False, eps_key="layer", tied=True,
+        extra_kv={"cohere2.logit_scale": 0.25,
+                  "cohere2.attention.sliding_window": 16,
+                  "cohere2.rope.scaling.type": "none"})
+    _parity_check(model, "Hello world, this is a test", 0.15)
