@@ -772,6 +772,43 @@ def dequant_q8_kv(data, n):
     return q * d[:, None]
 
 
+def dequant_iq1_bn(data: np.ndarray, n_per_row: int) -> np.ndarray:
+    """BitNet 1.625 bpw ternary (iqk_quantize.cpp quantize_one_row_1bn /
+    dequantize_row_iq1_bn): row = f16 scale + 13-byte blocks of 64; each
+    block packs 4x(3 base-243 bytes -> 15 trits) + extra byte -> 16th trit
+    per 16-group. Values in {-1, 0, +1} * row scale."""
+    rows = data.reshape(-1, GEOMETRY[GGMLType.IQ1_BN].row_bytes(n_per_row))
+    d = rows[:, :2].copy().view(np.float16).astype(np.float32)    # (R, 1)
+    blocks = rows[:, 2:].reshape(rows.shape[0], -1, 13)
+    ql = blocks[:, :, :12].reshape(rows.shape[0], -1, 4, 3)       # (R,NB,4,3)
+    extra = blocks[:, :, 12]                                      # (R,NB)
+    k_mult = np.array([81, 27, 9, 3, 1], np.uint8)
+    # v = ql * k_mult[j] (uint8 wrap); trit = ((v + (v>>1)) >> 7) - 1
+    v = (ql[..., None] * k_mult).astype(np.uint8).astype(np.uint16)  # (R,NB,4,3,5)
+    trits = (((v + (v >> 1)) >> 7).astype(np.int8) - 1)           # in {-1,0,1}
+    # extra's k_mult index is the 16-group index i16 (0..3)
+    ve = (extra[..., None] * k_mult[None, None, :4]).astype(np.uint8).astype(np.uint16)
+    te = (((ve + (ve >> 1)) >> 7).astype(np.int8) - 1)
+    out = np.empty((rows.shape[0], blocks.shape[1], 4, 16), np.float32)
+    out[..., :15] = trits.reshape(rows.shape[0], -1, 4, 15)
+    out[..., 15] = te
+    return (out.reshape(rows.shape[0], -1) * d).astype(np.float32)
+
+
+def dequant_iq2_bn(data: np.ndarray, n_per_row: int) -> np.ndarray:
+    """BitNet 2.0 bpw ternary (dequantize_row_iq2_bn): row = f32 scale +
+    16-byte blocks of 64; 4 bit-planes of 2-bit codes, value = code - 1."""
+    rows = data.reshape(-1, GEOMETRY[GGMLType.IQ2_BN].row_bytes(n_per_row))
+    d = rows[:, :4].copy().view(np.float32).astype(np.float32)    # (R, 1)
+    qs = rows[:, 4:].reshape(rows.shape[0], -1, 16)               # (R,NB,16)
+    out = np.empty((rows.shape[0], qs.shape[1], 4, 16), np.float32)
+    out[..., 0, :] = (qs & 0x03) - 1.0
+    out[..., 1, :] = ((qs >> 2) & 0x03) - 1.0
+    out[..., 2, :] = ((qs >> 4) & 0x03) - 1.0
+    out[..., 3, :] = ((qs >> 6) & 0x03) - 1.0
+    return (out.reshape(rows.shape[0], -1) * d).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -787,6 +824,8 @@ DEQUANT_FNS = {
     GGMLType.Q6_0: dequant_q6_0,
     GGMLType.Q8_0: dequant_q8_0,
     GGMLType.MXFP4: dequant_mxfp4,
+    GGMLType.IQ1_BN: dequant_iq1_bn,
+    GGMLType.IQ2_BN: dequant_iq2_bn,
     GGMLType.Q2_K: dequant_q2_K,
     GGMLType.Q3_K: dequant_q3_K,
     GGMLType.Q4_K: dequant_q4_K,

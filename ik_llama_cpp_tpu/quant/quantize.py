@@ -430,3 +430,54 @@ def roundtrip(x: np.ndarray, ggml_type: GGMLType, imatrix=None) -> np.ndarray:
     """quantize -> dequantize (for error measurement)."""
     n = x.shape[-1]
     return dequantize(quantize(x, ggml_type, imatrix), ggml_type, n).reshape(x.shape)
+
+
+def quantize_iq2_bn(arr2d):
+    """BitNet 2.0 bpw ternary encode (quantize_one_row_2bn): per row, scale =
+    max |x|; trits by 0.5*max threshold; 4 bit-planes of 2-bit codes."""
+    import numpy as np
+    from ..gguf.constants import GEOMETRY, GGMLType
+    rows, n = arr2d.shape
+    geo = GEOMETRY[GGMLType.IQ2_BN]
+    out = np.zeros((rows, geo.row_bytes(n)), np.uint8)
+    for r in range(rows):
+        x = arr2d[r]
+        mx = float(np.abs(x).max())
+        out[r, :4] = np.frombuffer(np.float32(mx).tobytes(), np.uint8)
+        thresh = 0.5 * mx
+        trits = np.where(x < -thresh, 0, np.where(x > thresh, 2, 1)).astype(np.uint8)
+        tb = trits.reshape(-1, 4, 16)      # (NB, plane, 16)
+        packed = (tb[:, 0] | (tb[:, 1] << 2) | (tb[:, 2] << 4) | (tb[:, 3] << 6))
+        out[r, 4:] = packed.reshape(-1)
+    return out
+
+
+def quantize_iq1_bn(arr2d):
+    """BitNet 1.625 bpw ternary encode (quantize_one_row_1bn): base-3 pack
+    of 5 trits/byte (x3 per 16-group) + extra byte for the 16th trits."""
+    import numpy as np
+    from ..gguf.constants import GEOMETRY, GGMLType
+    k_nb = [1, 3, 9, 27, 81]
+    rows, n = arr2d.shape
+    geo = GEOMETRY[GGMLType.IQ1_BN]
+    out = np.zeros((rows, geo.row_bytes(n)), np.uint8)
+    for r in range(rows):
+        x = arr2d[r]
+        mx = float(np.abs(x).max())
+        out[r, :2] = np.frombuffer(np.float16(mx).tobytes(), np.uint8)
+        thresh = 0.5 * mx
+        trits = np.where(x < -thresh, 0, np.where(x > thresh, 2, 1)).astype(np.int64)
+        tb = trits.reshape(-1, 4, 16)
+        body = out[r, 2:].reshape(-1, 13)
+        for ib in range(tb.shape[0]):
+            extra = 0
+            for i16 in range(4):
+                grp = tb[ib, i16]
+                for k in range(3):
+                    idx = sum(int(grp[5 * k + j]) * k_nb[j] for j in range(5))
+                    # encode so that decode's ((v+(v>>1))>>7) recovers trits:
+                    # value stored = ceil(idx*256/243) per the reference L1
+                    body[ib, 3 * i16 + k] = (idx * 256 + 242) // 243
+                extra += int(grp[15]) * k_nb[i16]
+            body[ib, 12] = (extra * 256 + 242) // 243
+    return out

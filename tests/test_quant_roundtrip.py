@@ -62,3 +62,31 @@ def test_q8_0_exact_small_ints():
     x[0, :5] = [127, -127, 64, -1, 1]
     y = roundtrip(x, GGMLType.Q8_0)
     np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_bitnet_iq2_bn_roundtrip():
+    import numpy as np
+    from ik_llama_cpp_tpu.quant.dequant import dequant_iq2_bn
+    from ik_llama_cpp_tpu.quant.quantize import quantize_iq2_bn
+    rng = np.random.default_rng(0)
+    n = 256
+    # ternary source data scaled by a row max
+    x = (rng.integers(-1, 2, (3, n)).astype(np.float32)) * 1.7
+    x[:, 0] = 1.7       # ensure max is hit
+    enc = quantize_iq2_bn(x)
+    dec = dequant_iq2_bn(enc.reshape(-1), n).reshape(3, n)
+    np.testing.assert_allclose(dec, x, atol=1e-3)
+
+
+def test_bitnet_iq1_bn_roundtrip():
+    import numpy as np
+    from ik_llama_cpp_tpu.quant.dequant import dequant_iq1_bn
+    from ik_llama_cpp_tpu.quant.quantize import quantize_iq1_bn
+    rng = np.random.default_rng(1)
+    n = 192
+    x = (rng.integers(-1, 2, (4, n)).astype(np.float32)) * 0.9
+    x[:, 0] = 0.9
+    enc = quantize_iq1_bn(x)
+    dec = dequant_iq1_bn(enc.reshape(-1), n).reshape(4, n)
+    # iq1_bn decode gives unit trits * f16 row scale
+    np.testing.assert_allclose(dec, x, atol=1e-2)
