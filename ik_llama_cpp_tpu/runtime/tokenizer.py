@@ -50,6 +50,35 @@ def _cat(ch):
 
 import regex as _rx
 
+
+def _wpm_preprocess(text: str) -> list[str]:
+    """BERT basic tokenization: NFD + strip accents + lowercase + isolate
+    punctuation and CJK characters, split on whitespace."""
+    import unicodedata as _ud
+    text = _ud.normalize("NFD", text)
+    out = []
+    for ch in text:
+        cat = _ud.category(ch)
+        if cat == "Mn":
+            continue            # strip accents
+        cp = ord(ch)
+        is_cjk = (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF or
+                  0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFAFF)
+        is_punct = cat.startswith("P") or \
+            (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96 or
+             123 <= cp <= 126)
+        if is_cjk or is_punct:
+            out.append(" ")
+            out.append(ch.lower())
+            out.append(" ")
+        elif cat.startswith("Z") or ch in " \t\n\r":
+            out.append(" ")
+        elif cat in ("Cc", "Cf"):
+            continue
+        else:
+            out.append(ch.lower())
+    return "".join(out).split()
+
 _GPT2_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
 _LLAMA3_RE = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|"
               r"\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
@@ -280,7 +309,42 @@ class Tokenizer:
     def _encode_plain(self, text: str) -> list[int]:
         if self.model == "llama":
             return self._encode_spm(text)
+        if self.model == "bert":
+            return self._encode_wpm(text)
         return self._encode_bpe(text)
+
+    # ------------------------------------------------------------------ WPM
+    def _encode_wpm(self, text: str) -> list[int]:
+        """WordPiece (llm_tokenizer_wpm, src/llama-vocab.cpp): lowercase +
+        strip accents, isolate punctuation/CJK, then greedy longest-match
+        per word with word-start pieces stored as \u2581-prefixed."""
+        words = _wpm_preprocess(text)
+        out = []
+        for word in words:
+            s = "\u2581" + word
+            ids = []
+            i = 0
+            while i < len(s):
+                j = len(s)
+                tid = None
+                while j > i:
+                    cand = s[i:j] if i == 0 else s[i:j]
+                    t = self.vocab.get(cand)
+                    if t is not None:
+                        tid = t
+                        break
+                    j -= 1
+                if tid is None:
+                    ids = None
+                    break
+                ids.append(tid)
+                i = j
+            if ids is None:
+                if self.unk_id >= 0:
+                    out.append(self.unk_id)
+            else:
+                out.extend(ids)
+        return out
 
     def _split_on(self, text: str, specials: list[str]) -> list[int]:
         pattern = "|".join(re.escape(s) for s in specials)

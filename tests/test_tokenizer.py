@@ -15,7 +15,7 @@ REF = Path("/root/reference/models")
 
 # vocabs we commit to exact parity on in round 1
 VOCABS = ["llama-spm", "gpt-2", "phi-3", "mpt", "starcoder", "refact",
-          "falcon", "deepseek-coder", "deepseek-llm"]
+          "falcon", "deepseek-coder", "deepseek-llm", "bert-bge"]
 
 
 def load_cases(name):
