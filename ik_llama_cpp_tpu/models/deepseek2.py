@@ -235,7 +235,7 @@ def _ds_ffn(blk, h, cfg: ModelConfig, interpret=False):
 
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
-            tp_axis: str | None = None, collect_stats: bool = False):
+            tp_axis: str | None = None, collect_stats: bool = False, **_):
     b, t = tokens.shape
     x = params["tok_embd"][tokens]
 

@@ -355,7 +355,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             *, interpret: bool = False, logits_last_only: bool = False,
             tp_axis: str | None = None, ep_axis: str | None = None,
-            collect_stats: bool = False,
+            collect_stats: bool = False, n_valid=None,
             return_hidden: bool = False, return_layer_hiddens: bool = False,
             inputs_embeds=None):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).

@@ -75,6 +75,12 @@ FORWARDS["mamba"] = mamba_mod.forward
 LOADERS["mamba"] = mamba_mod.load_mamba_params
 CACHES["mamba"] = lambda cfg, b, cap, quant=False: mamba_mod.MambaCache.create(cfg, b, cap)
 
+from ..models import bert as bert_mod  # noqa: E402
+for _a in ("bert", "nomic-bert"):
+    FORWARDS[_a] = bert_mod.forward
+    LOADERS[_a] = bert_mod.load_bert_params
+    CACHES[_a] = lambda cfg, b, cap, quant=False: bert_mod.NoCache()
+
 
 @dataclass
 class Runtime:
@@ -220,9 +226,10 @@ class Runtime:
             cfg, interp = self.cfg, self.interpret
 
             @jax.jit
-            def step(params, tokens, kv, n_past):
+            def step(params, tokens, kv, n_past, n_valid):
                 return fwd(params, cfg, tokens, kv, n_past,
-                           interpret=interp, return_hidden=True)
+                           interpret=interp, return_hidden=True,
+                           n_valid=n_valid)
 
             self._step_fns[key] = step
         return self._step_fns[key]
@@ -239,7 +246,7 @@ class Runtime:
         padded = np.zeros((1, b), np.int32)
         padded[0, :n] = ids
         hidden, _ = self._embed_step(b)(self.params, jnp.asarray(padded), kv,
-                                        jnp.int32(0))
+                                        jnp.int32(0), jnp.int32(n))
         h = np.asarray(hidden[0, :n], np.float32)   # (T, E)
         if pooling == "none":
             return h

@@ -844,3 +844,80 @@ def make_tiny_qwen2moe_gguf(
         w.add_tensor(p + "ffn_gate_inp_shexp.weight", randw(1, n_embd))
     w.write()
     return path
+
+
+def make_tiny_bert_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 128,
+    seed: int = 0,
+) -> Path:
+    """Tiny bert-architecture GGUF (WPM vocab, post-LN encoder)."""
+    path = Path(path)
+    arch = "bert"
+    rng = np.random.default_rng(seed)
+    # minimal WPM vocab: specials + ascii word pieces
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    types = [3, 2, 3, 3, 3]
+    import string
+    for c in string.ascii_lowercase:
+        tokens.append("▁" + c)
+        types.append(1)
+    for c in string.ascii_lowercase:
+        tokens.append(c)
+        types.append(1)
+    for wrd in ["▁the", "▁hello", "▁world", "ing", "ed"]:
+        tokens.append(wrd)
+        types.append(1)
+    n_vocab = len(tokens)
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-bert")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", n_ctx)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-12)
+    w.add(f"{arch}.attention.causal", False)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    w.add("tokenizer.ggml.token_type_count", 2)
+    w.add("tokenizer.ggml.model", "bert")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.zeros(n_vocab, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.unknown_token_id", 1)
+    w.add("tokenizer.ggml.cls_token_id", 2)
+    w.add("tokenizer.ggml.seperator_token_id", 3)
+    w.add("tokenizer.ggml.add_bos_token", False)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("token_types.weight", randw(2, n_embd).astype(np.float32))
+    w.add_tensor("position_embd.weight", randw(n_ctx, n_embd).astype(np.float32))
+    w.add_tensor("token_embd_norm.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("token_embd_norm.bias", np.zeros(n_embd, np.float32))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        for tn, shp in (("attn_q", (n_embd, n_embd)), ("attn_k", (n_embd, n_embd)),
+                        ("attn_v", (n_embd, n_embd)), ("attn_output", (n_embd, n_embd)),
+                        ("ffn_up", (n_ff, n_embd)), ("ffn_down", (n_embd, n_ff))):
+            addw(p + tn + ".weight", randw(*shp))
+            w.add_tensor(p + tn + ".bias", randw(shp[0]) * 0.02)
+        for nn in ("attn_output_norm", "layer_output_norm"):
+            w.add_tensor(p + nn + ".weight", np.ones(n_embd, np.float32))
+            w.add_tensor(p + nn + ".bias", np.zeros(n_embd, np.float32))
+    w.write()
+    return path
