@@ -76,10 +76,9 @@ LOADERS["mamba"] = mamba_mod.load_mamba_params
 CACHES["mamba"] = lambda cfg, b, cap, quant=False: mamba_mod.MambaCache.create(cfg, b, cap)
 
 from ..models import bert as bert_mod  # noqa: E402
-for _a in ("bert", "nomic-bert"):
-    FORWARDS[_a] = bert_mod.forward
-    LOADERS[_a] = bert_mod.load_bert_params
-    CACHES[_a] = lambda cfg, b, cap, quant=False: bert_mod.NoCache()
+FORWARDS["bert"] = bert_mod.forward
+LOADERS["bert"] = bert_mod.load_bert_params
+CACHES["bert"] = lambda cfg, b, cap, quant=False: bert_mod.NoCache()
 
 
 @dataclass
