@@ -622,11 +622,32 @@ def main(argv=None):
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
     ap.add_argument("--mmproj", help="CLIP mmproj GGUF for image input")
     ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
+    ap.add_argument("--distributed", metavar="COORD[,NPROC,PID]",
+                    help="jax.distributed multi-host init: coordinator "
+                    "address (host:port)[, process count, process id]. "
+                    "The mesh then spans all hosts' chips (ICI+DCN); host 0 "
+                    "serves HTTP. Experimental — replaces the reference's "
+                    "RPC backend (SURVEY §2.4).")
     ap.add_argument("-tp", "--tensor-parallel", type=int, default=0,
                     help="shard the model over N chips (-sm graph analogue)")
     ap.add_argument("-ep", "--expert-parallel", type=int, default=1,
                     help="whole-expert sharding factor (MoE)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        import jax
+        parts = args.distributed.split(",")
+        kw = {"coordinator_address": parts[0]}
+        if len(parts) > 1:
+            kw["num_processes"] = int(parts[1])
+        if len(parts) > 2:
+            kw["process_id"] = int(parts[2])
+        jax.distributed.initialize(**kw)
+        if jax.process_index() != 0:
+            raise SystemExit(
+                "multi-host follower processes are not yet driven by the "
+                "serving loop; run the server on host 0 only (single-host "
+                "multi-chip -tp/-ep is fully supported)")
 
     # per-projection LoRA requires unfused q/k/v linears
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
