@@ -48,10 +48,6 @@ def qmatmul_ref(x, codes, scale, bias=None, group=32):
     return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, group, n_k, has_bias, b_ref=None):
-    pass  # replaced below — kept for readability of the public API
-
-
 def _make_kernel(group: int, has_bias: bool):
     if has_bias:
         def kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref):
