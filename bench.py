@@ -54,8 +54,9 @@ def main():
             return (jax.random.normal(k, shape) * 0.008).astype(jnp.float32)
 
         w = {
-            "wq": (codes(ks[0], (NLAYER, E, E)), scales(ks[1], (NLAYER, E // G, E))),
-            "wkv": (codes(ks[2], (NLAYER, E, 2 * HKV * D)), scales(ks[3], (NLAYER, E // G, 2 * HKV * D))),
+            # fused q|k|v like the runtime's merge-qkv load path
+            "wqkv": (codes(ks[0], (NLAYER, E, E + 2 * HKV * D)),
+                     scales(ks[1], (NLAYER, E // G, E + 2 * HKV * D))),
             "wo": (codes(ks[4], (NLAYER, E, E)), scales(ks[5], (NLAYER, E // G, E))),
             "wgu": (codes(ks[6], (NLAYER, E, 2 * FF)), scales(ks[7], (NLAYER, E // G, 2 * FF))),
             "wd": (codes(ks[8], (NLAYER, FF, E)), scales(ks[9], (NLAYER, FF // G, E))),
@@ -68,16 +69,17 @@ def main():
 
     t0 = time.perf_counter()
     w = gen_weights(key)
-    _ = np.asarray(w["wq"][0][0, 0, :4])  # force materialization
+    _ = np.asarray(w["wqkv"][0][0, 0, :4])  # force materialization
     gen_s = time.perf_counter() - t0
 
     def layer(x, lw, q_pos, kv_len, cos, sin):
-        (wq_c, wq_s), (wkv_c, wkv_s), (wo_c, wo_s), (wgu_c, wgu_s), (wd_c, wd_s), n1, n2 = lw
+        (wqkv_c, wqkv_s), (wo_c, wo_s), (wgu_c, wgu_s), (wd_c, wd_s), n1, n2 = lw
         b, t, _ = x.shape
         h = L.rms_norm(x, n1)
         h2 = h.reshape(-1, E)
-        q = qmatmul(h2, wq_c, wq_s, group=G).reshape(b, t, H, D)
-        kv = qmatmul(h2, wkv_c, wkv_s, group=G).reshape(b, t, 2, HKV, D)
+        qkv = qmatmul(h2, wqkv_c, wqkv_s, group=G)
+        q = qkv[:, :E].reshape(b, t, H, D)
+        kv = qkv[:, E:].reshape(b, t, 2, HKV, D)
         k, v = kv[:, :, 0], kv[:, :, 1]
         q = L.apply_rope(q, cos, sin, 0)
         k = L.apply_rope(k, cos, sin, 0)
@@ -108,7 +110,7 @@ def main():
 
         def one(tok):
             x = w["embd"][tok]
-            lws = (w["wq"], w["wkv"], w["wo"], w["wgu"], w["wd"], w["norm1"], w["norm2"])
+            lws = (w["wqkv"], w["wo"], w["wgu"], w["wd"], w["norm1"], w["norm2"])
 
             def body(x, i):
                 lw = jax.tree_util.tree_map(lambda a: a[i], lws)
@@ -161,7 +163,7 @@ def main():
 
     @jax.jit
     def decode_r(w, kv_k, kv_v, tok0):
-        lws = (w["wq"], w["wkv"], w["wo"], w["wgu"], w["wd"],
+        lws = (w["wqkv"], w["wo"], w["wgu"], w["wd"],
                w["norm1"], w["norm2"])
 
         def step(carry, r):
@@ -174,11 +176,12 @@ def main():
             def body(xc, i):
                 x, kk, vv = xc
                 lw = jax.tree_util.tree_map(lambda a: a[i], lws)
-                (wq_c, wq_s), (wkv_c, wkv_s), (wo_c, wo_s), \
+                (wqkv_c, wqkv_s), (wo_c, wo_s), \
                     (wgu_c, wgu_s), (wd_c, wd_s), n1, n2 = lw
                 h = L.rms_norm(x, n1).reshape(-1, E)
-                q = qmatmul(h, wq_c, wq_s, group=G).reshape(1, 1, H, D)
-                kv = qmatmul(h, wkv_c, wkv_s, group=G).reshape(1, 1, 2, HKV, D)
+                qkv = qmatmul(h, wqkv_c, wqkv_s, group=G)
+                q = qkv[:, :E].reshape(1, 1, H, D)
+                kv = qkv[:, E:].reshape(1, 1, 2, HKV, D)
                 k_new, v_new = kv[:, :, 0], kv[:, :, 1]
                 q = L.apply_rope(q, cos, sin, 0)
                 k_new = L.apply_rope(k_new, cos, sin, 0)
