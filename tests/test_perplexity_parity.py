@@ -24,7 +24,9 @@ TEXT = ("The quick brown fox jumps over the lazy dog. " * 40 +
 
 
 @pytest.mark.skipif(not PPL_BIN.exists(), reason="reference llama-perplexity missing")
-@pytest.mark.parametrize("quant", [GGMLType.F16, GGMLType.Q4_K], ids=lambda t: t.name)
+@pytest.mark.parametrize("quant", [GGMLType.F16, GGMLType.Q4_K, GGMLType.Q6_K,
+                                   GGMLType.IQ4_XS, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
 def test_ppl_matches_reference(tmp_path, quant):
     model = make_tiny_llama_gguf(tmp_path / f"ppl_{quant.name}.gguf", quant=quant,
                                  seed=11, n_embd=256, n_ff=512)
