@@ -154,3 +154,49 @@ def test_softcap():
     y = np.asarray(L.softcap(x, 30.0))
     assert y.max() <= 30.0 and y.min() >= -30.0
     np.testing.assert_allclose(y, 30.0 * np.tanh(np.asarray(x) / 30.0), rtol=1e-6)
+
+
+# ------------------------------------------------------------- delta-net
+@pytest.mark.parametrize("gqa,repeat_type", [(1, 0), (2, 0), (2, 1)])
+def test_delta_net_vs_oracle(gqa, repeat_type):
+    from ik_llama_cpp_tpu.ops.delta_net import delta_net, delta_net_ref
+    key = jax.random.PRNGKey(7)
+    B, T, H, D = 2, 6, 4, 16
+    HKQ = H // gqa
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (B, T, HKQ, D)) * 0.5
+    k = jax.random.normal(ks[1], (B, T, HKQ, D)) * 0.5
+    v = jax.random.normal(ks[2], (B, T, H, D)) * 0.5
+    g = -jnp.abs(jax.random.normal(ks[3], (B, T, H))) * 0.5   # log-decay <= 0
+    beta = jax.random.normal(ks[4], (B, T, H))
+    state = jax.random.normal(ks[5], (B, H, D, D)) * 0.1
+
+    out, s_new = delta_net(q, k, v, g, beta, state, repeat_type=repeat_type)
+    ref_out, ref_s = delta_net_ref(q, k, v, g, beta, state,
+                                   repeat_type=repeat_type)
+    assert nmse(out, ref_out) < 1e-9
+    assert nmse(s_new, ref_s) < 1e-9
+
+
+def test_delta_net_state_carry():
+    """Running two halves sequentially == running the whole sequence."""
+    from ik_llama_cpp_tpu.ops.delta_net import delta_net
+    key = jax.random.PRNGKey(9)
+    B, T, H, D = 1, 8, 2, 8
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (B, T, H, D))
+    k = jax.random.normal(ks[1], (B, T, H, D))
+    v = jax.random.normal(ks[2], (B, T, H, D))
+    g = -jnp.abs(jax.random.normal(ks[3], (B, T, H)))
+    beta = jax.random.normal(ks[4], (B, T, H))
+    s0 = jnp.zeros((B, H, D, D))
+
+    full, s_full = delta_net(q, k, v, g, beta, s0)
+    h1, s_mid = delta_net(q[:, :4], k[:, :4], v[:, :4], g[:, :4],
+                          beta[:, :4], s0)
+    h2, s_end = delta_net(q[:, 4:], k[:, 4:], v[:, 4:], g[:, 4:],
+                          beta[:, 4:], s_mid)
+    np.testing.assert_allclose(np.concatenate([h1, h2], 1), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_end), np.asarray(s_full),
+                               rtol=1e-5, atol=1e-5)
