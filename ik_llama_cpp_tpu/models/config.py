@@ -61,6 +61,7 @@ class ModelConfig:
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
+    ssm_n_group: int = 0
     # misc
     f_logit_scale: float = 0.0
     f_attention_scale: float = 0.0
@@ -230,6 +231,7 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         ssm_d_inner=int(a("ssm.inner_size", 0)),
         ssm_d_state=int(a("ssm.state_size", 0)),
         ssm_dt_rank=int(a("ssm.time_step_rank", 0)),
+        ssm_n_group=int(a("ssm.group_count", 0)),
         f_logit_scale=float(a("logit_scale", 0.0)),
         f_attention_scale=f_attn_scale,
         attn_softcap=attn_softcap,

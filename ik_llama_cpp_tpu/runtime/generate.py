@@ -75,6 +75,11 @@ FORWARDS["mamba"] = mamba_mod.forward
 LOADERS["mamba"] = mamba_mod.load_mamba_params
 CACHES["mamba"] = lambda cfg, b, cap, quant=False: mamba_mod.MambaCache.create(cfg, b, cap)
 
+from ..models import qwen3next as q3n_mod  # noqa: E402
+FORWARDS["qwen3next"] = q3n_mod.forward
+LOADERS["qwen3next"] = q3n_mod.load_qwen3next_params
+CACHES["qwen3next"] = lambda cfg, b, cap, quant=False: q3n_mod.HybridCache.create(cfg, b, cap)
+
 from ..models import bert as bert_mod  # noqa: E402
 FORWARDS["bert"] = bert_mod.forward
 LOADERS["bert"] = bert_mod.load_bert_params
@@ -130,7 +135,7 @@ class Runtime:
 
     @property
     def recurrent(self) -> bool:
-        return self.cfg.arch in ("mamba",)
+        return self.cfg.arch in ("mamba", "qwen3next")
 
     # ------------------------------------------------------------------
     def _step(self, chunk: int, last_only: bool):

@@ -921,3 +921,113 @@ def make_tiny_bert_gguf(
             w.add_tensor(p + nn + ".bias", np.zeros(n_embd, np.float32))
     w.write()
     return path
+
+
+def make_tiny_qwen3next_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 4,          # layers 0-2 recurrent, layer 3 full attention
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    head_k_dim: int = 64,      # ssm_d_state (64: the reference's fused
+                               # delta-net kernel only supports head dims
+                               # 64/128; its generic fallback for other dims
+                               # misreads the permuted v/g/beta layouts)
+    num_k_heads: int = 2,      # ssm_n_group
+    num_v_heads: int = 4,      # ssm_dt_rank
+    head_v_dim: int = 64,      # -> ssm_d_inner = 256
+    d_conv: int = 4,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 48,
+    n_ff_shexp: int = 64,
+    seed: int = 0,
+) -> Path:
+    """Tiny qwen3next GGUF: 3:1 delta-net/attention hybrid + MoE + shared
+    expert + gated attention q."""
+    path = Path(path)
+    arch = "qwen3next"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    ssm_d_inner = head_v_dim * num_v_heads
+    key_dim = head_k_dim * num_k_heads
+    value_dim = ssm_d_inner
+    r = num_v_heads // num_k_heads
+    qkvz_dim = key_dim * 2 + value_dim * 2
+    conv_dim = key_dim * 2 + value_dim
+    ba_dim = num_v_heads * 2
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-qwen3next")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim // 2)
+    w.add(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add(f"{arch}.ssm.inner_size", ssm_d_inner)
+    w.add(f"{arch}.ssm.state_size", head_k_dim)
+    w.add(f"{arch}.ssm.time_step_rank", num_v_heads)
+    w.add(f"{arch}.ssm.group_count", num_k_heads)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        w.add_tensor(p + "post_attention_norm.weight",
+                     np.ones(n_embd, np.float32))
+        if (i + 1) % 4 != 0:     # recurrent
+            addw(p + "ssm_in.weight", randw(qkvz_dim, n_embd))
+            # conv kernel ne = (d_conv, conv_dim)
+            w.add_tensor(p + "ssm_conv1d.weight",
+                         randw(conv_dim, d_conv, scale=0.4))
+            w.add_tensor(p + "ssm_dt.bias", randw(num_v_heads))
+            w.add_tensor(p + "ssm_a",
+                         (-np.abs(rng.standard_normal(num_v_heads)) * 0.5
+                          ).astype(np.float32))
+            addw(p + "ssm_ba.weight", randw(ba_dim, n_embd))
+            w.add_tensor(p + "ssm_norm.weight", np.ones(head_v_dim, np.float32))
+            addw(p + "ssm_out.weight", randw(n_embd, value_dim))
+        else:                    # full attention with gated q
+            addw(p + "attn_q.weight", randw(n_head * head_dim * 2, n_embd))
+            addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+            addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+            addw(p + "attn_output.weight", randw(n_embd, n_head * head_dim))
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32))
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32))
+        w.add_tensor(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+        addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+        addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+        w.add_tensor(p + "ffn_gate_inp_shexp.weight", randw(1, n_embd))
+        addw(p + "ffn_gate_shexp.weight", randw(n_ff_shexp, n_embd))
+        addw(p + "ffn_up_shexp.weight", randw(n_ff_shexp, n_embd))
+        addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
+    w.write()
+    return path

@@ -328,3 +328,32 @@ def test_cohere2_logit_parity(tmp_path):
                   "cohere2.attention.sliding_window": 16,
                   "cohere2.rope.scaling.type": "none"})
     _parity_check(model, "Hello world, this is a test", 0.15)
+
+
+@needs_ref
+def test_qwen3next_logit_parity(tmp_path):
+    """qwen3next: gated delta-net recurrence (3:1 hybrid), gated full
+    attention, MoE + sigmoid-gated shared expert (llama-delta-net.cpp
+    build_fused_delta_net / ggml.c ggml_compute_forward_delta_net_f32).
+
+    The fixture must use delta-net head dims 64 or 128: the reference's
+    production kernel (iqk_mul_mat.cpp iqk_fused_delta_net) only accepts
+    those, and its generic fallback misreads the permuted v/g/beta layouts
+    (it indexes them [head][tok] while the graph supplies [tok][head]
+    views), so other head dims produce garbage in the reference itself.
+
+    The delta-net state recurrence compounds bf16 matmul noise token over
+    token, so flat logit rows can drift more than in the pure-attention
+    archs; gate on mean L1 + argmax agreement rather than max L1."""
+    from fixtures import make_tiny_qwen3next_gguf
+    model = make_tiny_qwen3next_gguf(tmp_path / "q3n.gguf", seed=99)
+    p_ids, g_ids, ref = ref_logits(model, "abc def ghi jkl mno pqr", n_gen=6)
+    rt = Runtime.from_gguf(model)
+    assert rt.tokenizer.encode("abc def ghi jkl mno pqr") == list(p_ids)
+    seq = list(p_ids) + list(g_ids)
+    got = rt.all_position_logits(seq)
+    ps, pr = _softmax_np(got), _softmax_np(ref)
+    l1 = np.abs(ps - pr).sum(axis=-1)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert l1.mean() < 0.1, f"mean L1 prob distance {l1.mean():.4f}"
+    assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"
