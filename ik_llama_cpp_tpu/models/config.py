@@ -81,8 +81,17 @@ class ModelConfig:
     residual_scale: float = 0.0       # granite f_residual_scale
     no_rope_step: int = 0             # smollm3: skip rope every Nth layer
     parallel_residual: bool = False   # command-r: x + attn(n(x)) + ffn(n(x))
+    par_res_separate_norm: bool = False  # gptneox use_par_res: ffn has its
+                                         # own LN over the layer INPUT
     logit_scale_mul: bool = False     # command-r multiplies; granite divides
     nope_layer_mask: tuple = ()       # cohere2: no rope on global layers
+    use_rope: bool = True             # gpt2/bloom/mpt/jais: no rope at all
+    alibi_max_bias: float = 0.0       # ALiBi (bloom/mpt/jais/refact/baichuan-13b)
+    clamp_kqv: float = 0.0            # mpt/olmo f_clamp_kqv
+    residual_branch_scale: float = 0.0  # minicpm scale_res: scales each
+                                        # branch OUTPUT before the add
+    nextn_layers: int = 0             # glm4moe: trailing MTP layers skipped
+                                      # in the main forward
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:
@@ -182,6 +191,65 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         swa_window = swa_window or 4096
         swa_mask = tuple(il % 4 < 3 for il in range(n_layer))
         nope_mask = tuple(not (il % 4 < 3) for il in range(n_layer))
+    use_rope = True
+    n_ff_override = None
+    alibi_bias = 0.0
+    clamp_kqv = 0.0
+    par_sep = False
+    branch_scale = 0.0
+    logit_scale = float(a("logit_scale", 0.0))
+    nextn = 0
+    # classic-family defaults, mirroring llm_load_hparams per-arch cases
+    # (llama-hparams.cpp) and the graph builders in src/graphs/
+    if arch in ("gpt2", "starcoder", "codeshell", "bloom", "mpt", "jais",
+                "gptneox", "falcon", "phi2", "stablelm", "orion"):
+        norm_type = "layer"
+    if arch in ("gpt2", "starcoder", "codeshell", "bloom", "mpt",
+                "gptneox", "falcon", "phi2"):
+        act = "gelu"
+    if arch in ("gpt2", "bloom", "mpt", "jais", "refact", "starcoder"):
+        # build_gpt2/bloom/mpt/jais/refact/starcoder: no rope in the graph
+        # (llama_rope_type: ROPE_TYPE_NONE; starcoder uses learned pos embd)
+        use_rope = False
+    if arch in ("bloom", "refact"):
+        alibi_bias = 8.0          # llama-hparams.cpp hardcodes 8.0
+    elif arch == "mpt":
+        alibi_bias = float(a("attention.max_alibi_bias", 0.0))
+        clamp_kqv = float(a("attention.clamp_kqv", 0.0))
+    elif arch == "jais":
+        alibi_bias = float(a("attention.max_alibi_bias", 8.0))
+        # build_jais.cpp:46: kq scale is 1/n_embd_head, not 1/sqrt
+        f_attn_scale = 1.0 / float(head_dim)
+    elif arch == "olmo":
+        clamp_kqv = float(a("attention.clamp_kqv", 0.0))
+        norm_type = "layer"       # non-parametric LN (no norm tensors)
+    elif arch == "gptneox":
+        # build_gptneox.cpp use_par_res: x + attn(ln1(x)) + ffn(ln2(x))
+        parallel_residual = bool(a("use_parallel_residual", True))
+        par_sep = True
+    elif arch in ("falcon", "phi2"):
+        # build_falcon.cpp / build_phi2.cpp: FFN reads the attn-norm output;
+        # both branches add into the residual together
+        parallel_residual = True
+    elif arch == "baichuan" and n_layer == 40:
+        # 13B variant: ALiBi instead of rope (llama-hparams.cpp:377-380)
+        use_rope = False
+        alibi_bias = 8.0
+    elif arch == "minicpm":
+        # build_minicpm.cpp hardcoded multipliers
+        embd_scale = 12.0
+        branch_scale = 1.4 / float(n_layer) ** 0.5
+        logit_scale = 256.0 / float(n_embd)
+        logit_mul = True
+    elif arch == "qwen":
+        # qwen1 GGUFs store DOUBLE the FFN width (create_qwen_tensors
+        # passes n_ff/2 to create_std_ffn)
+        n_ff_override = int(a("feed_forward_length", 0)) // 2
+    elif arch == "glm4moe":
+        # trailing NextN/MTP layers are loaded but not run in the main
+        # forward (build_glm4.cpp n_transformer_layers)
+        nextn = int(a("nextn_predict_layers", 0))
+        n_layer = n_layer - nextn
     if arch == "gpt-oss":
         # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
         # softmax-over-topk routing, clamped swiglu_oai experts
@@ -197,7 +265,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         n_embd=n_embd,
         n_head=n_head,
         n_head_kv=n_head_kv,
-        n_ff=int(a("feed_forward_length", 0)),
+        n_ff=(n_ff_override if n_ff_override is not None
+              else int(a("feed_forward_length", 0))),
         n_vocab=n_vocab,
         n_ctx_train=int(a("context_length", 4096)),
         head_dim=head_dim,
@@ -232,7 +301,7 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         ssm_d_state=int(a("ssm.state_size", 0)),
         ssm_dt_rank=int(a("ssm.time_step_rank", 0)),
         ssm_n_group=int(a("ssm.group_count", 0)),
-        f_logit_scale=float(a("logit_scale", 0.0)),
+        f_logit_scale=logit_scale,
         f_attention_scale=f_attn_scale,
         attn_softcap=attn_softcap,
         final_softcap=final_softcap,
@@ -246,7 +315,13 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         residual_scale=residual_scale,
         no_rope_step=no_rope_step,
         parallel_residual=parallel_residual,
+        par_res_separate_norm=par_sep,
         logit_scale_mul=logit_mul,
         nope_layer_mask=nope_mask,
+        use_rope=use_rope,
+        alibi_max_bias=alibi_bias,
+        clamp_kqv=clamp_kqv,
+        residual_branch_scale=branch_scale,
+        nextn_layers=nextn,
         extra={},
     )

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..gguf.reader import GGUFModel
 from ..ops import layers as L
-from ..ops.attention import attend
+from ..ops.attention import alibi_slopes, attend
 from ..ops.moe import ExpertWeights, moe_ffn
 from ..ops.flash_attention import flash_attention, flash_attention_q8
 from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
@@ -79,27 +79,42 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         np.ascontiguousarray(dequant_tensor(t["token_embd.weight"])),
         dtype=jnp.bfloat16,
     )
-    params["output_norm"] = load_dense(t["output_norm.weight"])
+    if "position_embd.weight" in t:   # gpt2/starcoder learned positions
+        params["pos_embd"] = jnp.asarray(np.ascontiguousarray(
+            dequant_tensor(t["position_embd.weight"])), jnp.float32)
+    if "token_embd_norm.weight" in t:  # bloom embedding LayerNorm
+        params["tok_norm"] = load_dense(t["token_embd_norm.weight"])
+        if "token_embd_norm.bias" in t:
+            params["tok_norm_b"] = load_dense(t["token_embd_norm.bias"])
+    if "output_norm.weight" in t:
+        params["output_norm"] = load_dense(t["output_norm.weight"])
     if "output_norm.bias" in t:
         params["output_norm_b"] = load_dense(t["output_norm.bias"])
     out_name = "output.weight" if "output.weight" in t else "token_embd.weight"
     params["output"] = load_linear(t[out_name], use_quant=use_quant)
+    if "output.bias" in t:             # phi2 lm-head bias (build_phi2.cpp)
+        params["output_b"] = load_dense(t["output.bias"])
 
     blocks = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
         blk = {
-            "attn_norm": load_dense(t[p + "attn_norm.weight"]),
             "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
         }
+        if p + "attn_norm.weight" in t:  # olmo has non-parametric norms
+            blk["attn_norm"] = load_dense(t[p + "attn_norm.weight"])
+        if p + "attn_norm_2.weight" in t:  # falcon-40B second attention norm
+            blk["attn_norm_2"] = load_dense(t[p + "attn_norm_2.weight"])
         if cfg.arch == "gpt-oss":
             # gpt-oss names its pre-FFN norm "post_attention_norm"
             # (llama-load-tensors.cpp:3996: ffn_norm <- ATTN_POST_NORM)
             blk["ffn_norm"] = load_dense(t[p + "post_attention_norm.weight"])
-        elif cfg.parallel_residual:
-            pass    # command-r: the shared attn_norm also feeds the FFN
-        else:
+        elif p + "ffn_norm.weight" in t:
+            # present under parallel residual too (gptneox use_par_res has a
+            # separate FFN LayerNorm over the layer input)
             blk["ffn_norm"] = load_dense(t[p + "ffn_norm.weight"])
+        # command-r / falcon / phi2 / stablelm-parallel: no ffn_norm — the
+        # shared attn_norm output feeds the FFN
         if p + "attn_qkv.weight" in t:   # fused QKV (phi3-style wqkv)
             blk["wqkv"] = load_linear(t[p + "attn_qkv.weight"], use_quant=use_quant)
         else:
@@ -133,8 +148,11 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                               ("ffn_post_norm", "post_ffw_norm")):
                 if p + name + ".weight" in t:
                     blk[key] = load_dense(t[p + name + ".weight"])
+        if p + "exp_probs_b.bias" in t:   # deepseek/glm4moe selection bias
+            blk["ffn_exp_probs_b"] = load_dense(t[p + "exp_probs_b.bias"])
         for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias",
-                      "attn_output.bias", "attn_norm.bias", "ffn_norm.bias",
+                      "attn_qkv.bias", "attn_output.bias", "attn_norm.bias",
+                      "attn_norm_2.bias", "ffn_norm.bias",
                       "ffn_up.bias", "ffn_down.bias", "ffn_gate.bias"):
             if p + opt_b in t:
                 blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])
@@ -157,7 +175,8 @@ def _fuse_block(blk: dict) -> None:
         if fused is not None:
             blk["wqkv"] = fused
             del blk["wq"], blk["wk"], blk["wv"]
-    if "ffn_gate" in blk and "ffn_up" in blk:
+    if "ffn_gate" in blk and "ffn_up" in blk and not any(
+            k in blk for k in ("ffn_gate_bias", "ffn_up_bias")):
         fused = fuse_linears([blk["ffn_gate"], blk["ffn_up"]])
         if fused is not None:
             blk["ffn_up"] = fused
@@ -215,6 +234,7 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
         y = moe_ffn(h.reshape(-1, e), router, blk["experts"], cfg.n_expert_used,
                     gating=cfg.expert_gating_func, norm_topk=cfg.norm_topk_prob,
                     scale=cfg.expert_weights_scale, ep_axis=ep_axis,
+                    selection_bias=blk.get("ffn_exp_probs_b"),
                     activation=cfg.moe_act)
         if "ffn_gate_shexp" in blk:
             g = blk["ffn_gate_shexp"](h, interpret=interpret)
@@ -229,6 +249,10 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
     if "ffn_gate" in blk:
         gate = blk["ffn_gate"](h, interpret=interpret)
         up = blk["ffn_up"](h, interpret=interpret)
+        if "ffn_gate_bias" in blk:    # jais gated FFN with biases
+            gate = gate + blk["ffn_gate_bias"]
+        if "ffn_up_bias" in blk:
+            up = up + blk["ffn_up_bias"]
     else:
         both = blk["ffn_up"](h, interpret=interpret)
         if "ffn_up_bias" in blk:
@@ -248,7 +272,10 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
         stats[f"blk.{il}.ffn_gate.weight"] = _sumsq(h)
         stats[f"blk.{il}.ffn_up.weight"] = stats[f"blk.{il}.ffn_gate.weight"]
         stats[f"blk.{il}.ffn_down.weight"] = _sumsq(act)
-    return blk["ffn_down"](act, interpret=interpret)
+    y = blk["ffn_down"](act, interpret=interpret)
+    if "ffn_down_bias" in blk:
+        y = y + blk["ffn_down_bias"]
+    return y
 
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
@@ -264,6 +291,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         stats[f"blk.{il}.attn_v.weight"] = stats[f"blk.{il}.attn_q.weight"]
     if "wqkv" in blk:   # fused QKV: one matmul, split activations (phi3)
         qkv = blk["wqkv"](x, interpret=interpret)
+        if "attn_qkv_bias" in blk:   # gpt2/bloom/mpt/qwen/chatglm bqkv
+            qkv = qkv + blk["attn_qkv_bias"]
         q = qkv[..., : h * d]
         k = qkv[..., h * d: h * d + hkv * d]
         v = qkv[..., h * d + hkv * d:]
@@ -277,13 +306,21 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         k = k + blk["attn_k_bias"]
     if "attn_v_bias" in blk:
         v = v + blk["attn_v_bias"]
+    if cfg.clamp_kqv > 0:   # mpt/olmo f_clamp_kqv (build_mpt.cpp:50)
+        q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+        k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+        v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
     q = q.reshape(b, t, h, d)
     k = k.reshape(b, t, hkv, d)
     v = v.reshape(b, t, hkv, d)
 
-    if "attn_q_norm" in blk:  # qwen3-style per-head RMS norm
-        q = L.rms_norm(q, blk["attn_q_norm"], cfg.rms_eps)
-        k = L.rms_norm(k, blk["attn_k_norm"], cfg.rms_eps)
+    if "attn_q_norm" in blk:
+        if cfg.norm_type == "layer":   # stablelm per-head LN (no bias)
+            q = L.layer_norm(q, blk["attn_q_norm"], None, cfg.rms_eps)
+            k = L.layer_norm(k, blk["attn_k_norm"], None, cfg.rms_eps)
+        else:                          # qwen3-style per-head RMS norm
+            q = L.rms_norm(q, blk["attn_q_norm"], cfg.rms_eps)
+            k = L.rms_norm(k, blk["attn_k_norm"], cfg.rms_eps)
 
     if cos is not None:           # smollm3 NoPE layers pass cos=None
         q = L.apply_rope(q, cos, sin, cfg.rope_type)
@@ -313,7 +350,15 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_len = npv + t
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
-    if sinks is not None and _use_pallas() and not quant:
+    if cfg.alibi_max_bias > 0:
+        # ALiBi models (bloom/mpt/jais/refact/baichuan-13b): XLA attend path
+        # with per-head position-bias slopes
+        attn = attend(qb, kv_k if not quant else dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
+                      kv_v if not quant else dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
+                      q_pos=q_pos, kv_len=kv_len, scale=scale,
+                      softcap=cfg.attn_softcap, swa_window=swa_window,
+                      alibi=alibi_slopes(h, cfg.alibi_max_bias))
+    elif sinks is not None and _use_pallas() and not quant:
         attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
                                sinks=sinks)
@@ -375,6 +420,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
 
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
     q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    if "pos_embd" in params:   # gpt2/starcoder learned absolute positions
+        x = x + params["pos_embd"][q_pos].astype(x.dtype)
+    if "tok_norm" in params:   # bloom embedding LayerNorm (build_bloom.cpp:20)
+        x = _norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg)
     rope_dims = cfg.rope_dim or cfg.head_dim
     # rope scaling (linear / yarn) per ggml_rope_ext semantics: linear scales
     # positions by 1/factor; yarn additionally ramps extrapolation + mscale
@@ -398,26 +447,44 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         is_swa = cfg.layer_is_swa(i)
-        nope = (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
+        nope = (not cfg.use_rope) or \
+            (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
             (bool(cfg.nope_layer_mask) and cfg.nope_layer_mask[i])
-        h = _norm(x, blk["attn_norm"], blk.get("attn_norm_bias"), cfg)
+        h = _norm(x, blk.get("attn_norm"), blk.get("attn_norm_bias"), cfg)
+        # falcon-40B: the attention reads its own second LayerNorm while the
+        # FFN reads attn_norm (build_falcon.cpp:33-38)
+        h_attn = (_norm(x, blk["attn_norm_2"], blk.get("attn_norm_2_bias"), cfg)
+                  if "attn_norm_2" in blk else h)
         attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
-            blk, h, cfg, kv.k[i], kv.v[i], n_past, q_pos,
+            blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
             None if nope else (cos_swa if is_swa else cos),
             None if nope else (sin_swa if is_swa else sin), interpret,
             tp_axis=tp_axis, stats=stats, il=i,
             kv_ks=None if kv.k_scale is None else kv.k_scale[i],
             kv_vs=None if kv.v_scale is None else kv.v_scale[i],
             swa_window=cfg.swa_window if is_swa else 0)
-        if "attn_post_norm" in blk:   # gemma2/3 sandwich norm
+        if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
-        if cfg.parallel_residual:
-            # command-r: FFN reads the SAME normed input; both branches add
-            # into the residual together (build_command_r.cpp)
-            ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
+        if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch
+            attn_out = attn_out * cfg.residual_branch_scale
+        parallel = cfg.parallel_residual or (
+            cfg.arch == "stablelm" and "ffn_norm" not in blk)
+        if parallel:
+            # command-r/falcon/phi2: FFN reads the SAME normed input; both
+            # branches add into the residual together (build_command_r.cpp).
+            # gptneox use_par_res keeps a separate FFN LayerNorm over the
+            # layer input (build_gptneox.cpp:75-95); stablelm layers without
+            # an ffn_norm tensor fall into the shared-norm form per layer.
+            if cfg.par_res_separate_norm and "ffn_norm" in blk:
+                h_ffn = _norm(x, blk["ffn_norm"], blk.get("ffn_norm_bias"), cfg)
+            else:
+                h_ffn = h
+            ff = _ffn(blk, h_ffn, cfg, interpret=interpret, stats=stats, il=i,
                       ep_axis=ep_axis)
             if tp_axis is not None:
                 ff = jax.lax.psum(ff, tp_axis)
+            if cfg.residual_branch_scale > 0:
+                ff = ff * cfg.residual_branch_scale
             x = x + attn_out.astype(x.dtype) + ff.astype(x.dtype)
             if "cvec" in params:
                 x = x + params["cvec"][i].astype(x.dtype)
@@ -434,13 +501,15 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             # after the residual add (build_llama.cpp:114 on the output of
             # build_std_attention(add_input=true))
             x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
-        h = _norm(x, blk["ffn_norm"], blk.get("ffn_norm_bias"), cfg)
+        h = _norm(x, blk.get("ffn_norm"), blk.get("ffn_norm_bias"), cfg)
         ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
                   ep_axis=ep_axis)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
         if "ffn_post_norm" in blk:
             ff = L.rms_norm(ff, blk["ffn_post_norm"], cfg.rms_eps)
+        if cfg.residual_branch_scale > 0:   # minicpm scale_res
+            ff = ff * cfg.residual_branch_scale
         x = x + ff.astype(x.dtype)
         if cfg.residual_scale > 0:
             x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
@@ -458,7 +527,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                  None if new_vs[0] is None else jnp.stack(new_vs))
     if return_layer_hiddens:
         return jnp.stack(layer_hiddens), kv
-    x = _norm(x, params["output_norm"], params.get("output_norm_b"), cfg)
+    x = _norm(x, params.get("output_norm"), params.get("output_norm_b"), cfg)
     if return_hidden:
         return x.astype(jnp.float32), kv
     if logits_last_only:
@@ -466,6 +535,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     if collect_stats:
         stats["output.weight"] = _sumsq(x)
     logits = params["output"](x, interpret=interpret).astype(jnp.float32)
+    if "output_b" in params:   # phi2 lm-head bias
+        logits = logits + params["output_b"]
     if tp_axis is not None:
         # vocab-sharded head -> gather full logits, drop vocab padding
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)

@@ -13,13 +13,29 @@ import jax
 import jax.numpy as jnp
 
 
+def alibi_slopes(n_head: int, max_bias: float):
+    """Per-head ALiBi slopes, matching ggml_compute_forward_soft_max_f32
+    (ggml.c: m0 = 2^(-max_bias/n_head_log2), m1 = 2^(-max_bias/2/n_head_log2),
+    slope(h) = m0^(h+1) for h < n_head_log2 else m1^(2(h-n_head_log2)+1))."""
+    import numpy as np
+    n_head_log2 = 1 << int(np.floor(np.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n_head_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_head_log2)
+    return np.asarray([
+        m0 ** (h + 1) if h < n_head_log2 else m1 ** (2 * (h - n_head_log2) + 1)
+        for h in range(n_head)], np.float32)
+
+
 def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
-           swa_window: int = 0, sinks=None):
+           swa_window: int = 0, sinks=None, alibi=None):
     """Masked attention over a fixed-size KV buffer.
 
     q: (B, T, H, Dk); k: (B, S, Hkv, Dk); v: (B, S, Hkv, Dv) — S is capacity.
     q_pos: (B, T) absolute positions of the queries.
     kv_len: (B,) number of valid cache entries (= n_past + T).
+    alibi: optional (H,) per-head slopes; adds slope * -|kpos - qpos| to the
+    scores (the reference fills the KQ mask with -|cell_pos - pos| when
+    hparams.use_alibi, llama.cpp:5330, and soft_max_ext scales it per head).
     Returns (B, T, H, D) in q.dtype.
     """
     b, t, h, d = q.shape
@@ -44,6 +60,10 @@ def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
     mask = (key_pos <= qp) & (key_pos < kv_len[:, None, None])
     if swa_window > 0:
         mask &= key_pos > qp - swa_window
+    if alibi is not None:
+        dist = jnp.abs(key_pos - qp).astype(jnp.float32)             # (B,T,S)
+        scores = scores - (jnp.asarray(alibi, jnp.float32)[None, :, None, None]
+                           * dist[:, None, :, :])
     scores = jnp.where(mask[:, None, :, :], scores, jnp.float32(-1e30))
 
     if sinks is not None:

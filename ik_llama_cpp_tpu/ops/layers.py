@@ -22,6 +22,8 @@ def rms_norm(x, weight, eps: float = 1e-5):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)
+    if weight is None:
+        return y.astype(dt)
     return (y * weight.astype(jnp.float32)).astype(dt)
 
 
@@ -31,7 +33,8 @@ def layer_norm(x, weight, bias=None, eps: float = 1e-5):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * weight.astype(jnp.float32)
+    if weight is not None:   # olmo: non-parametric LN (build_olmo.cpp NULL w)
+        y = y * weight.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(dt)

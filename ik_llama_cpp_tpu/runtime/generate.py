@@ -60,7 +60,12 @@ _DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
                  "gemma2", "gemma3", "phi3", "qwen2moe", "qwen3moe",
                  "internlm2", "smollm3", "mistral3", "granite",
                  "exaone", "starcoder2", "mixtral", "gpt-oss",
-                 "command-r", "cohere2")
+                 "command-r", "cohere2",
+                 # classic families on the same configurable graph
+                 "gpt2", "gptneox", "falcon", "mpt", "bloom", "starcoder",
+                 "refact", "phi2", "stablelm", "jais", "olmo", "baichuan",
+                 "orion", "xverse", "minicpm", "qwen", "codeshell",
+                 "chatglm", "glm4", "glm4moe")
 FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))

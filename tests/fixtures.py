@@ -1031,3 +1031,160 @@ def make_tiny_qwen3next_gguf(
         addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
     w.write()
     return path
+
+
+# ---------------------------------------------------------------- classic archs
+# per-arch tensor templates mirroring create_tensors_helper (llama-load-
+# tensors.cpp): which tensors exist, which carry biases, fused-vs-split qkv
+_CLASSIC = {
+    #            norm_b qkv    qkv_b attn_b ffn_b ffn_norm gate  pos  tok_n eps
+    "gpt2":      dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, pos=True, eps="layer"),
+    "gptneox":   dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, eps="layer"),
+    "falcon":    dict(norm_b=True, fused=True, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=False, ffn_norm=False, eps="layer"),
+    "mpt":       dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, eps="layer"),
+    "bloom":     dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, tok_norm=True, eps="layer"),
+    "starcoder": dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, pos=True, eps="layer"),
+    "phi2":      dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, ffn_norm=False, out_b=True,
+                      eps="layer"),
+    "stablelm":  dict(norm_b=True, fused=False, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=True, eps="layer"),
+    "jais":      dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=True, gate_b=True, eps="layer"),
+    "olmo":      dict(norm_b=False, fused=False, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=True, no_norms=True, eps="layer"),
+    "baichuan":  dict(norm_b=False, fused=False, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=True, eps="rms"),
+    "orion":     dict(norm_b=True, fused=False, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=True, out_norm_b=True, eps="layer"),
+    "xverse":    dict(norm_b=False, fused=False, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=True, eps="rms"),
+    "qwen":      dict(norm_b=False, fused=True, qkv_b=True, attn_b=False,
+                      ffn_b=False, gate=True, eps="rms"),
+    "codeshell": dict(norm_b=True, fused=True, qkv_b=True, attn_b=True,
+                      ffn_b=True, gate=False, eps="layer"),
+    "chatglm":   dict(norm_b=False, fused=True, qkv_b=True, attn_b=False,
+                      ffn_b=False, gate=False, swiglu=True, eps="rms"),
+    # glm4's tensor-name table has no attn_qkv entry — GGUFs carry separate
+    # q/k/v (create_glm4_tensors' wqkv branch is only for runtime merge_qkv)
+    "glm4":      dict(norm_b=False, fused=False, qkv_b=False, attn_b=False,
+                      ffn_b=False, gate=False, swiglu=True, sandwich=True,
+                      eps="rms"),
+}
+
+
+def make_tiny_classic_gguf(path, *, arch: str, seed=0, n_layer=2, n_embd=64,
+                           n_head=4, n_head_kv=None, n_ff=128, rope_dim=None,
+                           extra_kv=None, tied=False, overrides=None):
+    """Classic-family fixture (gpt2/gptneox/falcon/mpt/bloom/starcoder/phi2/
+    stablelm/jais/olmo/baichuan/orion/xverse/qwen/codeshell/chatglm/glm4),
+    emitting exactly the tensor set create_tensors_helper requires per arch.
+    ``overrides`` merges into the per-arch template (e.g. stablelm-12B
+    parallel form: {"ffn_norm": False, "qk_norm": True})."""
+    t = dict(_CLASSIC[arch])
+    t.update(overrides or {})
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    if n_head_kv is None:
+        n_head_kv = n_head
+    head_dim = n_embd // n_head
+    kv_dim = n_head_kv * head_dim
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 128)
+    w.add(f"{arch}.embedding_length", n_embd)
+    # qwen stores DOUBLE the actual FFN width (create_qwen_tensors n_ff/2)
+    w.add(f"{arch}.feed_forward_length", 2 * n_ff if arch == "qwen" else n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    if t["eps"] == "rms":
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    else:
+        w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", rope_dim or head_dim)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    for k, v in (extra_kv or {}).items():
+        w.add(k, v)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr2d):
+        w.add_tensor(name, quantize(arr2d, GGMLType.F16),
+                     shape=tuple(reversed(arr2d.shape)), ggml_type=GGMLType.F16)
+
+    def norm(name, bias):
+        w.add_tensor(name + ".weight",
+                     (1.0 + 0.1 * rng.standard_normal(n_embd)).astype(np.float32))
+        if bias:
+            w.add_tensor(name + ".bias",
+                         (0.1 * rng.standard_normal(n_embd)).astype(np.float32))
+
+    def vec(name, n):
+        w.add_tensor(name, (0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    if t.get("pos"):
+        addw("position_embd.weight", randw(128, n_embd, scale=0.1))
+    if t.get("tok_norm"):
+        norm("token_embd_norm", True)
+    if not t.get("no_norms"):
+        norm("output_norm", t.get("out_norm_b", t["norm_b"]))
+    if not tied:
+        addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+        if t.get("out_b"):
+            vec("output.bias", n_vocab)
+    qkv_dim = n_embd + 2 * kv_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        if not t.get("no_norms"):
+            norm(p + "attn_norm", t["norm_b"])
+        if t["fused"]:
+            addw(p + "attn_qkv.weight", randw(qkv_dim, n_embd))
+            if t["qkv_b"]:
+                vec(p + "attn_qkv.bias", qkv_dim)
+        else:
+            addw(p + "attn_q.weight", randw(n_embd, n_embd))
+            addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+            addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        if t["attn_b"]:
+            vec(p + "attn_output.bias", n_embd)
+        if t.get("qk_norm"):   # stablelm-12B per-head LN (d, h) ne-order
+            w.add_tensor(p + "attn_q_norm.weight",
+                         (1.0 + 0.1 * rng.standard_normal(
+                             (n_head, head_dim))).astype(np.float32))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         (1.0 + 0.1 * rng.standard_normal(
+                             (n_head_kv, head_dim))).astype(np.float32))
+        if t.get("ffn_norm", True) and not t.get("no_norms"):
+            norm(p + "ffn_norm", t["norm_b"])
+        if t.get("swiglu"):
+            addw(p + "ffn_up.weight", randw(2 * n_ff, n_embd))
+        else:
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        if t["gate"] and not t.get("swiglu"):
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        if t["ffn_b"]:
+            vec(p + "ffn_up.bias", n_ff)
+            vec(p + "ffn_down.bias", n_embd)
+            if t.get("gate_b"):
+                vec(p + "ffn_gate.bias", n_ff)
+        if t.get("sandwich"):
+            norm(p + "post_attention_norm", False)
+            norm(p + "post_ffw_norm", False)
+    w.write()
+    return path
