@@ -12,7 +12,8 @@ from typing import Any
 
 def _get(md: dict, arch: str, key: str, default=None):
     v = md.get(f"{arch}.{key}", default)
-    if hasattr(v, "item"):
+    if hasattr(v, "item") and getattr(v, "size", 1) == 1 \
+            and getattr(v, "ndim", 0) == 0:
         v = v.item()
     return v
 
@@ -113,6 +114,7 @@ _NORM_ROPE_ARCHS = {
     "internlm2", "minicpm", "xverse", "command-r", "olmo", "arctic",
     "deepseek2", "deepseek4", "chatglm", "glm4", "granite", "granitemoe",
     "cohere2", "smollm3", "mistral3", "glm-dsa", "mistral4",
+    "ernie4_5", "ernie4_5-moe", "cohere2_moe",
 }
 
 
@@ -245,11 +247,60 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         # qwen1 GGUFs store DOUBLE the FFN width (create_qwen_tensors
         # passes n_ff/2 to create_std_ffn)
         n_ff_override = int(a("feed_forward_length", 0)) // 2
+    elif arch == "dbrx":
+        norm_type = "layer"          # LN without biases (create_dbrx_tensors)
+        clamp_kqv = float(a("attention.clamp_kqv", 0.0))
+    elif arch == "grok":
+        # llama-hparams.cpp:326-348 defaults for old GGUFs
+        embd_scale = float(a("embedding_scale", 78.38367176906169))
+        logit_scale = float(a("logit_scale", 0.5773502691896257))
+        logit_mul = True
+        # kq scale 1.0 with attn_out_scale folded into the softcap
+        # (llama-build-context.cpp:2103)
+        f_attn_scale = float(a("attention.output_scale", 0.08838834764831845))
+        attn_softcap = attn_softcap or 30.0
+        final_softcap = final_softcap or 30.0
+        act = "gelu"
+        moe_act = "gelu"
+    elif arch == "plamo":
+        # build_plamo.cpp: shared-norm parallel residual (x + attn + ffn(h));
+        # its ffn_norm tensor is loaded but unused by the graph
+        parallel_residual = True
+    elif arch == "minimax-m3":
+        # build_minimaxm3.cpp: SWIGLU_OAI activation for dense and experts
+        act = "swiglu_oai"
+        moe_act = "swiglu_oai"
     elif arch == "glm4moe":
         # trailing NextN/MTP layers are loaded but not run in the main
         # forward (build_glm4.cpp n_transformer_layers)
         nextn = int(a("nextn_predict_layers", 0))
         n_layer = n_layer - nextn
+    elif arch == "mimo2":
+        # build_mimo2.cpp hardcodes SIGMOID routing regardless of KV.
+        # (cohere2_moe/step35's "default to sigmoid when NONE" hparams code
+        # is dead — the field default is SOFTMAX, so absent KV means softmax)
+        expert_gating = 2
+    if arch == "cohere2_moe":
+        # command-r-style shared-norm parallel residual, RMS norms,
+        # logit multiply on the final hidden state (build_cohere2_moe.cpp)
+        parallel_residual = True
+        logit_mul = True
+    if arch == "mellum" and swa_window > 0 and not swa_mask:
+        # default 3:1 SWA pattern when no explicit pattern KV
+        # (llama-hparams.cpp:575-578)
+        swa_mask = tuple((il + 1) % 4 != 0 for il in range(n_layer))
+    # generic per-layer SWA pattern: bool array, or integer N meaning
+    # "every Nth layer is global" ((il+1) % N != 0 -> sliding)
+    _pat = a("attention.sliding_window_pattern")
+    if swa_window > 0 and _pat is not None:
+        if hasattr(_pat, "__len__"):
+            swa_mask = tuple(bool(int(x)) for x in _pat)
+        else:
+            swa_mask = tuple((il + 1) % int(_pat) != 0 for il in range(n_layer))
+    rope_base_swa = float(a("rope.freq_base_swa", rope_base_swa or 0.0))
+    if arch == "cohere2_moe" and swa_mask:
+        # NoPE on the global (non-sliding) layers, like cohere2
+        nope_mask = tuple(not m for m in swa_mask)
     if arch == "gpt-oss":
         # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
         # softmax-over-topk routing, clamped swiglu_oai experts
@@ -284,7 +335,10 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         expert_gating_func=expert_gating,
         n_ff_exp=int(a("expert_feed_forward_length", 0)),
         n_ff_shexp=int(a("expert_shared_feed_forward_length", 0)),
-        norm_topk_prob=bool(a("norm_topk_prob", arch in ("qwen3moe",))),
+        norm_topk_prob=bool(a("norm_topk_prob", arch in (
+            # builders that hardcode norm_w=true in their moe_ffn call
+            "qwen3moe", "hunyuan-moe", "mellum", "mimo2", "dbrx", "grok",
+            "arctic", "minimax-m2", "ernie4_5-moe"))),
         expert_weights_scale=float(a("expert_weights_scale", 1.0)),
         n_lora_q=int(a("attention.q_lora_rank", 0) or 0),
         n_lora_kv=int(a("attention.kv_lora_rank", 0) or 0),

@@ -105,10 +105,14 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             blk["attn_norm"] = load_dense(t[p + "attn_norm.weight"])
         if p + "attn_norm_2.weight" in t:  # falcon-40B second attention norm
             blk["attn_norm_2"] = load_dense(t[p + "attn_norm_2.weight"])
-        if cfg.arch == "gpt-oss":
-            # gpt-oss names its pre-FFN norm "post_attention_norm"
-            # (llama-load-tensors.cpp:3996: ffn_norm <- ATTN_POST_NORM)
+        if cfg.arch in ("gpt-oss", "seed_oss"):
+            # gpt-oss/seed_oss name their pre-FFN norm "post_attention_norm"
+            # (llama-load-tensors.cpp:3996; build_seedoss.cpp:32)
             blk["ffn_norm"] = load_dense(t[p + "post_attention_norm.weight"])
+        elif cfg.arch == "dbrx":
+            # dbrx's pre-MoE norm is stored as "attn_output_norm"
+            # (create_dbrx_tensors; build_dbrx.cpp attn_out_norm)
+            blk["ffn_norm"] = load_dense(t[p + "attn_output_norm.weight"])
         elif p + "ffn_norm.weight" in t:
             # present under parallel residual too (gptneox use_par_res has a
             # separate FFN LayerNorm over the layer input)
@@ -133,7 +137,9 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                 blk["ffn_down_shexp"] = load_linear(t[p + "ffn_down_shexp.weight"], use_quant=use_quant)
                 if p + "ffn_gate_inp_shexp.weight" in t:
                     blk["ffn_gate_inp_shexp"] = load_linear(t[p + "ffn_gate_inp_shexp.weight"], use_quant=False)
-        else:
+        if p + "ffn_up.weight" in t:
+            # dense FFN — possibly ALONGSIDE experts (arctic parallel MoE
+            # branch, grok dense+MoE sum)
             # phi3-style models fuse gate+up into a single ffn_up tensor
             if p + "ffn_gate.weight" in t:
                 blk["ffn_gate"] = load_linear(t[p + "ffn_gate.weight"], use_quant=use_quant)
@@ -143,11 +149,22 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             if p + opt + ".weight" in t:
                 blk[opt] = load_dense(t[p + opt + ".weight"])
         # sandwich norms; canonical GGUF names per llama-model.cpp:467/146
-        if cfg.arch != "gpt-oss":
+        if cfg.arch not in ("gpt-oss", "seed_oss"):
             for key, name in (("attn_post_norm", "post_attention_norm"),
                               ("ffn_post_norm", "post_ffw_norm")):
                 if p + name + ".weight" in t:
                     blk[key] = load_dense(t[p + name + ".weight"])
+        if cfg.arch == "grok":
+            # grok sandwich norms: attn_output_norm on the attention output,
+            # layer_output_norm (or post_ffw_norm) on the FFN output
+            # (build_grok.cpp:66,107; create_grok_tensors:739,778)
+            blk["attn_post_norm"] = load_dense(t[p + "attn_output_norm.weight"])
+            for name in ("layer_output_norm", "post_ffw_norm"):
+                if p + name + ".weight" in t:
+                    blk["ffn_post_norm"] = load_dense(t[p + name + ".weight"])
+                    break
+        if p + "ffn_norm_exps.weight" in t:   # arctic parallel-MoE norm
+            blk["ffn_norm_exps"] = load_dense(t[p + "ffn_norm_exps.weight"])
         if p + "exp_probs_b.bias" in t:   # deepseek/glm4moe selection bias
             blk["ffn_exp_probs_b"] = load_dense(t[p + "exp_probs_b.bias"])
         for opt_b in ("attn_q.bias", "attn_k.bias", "attn_v.bias",
@@ -232,20 +249,32 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
             stats[f"blk.{il}.ffn_up_exps.weight"] = _sumsq(h)
             stats[f"blk.{il}.ffn_gate_inp.weight"] = _sumsq(h)
         y = moe_ffn(h.reshape(-1, e), router, blk["experts"], cfg.n_expert_used,
-                    gating=cfg.expert_gating_func, norm_topk=cfg.norm_topk_prob,
+                    gating=cfg.expert_gating_func,
+                    norm_topk=cfg.norm_topk_prob or cfg.expert_weights_norm,
                     scale=cfg.expert_weights_scale, ep_axis=ep_axis,
                     selection_bias=blk.get("ffn_exp_probs_b"),
                     activation=cfg.moe_act)
         if "ffn_gate_shexp" in blk:
             g = blk["ffn_gate_shexp"](h, interpret=interpret)
             u = blk["ffn_up_shexp"](h, interpret=interpret)
-            sh = blk["ffn_down_shexp"](L.swiglu(g, u).astype(jnp.bfloat16),
-                                       interpret=interpret)
+            sh = blk["ffn_down_shexp"](
+                L.glu(g, u, cfg.moe_act).astype(jnp.bfloat16),
+                interpret=interpret)
             if "ffn_gate_inp_shexp" in blk:  # qwen2moe gated shared expert
                 gate = jax.nn.sigmoid(blk["ffn_gate_inp_shexp"](h, interpret=interpret))
                 sh = sh * gate
             y = y.reshape(b, t, e) + sh
-        return y.reshape(b, t, e)
+        y = y.reshape(b, t, e)
+        if cfg.arch == "grok" and "ffn_up" in blk:
+            # grok: dense FFN and MoE read the same normed input; their sum
+            # is scaled by sqrt(2)/2 (build_grok.cpp:100)
+            d = _ffn_dense(blk, h, cfg, interpret=interpret, stats=stats, il=il)
+            y = (y + d) * float(np.sqrt(2.0) / 2.0)
+        return y
+    return _ffn_dense(blk, h, cfg, interpret=interpret, stats=stats, il=il)
+
+
+def _ffn_dense(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
     if "ffn_gate" in blk:
         gate = blk["ffn_gate"](h, interpret=interpret)
         up = blk["ffn_up"](h, interpret=interpret)
@@ -315,12 +344,20 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     v = v.reshape(b, t, hkv, d)
 
     if "attn_q_norm" in blk:
-        if cfg.norm_type == "layer":   # stablelm per-head LN (no bias)
-            q = L.layer_norm(q, blk["attn_q_norm"], None, cfg.rms_eps)
-            k = L.layer_norm(k, blk["attn_k_norm"], None, cfg.rms_eps)
-        else:                          # qwen3-style per-head RMS norm
-            q = L.rms_norm(q, blk["attn_q_norm"], cfg.rms_eps)
-            k = L.rms_norm(k, blk["attn_k_norm"], cfg.rms_eps)
+        qn, kn = blk["attn_q_norm"], blk["attn_k_norm"]
+        if qn.ndim == 1 and qn.shape[0] == h * d and d != h * d:
+            # minimax-m2: RMS over the WHOLE q/k projection before the head
+            # split (build_minimaxm2.cpp:209-215)
+            q = L.rms_norm(q.reshape(b, t, h * d), qn,
+                           cfg.rms_eps).reshape(b, t, h, d)
+            k = L.rms_norm(k.reshape(b, t, hkv * d), kn,
+                           cfg.rms_eps).reshape(b, t, hkv, d)
+        elif cfg.norm_type == "layer":  # stablelm per-head LN (no bias)
+            q = L.layer_norm(q, qn, None, cfg.rms_eps)
+            k = L.layer_norm(k, kn, None, cfg.rms_eps)
+        else:                           # qwen3-style per-head RMS norm
+            q = L.rms_norm(q, qn, cfg.rms_eps)
+            k = L.rms_norm(k, kn, cfg.rms_eps)
 
     if cos is not None:           # smollm3 NoPE layers pass cos=None
         q = L.apply_rope(q, cos, sin, cfg.rope_type)
@@ -446,6 +483,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     layer_hiddens = []
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
+        x_layer_in = x    # arctic's parallel MoE branch reads the layer input
         is_swa = cfg.layer_is_swa(i)
         nope = (not cfg.use_rope) or \
             (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
@@ -502,8 +540,15 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             # build_std_attention(add_input=true))
             x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         h = _norm(x, blk.get("ffn_norm"), blk.get("ffn_norm_bias"), cfg)
-        ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
-                  ep_axis=ep_axis)
+        if "ffn_norm_exps" in blk:
+            # arctic: the sequential FFN is the DENSE one; the MoE runs in
+            # parallel over the LAYER INPUT under its own RMS norm and adds
+            # into the residual afterwards (build_arctic.cpp:70-98)
+            ff = _ffn_dense(blk, h, cfg, interpret=interpret, stats=stats,
+                            il=i)
+        else:
+            ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
+                      ep_axis=ep_axis)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
         if "ffn_post_norm" in blk:
@@ -511,6 +556,13 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         if cfg.residual_branch_scale > 0:   # minicpm scale_res
             ff = ff * cfg.residual_branch_scale
         x = x + ff.astype(x.dtype)
+        if "ffn_norm_exps" in blk:
+            hx = L.rms_norm(x_layer_in, blk["ffn_norm_exps"], cfg.rms_eps)
+            moe_y = _ffn(blk, hx, cfg, interpret=interpret, stats=stats,
+                         il=i, ep_axis=ep_axis)
+            if tp_axis is not None:
+                moe_y = jax.lax.psum(moe_y, tp_axis)
+            x = x + moe_y.astype(x.dtype)
         if cfg.residual_scale > 0:
             x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         if "cvec" in params:   # control vector (lctx.cvec.apply_to at l_out)

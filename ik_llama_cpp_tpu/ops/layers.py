@@ -122,6 +122,11 @@ def glu(gate, up, act: str = "silu"):
         a = jax.nn.gelu(gf, approximate=True)
     elif act == "relu2":
         a = jnp.square(jax.nn.relu(gf))
+    elif act == "swiglu_oai":
+        # ggml_swiglu_oai (alpha=1.702, limit=7): clamped gate/up variant
+        g = jnp.minimum(gf, 7.0)
+        u = jnp.clip(up.astype(jnp.float32), -7.0, 7.0)
+        return (g * jax.nn.sigmoid(1.702 * g) * (u + 1.0)).astype(gate.dtype)
     else:
         a = gf * jax.nn.sigmoid(gf)
     return a.astype(gate.dtype) * up

@@ -65,7 +65,12 @@ _DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
                  "gpt2", "gptneox", "falcon", "mpt", "bloom", "starcoder",
                  "refact", "phi2", "stablelm", "jais", "olmo", "baichuan",
                  "orion", "xverse", "minicpm", "qwen", "codeshell",
-                 "chatglm", "glm4", "glm4moe")
+                 "chatglm", "glm4", "glm4moe",
+                 # modern MoE / scaled variants on the same graph
+                 "seed_oss", "mellum", "hunyuan-moe", "dots1", "ernie4_5",
+                 "ernie4_5-moe", "minimax-m2", "minimax-m3", "mimo2",
+                 "cohere2_moe", "laguna", "arctic", "dbrx", "grok", "plamo",
+                 "bailingmoe2")
 FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))

@@ -1188,3 +1188,139 @@ def make_tiny_classic_gguf(path, *, arch: str, seed=0, n_layer=2, n_embd=64,
             norm(p + "post_ffw_norm", False)
     w.write()
     return path
+
+
+# ------------------------------------------------------------- modern MoE archs
+# per-arch templates mirroring create_tensors_helper for the modern MoE /
+# scaled families (hunyuan-moe, dots1, minimax-m2/m3, mimo2, cohere2_moe,
+# ernie4_5-moe, arctic, dbrx, grok)
+_MOE2 = {
+    # hunyuan sizes its expert tensors with n_ff, not n_ff_exp
+    # (create_hunyuan_tensors:3970 create_std_ffn_exps(..., n_ff))
+    "hunyuan-moe": dict(qk_norm="head", shexp=True, exps_n_ff=True),
+    "dots1":       dict(qk_norm="head", shexp="exp_width", probs_b=True,
+                        dense_lead=1),
+    "minimax-m3":  dict(qk_norm="head", shexp="exp_width", probs_b=True,
+                        dense_lead=1),
+    "minimax-m2":  dict(qk_norm="full", probs_b=True, exps_n_ff=True),
+    "mimo2":       dict(probs_b=True, dense_lead=1),
+    "cohere2_moe": dict(no_ffn_norm=True),
+    # creator requires MoE tensors on ALL i >= dense_lead, so only
+    # moe_step=1 is self-consistent in the reference (llama-load-
+    # tensors.cpp:3924 vs build_ernie45.cpp:149)
+    "ernie4_5-moe": dict(shexp=True, probs_b=True, dense_lead=1,
+                         moe_step=1),
+    "arctic":      dict(dense_all=True, norm_exps=True, exps_n_ff=True),
+    "dbrx":        dict(fused=True, ffn_as_out_norm=True),
+    "grok":        dict(dense_all=True, grok_sandwich=True),
+}
+
+
+def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
+                        n_head=4, n_head_kv=2, n_ff=96, n_ff_exp=48,
+                        n_expert=4, n_expert_used=2, n_ff_shexp=32,
+                        extra_kv=None):
+    """Modern-MoE fixture emitting the tensor set create_tensors_helper
+    requires per arch (see _MOE2)."""
+    t = dict(_MOE2[arch])
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kv_dim = n_head_kv * head_dim
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    if t.get("shexp"):
+        w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+        w.add(f"{arch}.expert_shared_count", 1)
+    if t.get("dense_lead"):
+        w.add(f"{arch}.leading_dense_block_count", t["dense_lead"])
+    if t.get("moe_step"):
+        w.add(f"{arch}.interleave_moe_layer_step", t["moe_step"])
+    w.add(f"{arch}.vocab_size", n_vocab)
+    for k, v in (extra_kv or {}).items():
+        w.add(k, v)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+
+    lead = t.get("dense_lead", 0)
+    step = t.get("moe_step", 1)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        if t.get("fused"):
+            addw(p + "attn_qkv.weight", randw(n_embd + 2 * kv_dim, n_embd))
+        else:
+            addw(p + "attn_q.weight", randw(n_embd, n_embd))
+            addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+            addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        if t.get("qk_norm") == "head":
+            ones(p + "attn_q_norm.weight", head_dim)
+            ones(p + "attn_k_norm.weight", head_dim)
+        elif t.get("qk_norm") == "full":
+            ones(p + "attn_q_norm.weight", n_embd)
+            ones(p + "attn_k_norm.weight", kv_dim)
+        if t.get("grok_sandwich"):
+            ones(p + "attn_output_norm.weight", n_embd)
+            ones(p + "layer_output_norm.weight", n_embd)
+        if t.get("ffn_as_out_norm"):
+            ones(p + "attn_output_norm.weight", n_embd)
+        elif not t.get("no_ffn_norm"):
+            ones(p + "ffn_norm.weight", n_embd)
+        is_moe = i >= lead and (i + 1) % step == 0
+        if t.get("dense_all") or not is_moe:
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        if is_moe:
+            # sharp router (3x scale): top-k margins large enough that bf16
+            # noise in the hidden state cannot flip expert selection, which
+            # would discretely change outputs and break cross-engine parity
+            addw(p + "ffn_gate_inp.weight",
+                 randw(n_expert, n_embd, scale=3.0 / np.sqrt(n_embd)))
+            if t.get("probs_b"):
+                w.add_tensor(p + "exp_probs_b.bias",
+                             (0.2 * rng.standard_normal(n_expert)).astype(np.float32))
+            if t.get("norm_exps"):
+                ones(p + "ffn_norm_exps.weight", n_embd)
+            fexp = n_ff if t.get("exps_n_ff") else n_ff_exp
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, fexp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, fexp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, fexp))
+            if t.get("shexp"):
+                # dots1 sizes its shared expert at n_ff_exp * n_expert_shared
+                # (create_dots1_tensors:3820)
+                sw = n_ff_exp if t["shexp"] == "exp_width" else n_ff_shexp
+                addw(p + "ffn_gate_shexp.weight", randw(sw, n_embd))
+                addw(p + "ffn_up_shexp.weight", randw(sw, n_embd))
+                addw(p + "ffn_down_shexp.weight", randw(n_embd, sw))
+    w.write()
+    return path

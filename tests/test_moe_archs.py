@@ -1,0 +1,275 @@
+"""Cross-engine logit parity for the modern MoE / scaled families:
+seed_oss, hunyuan-moe, dots1, ernie4_5(-moe), minimax-m2/m3, mimo2,
+cohere2_moe, arctic, dbrx, grok, plamo — same harness as
+tests/test_cross_engine.py.
+"""
+import numpy as np
+import pytest
+
+from fixtures import (make_tiny_classic_gguf, make_tiny_llamalike_gguf,
+                      make_tiny_moe2_gguf)
+from test_cross_engine import _parity_check, needs_ref
+
+PROMPT = "Hello world, this is a test"
+
+
+@needs_ref
+def test_seedoss_parity(tmp_path):
+    """seed_oss: llama body whose pre-FFN norm is stored as
+    post_attention_norm (build_seedoss.cpp:32)."""
+    from fixtures import byte_vocab, _std_vocab_kv, quantize, GGMLType
+    from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
+    import numpy as _np
+    rng = _np.random.default_rng(30)
+    tokens, scores, types = byte_vocab()
+    n_vocab, n_embd, n_head, n_ff, n_layer = len(tokens), 64, 4, 96, 2
+    path = tmp_path / "so.gguf"
+    w = GGUFWriter(path, arch="seed_oss")
+    w.add("seed_oss.block_count", n_layer)
+    w.add("seed_oss.context_length", 256)
+    w.add("seed_oss.embedding_length", n_embd)
+    w.add("seed_oss.feed_forward_length", n_ff)
+    w.add("seed_oss.attention.head_count", n_head)
+    w.add("seed_oss.attention.head_count_kv", 2)
+    w.add("seed_oss.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("seed_oss.rope.freq_base", 10000.0)
+    w.add("seed_oss.rope.dimension_count", n_embd // n_head)
+    w.add("seed_oss.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape):
+        return (rng.standard_normal(shape) / _np.sqrt(shape[-1])).astype(_np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1 + 0.1 * rng.standard_normal(n)).astype(_np.float32))
+    addw("token_embd.weight", randw(n_vocab, n_embd))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd))
+    kv_dim = 2 * (n_embd // n_head)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "post_attention_norm.weight", n_embd)
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    _parity_check(path, PROMPT, 0.15)
+
+
+@needs_ref
+@pytest.mark.parametrize("arch", ["hunyuan-moe", "dots1", "minimax-m3"])
+def test_moe_shexp_parity(tmp_path, arch, monkeypatch):
+    """hunyuan-moe (qk-norm + shared expert, softmax/norm-topk), dots1
+    (dense-lead + selection bias + shexp, KV gating), minimax-m3
+    (SWIGLU_OAI dense + experts + shexp, sigmoid default)."""
+    if arch == "minimax-m3":
+        # the reference's fused up/gate op rejects SWIGLU_OAI
+        # (ggml.c:6596) — run its unfused FFN path
+        monkeypatch.setenv("GEN_LOGITS_NO_FUG", "1")
+    kv = {}
+    if arch == "dots1":
+        kv = {"dots1.expert_weights_scale": 1.5,
+              "dots1.expert_gating_func": 2,
+              "dots1.expert_weights_norm": True}
+    if arch == "minimax-m3":
+        kv = {"minimax-m3.expert_gating_func": 2,
+              "minimax-m3.expert_weights_norm": True}
+    # dots1's creator sizes wk/wv at n_head*head_dim (MHA, no GQA)
+    model = make_tiny_moe2_gguf(tmp_path / "m.gguf", arch=arch, seed=31,
+                                n_head_kv=4 if arch == "dots1" else 2,
+                                extra_kv=kv)
+    if arch == "minimax-m3":
+        # swiglu_oai's clipped gates sit near decision boundaries on random
+        # weights; near-tied logit rows can swap mass — gate on mean + argmax
+        import test_cross_engine as tce
+        p_ids, g_ids, ref = tce.ref_logits(model, PROMPT, n_gen=6)
+        from ik_llama_cpp_tpu.runtime.generate import Runtime
+        rt = Runtime.from_gguf(model)
+        got = rt.all_position_logits(list(p_ids) + list(g_ids))
+        ps, pr = tce._softmax_np(got), tce._softmax_np(ref)
+        l1 = np.abs(ps - pr).sum(axis=-1)
+        agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+        assert l1.mean() < 0.08, f"mean L1 {l1.mean():.4f}"
+        assert agree >= 0.9, f"argmax agreement {agree:.2%}"
+    else:
+        _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_minimax_m2_parity(tmp_path):
+    """minimax-m2: full-width q/k RMS norm before the head split
+    (build_minimaxm2.cpp:209), sigmoid routing, selection bias."""
+    model = make_tiny_moe2_gguf(
+        tmp_path / "m2.gguf", arch="minimax-m2", seed=32,
+        extra_kv={"minimax-m2.expert_gating_func": 2})
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_mimo2_parity(tmp_path):
+    """mimo2: per-layer SWA pattern + sigmoid routing + selection bias
+    (build_mimo2.cpp)."""
+    model = make_tiny_moe2_gguf(
+        tmp_path / "mm.gguf", arch="mimo2", seed=33,
+        extra_kv={"mimo2.attention.sliding_window": 16,
+                  "mimo2.rope.freq_base_swa": 10000.0,
+                  "mimo2.attention.sliding_window_pattern": [1, 0, 1]})
+    # sigmoid-routing margins can sit near a tie at single positions; gate
+    # on mean L1 + argmax agreement (a flip at one position is noise)
+    import test_cross_engine as tce
+    p_ids, g_ids, ref = tce.ref_logits(model, PROMPT, n_gen=6)
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(model)
+    got = rt.all_position_logits(list(p_ids) + list(g_ids))
+    l1 = np.abs(tce._softmax_np(got) - tce._softmax_np(ref)).sum(axis=-1)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert l1.mean() < 0.08, f"mean L1 {l1.mean():.4f}"
+    assert agree >= 0.9, f"argmax agreement {agree:.2%}"
+
+
+@needs_ref
+def test_cohere2_moe_parity(tmp_path):
+    """cohere2_moe: command-r-style shared-norm parallel residual with RMS
+    norms, per-layer SWA + NoPE globals, logit multiply
+    (build_cohere2_moe.cpp)."""
+    model = make_tiny_moe2_gguf(
+        tmp_path / "c2m.gguf", arch="cohere2_moe", seed=34,
+        extra_kv={"cohere2_moe.attention.sliding_window": 16,
+                  "cohere2_moe.attention.sliding_window_pattern": [1, 1, 0],
+                  "cohere2_moe.logit_scale": 0.25,
+                  "cohere2_moe.leading_dense_block_count": 0})
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_ernie45_dense_parity(tmp_path):
+    """ernie4_5 dense: llama-structured, NORM rope."""
+    model = make_tiny_llamalike_gguf(tmp_path / "e.gguf", arch="ernie4_5",
+                                     seed=35)
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_ernie45_moe_parity(tmp_path):
+    """ernie4_5-moe: dense-lead + per-layer MoE with shared expert +
+    selection bias (build_ernie45.cpp:141-175)."""
+    model = make_tiny_moe2_gguf(tmp_path / "em.gguf", arch="ernie4_5-moe",
+                                seed=36)
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_arctic_parity(tmp_path):
+    """arctic: dense FFN (width n_embd) in the residual PLUS a parallel MoE
+    branch over the layer input under its own RMS norm
+    (build_arctic.cpp:70-98)."""
+    model = make_tiny_moe2_gguf(tmp_path / "a.gguf", arch="arctic", seed=37,
+                                n_ff=64)
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_dbrx_parity(tmp_path):
+    """dbrx: unbiased LayerNorms, fused clamped qkv, pre-MoE norm stored as
+    attn_output_norm (build_dbrx.cpp)."""
+    # n_expert_used == n_expert: with random weights the router regularly
+    # produces rank-2/3 near-ties, and a discrete expert flip at one
+    # position cascades through that position's KV into every later token.
+    # Using all experts keeps the output continuous in the inputs while
+    # still exercising gating/weighting; top-k selection itself is
+    # parity-covered by the other MoE archs.
+    # dbrx's creator sizes each expert at n_ff / n_expert_used
+    model = make_tiny_moe2_gguf(
+        tmp_path / "d.gguf", arch="dbrx", seed=38, n_expert_used=4,
+        n_ff_exp=24,
+        extra_kv={"dbrx.attention.clamp_kqv": 2.0,
+                  "dbrx.attention.layer_norm_epsilon": 1e-5})
+    # dbrx's mean-subtracting LayerNorms amplify bf16 hidden-state noise
+    # (~0.02-0.06 per layer, verified layer-by-layer against the reference's
+    # cb_eval dumps) which the lm head stretches into visible softmax L1 on
+    # random weights; gate on mean L1 + argmax agreement
+    import test_cross_engine as tce
+    p_ids, g_ids, ref = tce.ref_logits(model, PROMPT, n_gen=6)
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(model)
+    got = rt.all_position_logits(list(p_ids) + list(g_ids))
+    l1 = np.abs(tce._softmax_np(got) - tce._softmax_np(ref)).sum(axis=-1)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert l1.mean() < 0.3, f"mean L1 {l1.mean():.4f}"
+    assert agree >= 0.9, f"argmax agreement {agree:.2%}"
+
+
+@needs_ref
+def test_grok_parity(tmp_path):
+    """grok: embedding/logit scales, attn softcap with output-scale inside,
+    GELU experts + dense FFN summed and scaled sqrt(2)/2, sandwich norms
+    (build_grok.cpp; llama-hparams.cpp:326-348)."""
+    model = make_tiny_moe2_gguf(tmp_path / "g.gguf", arch="grok", seed=39)
+    _parity_check(model, PROMPT, 0.2)
+
+
+@pytest.mark.skip(reason="reference fork cannot load ANY plamo gguf: "
+                  "create_baichuan_tensors(tn, false) creates ffn_norm "
+                  "unconditionally but plamo's tensor-name table lacks the "
+                  "entry, so create_tensor('__missing__') always fails; our "
+                  "implementation follows build_plamo.cpp semantics "
+                  "(shared-norm parallel residual, non-parametric attn norm)")
+def test_plamo_parity(tmp_path):
+    """plamo: shared-norm parallel residual; its ffn_norm tensor is loaded
+    but unused by the graph (build_plamo.cpp; create_baichuan_tensors'
+    with_ffn_norm=false quirk skips attn_norm instead)."""
+    from fixtures import byte_vocab, _std_vocab_kv, quantize, GGMLType
+    from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
+    import numpy as _np
+    rng = _np.random.default_rng(40)
+    tokens, scores, types = byte_vocab()
+    n_vocab, n_embd, n_head, n_ff, n_layer = len(tokens), 64, 4, 96, 2
+    path = tmp_path / "p.gguf"
+    w = GGUFWriter(path, arch="plamo")
+    w.add("plamo.block_count", n_layer)
+    w.add("plamo.context_length", 256)
+    w.add("plamo.embedding_length", n_embd)
+    w.add("plamo.feed_forward_length", n_ff)
+    w.add("plamo.attention.head_count", n_head)
+    w.add("plamo.attention.head_count_kv", n_head)
+    w.add("plamo.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("plamo.rope.freq_base", 10000.0)
+    w.add("plamo.rope.dimension_count", n_embd // n_head)
+    w.add("plamo.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape):
+        return (rng.standard_normal(shape) / _np.sqrt(shape[-1])).astype(_np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+    addw("token_embd.weight", randw(n_vocab, n_embd))
+    w.add_tensor("output_norm.weight",
+                 (1 + 0.1 * rng.standard_normal(n_embd)).astype(_np.float32))
+    addw("output.weight", randw(n_vocab, n_embd))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        # NO attn_norm (create_baichuan_tensors(tn, false) never loads it;
+        # the graph applies a non-parametric RMS norm) — ffn_norm required
+        # but unused by build_plamo
+        w.add_tensor(p + "ffn_norm.weight",
+                     (1 + 0.1 * rng.standard_normal(n_embd)).astype(_np.float32))
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(n_embd, n_embd))
+        addw(p + "attn_v.weight", randw(n_embd, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    _parity_check(path, PROMPT, 0.15)

@@ -40,6 +40,9 @@ int main(int argc, char **argv) {
      * (Dk=576/Dv=512); run mla=1 without FA = standard matmul attention,
      * which supports any dims */
     cp.mla_attn = 0;
+    /* the fused up/gate op only supports GELU/RELU/SILU (ggml.c:6596);
+     * SWIGLU_OAI dense FFNs (minimax-m3, step35) need it off */
+    if (getenv("GEN_LOGITS_NO_FUG")) cp.fused_up_gate = 0;
     cp.flash_attn = 0;
     struct llama_context *ctx = llama_init_from_model(model, cp);
 
