@@ -93,6 +93,12 @@ class ModelConfig:
                                         # branch OUTPUT before the add
     nextn_layers: int = 0             # glm4moe: trailing MTP layers skipped
                                       # in the main forward
+    # per-layer overrides (deci/openelm); empty tuple = uniform.
+    # n_head_arr[il]==0: attention-free layer; n_head_kv_arr[il]==0 with
+    # heads: deci "linear attention" (wo only); n_ff_arr[il]==0: FFN-free
+    n_head_arr: tuple = ()
+    n_head_kv_arr: tuple = ()
+    n_ff_arr: tuple = ()
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:
@@ -123,8 +129,18 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     a = lambda key, default=None: _get(md, arch, key, default)
 
     n_embd = int(a("embedding_length"))
-    n_head = int(a("attention.head_count"))
-    n_head_kv = int(a("attention.head_count_kv", n_head))
+
+    def _maybe_arr(key, default=None):
+        """deci/openelm store per-layer arrays under the scalar keys."""
+        v = a(key, default)
+        if v is not None and hasattr(v, "__len__") and not isinstance(v, str):
+            return tuple(int(x) for x in v), int(max(int(x) for x in v))
+        return (), (None if v is None else int(v))
+
+    n_head_arr, n_head = _maybe_arr("attention.head_count")
+    n_head_kv_arr, n_head_kv = _maybe_arr("attention.head_count_kv", n_head)
+    if n_head_kv is None:
+        n_head_kv = n_head
     head_dim = int(a("attention.key_length", n_embd // max(n_head, 1)))
     n_vocab = int(a("vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
     n_layer = int(a("block_count"))
@@ -247,6 +263,9 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         # qwen1 GGUFs store DOUBLE the FFN width (create_qwen_tensors
         # passes n_ff/2 to create_std_ffn)
         n_ff_override = int(a("feed_forward_length", 0)) // 2
+    elif arch == "deci":
+        # Nemotron: per-branch residual scale + logit divide (build_deci.cpp)
+        branch_scale = float(a("residual_scale", 0.0))
     elif arch == "dbrx":
         norm_type = "layer"          # LN without biases (create_dbrx_tensors)
         clamp_kqv = float(a("attention.clamp_kqv", 0.0))
@@ -270,7 +289,7 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         # build_minimaxm3.cpp: SWIGLU_OAI activation for dense and experts
         act = "swiglu_oai"
         moe_act = "swiglu_oai"
-    elif arch == "glm4moe":
+    elif arch in ("glm4moe", "bailingmoe2", "qwen35", "qwen35moe", "step35"):
         # trailing NextN/MTP layers are loaded but not run in the main
         # forward (build_glm4.cpp n_transformer_layers)
         nextn = int(a("nextn_predict_layers", 0))
@@ -317,7 +336,10 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         n_head=n_head,
         n_head_kv=n_head_kv,
         n_ff=(n_ff_override if n_ff_override is not None
-              else int(a("feed_forward_length", 0))),
+              else _maybe_arr("feed_forward_length", 0)[1]),
+        n_ff_arr=_maybe_arr("feed_forward_length", 0)[0],
+        n_head_arr=n_head_arr,
+        n_head_kv_arr=n_head_kv_arr,
         n_vocab=n_vocab,
         n_ctx_train=int(a("context_length", 4096)),
         head_dim=head_dim,

@@ -98,9 +98,9 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
     blocks = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
-        blk = {
-            "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
-        }
+        blk = {}
+        if p + "attn_output.weight" in t:   # absent on deci attention-free layers
+            blk["wo"] = load_linear(t[p + "attn_output.weight"], use_quant=use_quant)
         if p + "attn_norm.weight" in t:  # olmo has non-parametric norms
             blk["attn_norm"] = load_dense(t[p + "attn_norm.weight"])
         if p + "attn_norm_2.weight" in t:  # falcon-40B second attention norm
@@ -121,10 +121,11 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         # shared attn_norm output feeds the FFN
         if p + "attn_qkv.weight" in t:   # fused QKV (phi3-style wqkv)
             blk["wqkv"] = load_linear(t[p + "attn_qkv.weight"], use_quant=use_quant)
-        else:
+        elif p + "attn_q.weight" in t:
             blk["wq"] = load_linear(t[p + "attn_q.weight"], use_quant=use_quant)
             blk["wk"] = load_linear(t[p + "attn_k.weight"], use_quant=use_quant)
             blk["wv"] = load_linear(t[p + "attn_v.weight"], use_quant=use_quant)
+        # else: deci attention-free / linear-attention layer (wo only)
         if p + "ffn_gate_inp.weight" in t:  # MoE layer (qwen2moe/qwen3moe style)
             blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"],
                                               use_quant=False)
@@ -309,10 +310,15 @@ def _ffn_dense(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
 
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 interpret=False, tp_axis=None, stats=None, il=0,
-                kv_ks=None, kv_vs=None, swa_window=None):
+                kv_ks=None, kv_vs=None, swa_window=None,
+                n_head=None, n_head_kv=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    if n_head is not None:       # deci/openelm per-layer head counts
+        h = n_head
+    if n_head_kv is not None:
+        hkv = n_head_kv
 
     if stats is not None:
         stats[f"blk.{il}.attn_q.weight"] = _sumsq(x)
@@ -385,41 +391,47 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         swa_window = cfg.swa_window
     scale = cfg.f_attention_scale or (1.0 / float(np.sqrt(d)))
     kv_len = npv + t
+    # per-layer head counts (deci): the shared cache is allocated at the max
+    # kv-head count; attend over this layer's leading head slots only
+    kv_k_a = kv_k if kv_k.shape[2] == hkv else kv_k[:, :, :hkv]
+    kv_v_a = kv_v if kv_v.shape[2] == hkv else kv_v[:, :, :hkv]
+    kv_ks_a = kv_ks if (kv_ks is None or kv_ks.shape[2] == hkv) else kv_ks[:, :, :hkv]
+    kv_vs_a = kv_vs if (kv_vs is None or kv_vs.shape[2] == hkv) else kv_vs[:, :, :hkv]
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
     if cfg.alibi_max_bias > 0:
         # ALiBi models (bloom/mpt/jais/refact/baichuan-13b): XLA attend path
         # with per-head position-bias slopes
-        attn = attend(qb, kv_k if not quant else dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
-                      kv_v if not quant else dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
+        attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      kv_v_a if not quant else dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       alibi=alibi_slopes(h, cfg.alibi_max_bias))
     elif sinks is not None and _use_pallas() and not quant:
-        attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale,
+        attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
                                sinks=sinks)
     elif sinks is not None:
         # quantized-KV + sinks: XLA attend path (dequantize first)
-        attn = attend(qb, kv_k if not quant else dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
-                      kv_v if not quant else dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
+        attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      kv_v_a if not quant else dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       sinks=sinks)
     elif quant and _use_pallas():
-        attn = flash_attention_q8(qb, kv_k, kv_ks, kv_v, kv_vs, npv, kv_len,
+        attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
                                   swa_window=swa_window)
     elif quant:
-        attn = attend(qb, dequantize_kv(kv_k, kv_ks).astype(jnp.bfloat16),
-                      dequantize_kv(kv_v, kv_vs).astype(jnp.bfloat16),
+        attn = attend(qb, dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window)
     elif _use_pallas():
-        attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale,
+        attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window)
     else:
-        attn = attend(qb, kv_k, kv_v, q_pos=q_pos, kv_len=kv_len,
+        attn = attend(qb, kv_k_a, kv_v_a, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=swa_window)
     attn = attn.reshape(b, t, h * d)
@@ -488,19 +500,42 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         nope = (not cfg.use_rope) or \
             (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
             (bool(cfg.nope_layer_mask) and cfg.nope_layer_mask[i])
-        h = _norm(x, blk.get("attn_norm"), blk.get("attn_norm_bias"), cfg)
+        # deci/openelm per-layer head/ffn widths
+        n_head_l = cfg.n_head_arr[i] if cfg.n_head_arr else cfg.n_head
+        n_head_kv_l = cfg.n_head_kv_arr[i] if cfg.n_head_kv_arr else cfg.n_head_kv
+        n_ff_l = cfg.n_ff_arr[i] if cfg.n_ff_arr else None
+        h = _norm(x, blk.get("attn_norm"), blk.get("attn_norm_bias"), cfg) \
+            if ("attn_norm" in blk or cfg.norm_type == "layer"
+                or n_head_l > 0) else x
         # falcon-40B: the attention reads its own second LayerNorm while the
         # FFN reads attn_norm (build_falcon.cpp:33-38)
         h_attn = (_norm(x, blk["attn_norm_2"], blk.get("attn_norm_2_bias"), cfg)
                   if "attn_norm_2" in blk else h)
-        attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
-            blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
-            None if nope else (cos_swa if is_swa else cos),
-            None if nope else (sin_swa if is_swa else sin), interpret,
-            tp_axis=tp_axis, stats=stats, il=i,
-            kv_ks=None if kv.k_scale is None else kv.k_scale[i],
-            kv_vs=None if kv.v_scale is None else kv.v_scale[i],
-            swa_window=cfg.swa_window if is_swa else 0)
+        if n_head_l == 0:
+            # deci attention-free layer (build_deci.cpp:33)
+            attn_out = jnp.zeros_like(x)
+            k_i, v_i = kv.k[i], kv.v[i]
+            ks_i = None if kv.k_scale is None else kv.k_scale[i]
+            vs_i = None if kv.v_scale is None else kv.v_scale[i]
+        elif n_head_kv_l == 0:
+            # deci "linear attention": wo over the normed input
+            attn_out = blk["wo"](h_attn, interpret=interpret)
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            k_i, v_i = kv.k[i], kv.v[i]
+            ks_i = None if kv.k_scale is None else kv.k_scale[i]
+            vs_i = None if kv.v_scale is None else kv.v_scale[i]
+        else:
+            attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
+                blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
+                None if nope else (cos_swa if is_swa else cos),
+                None if nope else (sin_swa if is_swa else sin), interpret,
+                tp_axis=tp_axis, stats=stats, il=i,
+                kv_ks=None if kv.k_scale is None else kv.k_scale[i],
+                kv_vs=None if kv.v_scale is None else kv.v_scale[i],
+                swa_window=cfg.swa_window if is_swa else 0,
+                n_head=n_head_l if cfg.n_head_arr else None,
+                n_head_kv=n_head_kv_l if cfg.n_head_kv_arr else None)
         if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch
@@ -539,6 +574,17 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             # after the residual add (build_llama.cpp:114 on the output of
             # build_std_attention(add_input=true))
             x = (x.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
+        if n_ff_l == 0 or ("ffn_up" not in blk and "experts" not in blk):
+            # deci FFN-free layer: attention residual only
+            if "cvec" in params:
+                x = x + params["cvec"][i].astype(x.dtype)
+            if return_layer_hiddens:
+                layer_hiddens.append(x.astype(jnp.float32))
+            new_k.append(k_i)
+            new_v.append(v_i)
+            new_ks.append(ks_i)
+            new_vs.append(vs_i)
+            continue
         h = _norm(x, blk.get("ffn_norm"), blk.get("ffn_norm_bias"), cfg)
         if "ffn_norm_exps" in blk:
             # arctic: the sequential FFN is the DENSE one; the MoE runs in

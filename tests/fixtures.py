@@ -1213,6 +1213,11 @@ _MOE2 = {
     "arctic":      dict(dense_all=True, norm_exps=True, exps_n_ff=True),
     "dbrx":        dict(fused=True, ffn_as_out_norm=True),
     "grok":        dict(dense_all=True, grok_sandwich=True),
+    "mellum":      dict(qk_norm="head"),
+    # bailingmoe2: fused unbiased qkv + per-head qk norms + dense lead +
+    # shexp sized (n_ff_shexp or n_ff_exp) * n_expert_shared
+    "bailingmoe2": dict(fused=True, qk_norm="head", shexp=True,
+                        probs_b=True, dense_lead=1),
 }
 
 
@@ -1322,5 +1327,116 @@ def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
                 addw(p + "ffn_gate_shexp.weight", randw(sw, n_embd))
                 addw(p + "ffn_up_shexp.weight", randw(sw, n_embd))
                 addw(p + "ffn_down_shexp.weight", randw(n_embd, sw))
+    w.write()
+    return path
+
+
+def make_tiny_deci_gguf(path, *, seed=0, n_embd=64, n_ff=96):
+    """deci (Nemotron): per-layer head counts — layer0 normal GQA, layer1
+    attention-free (n_head=0), layer2 'linear attention' (n_head_kv=0,
+    wo-only) per build_deci.cpp / create_deci_tensors."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = 16
+    heads = [4, 0, 4]
+    heads_kv = [2, 0, 0]
+    w = GGUFWriter(path, arch="deci")
+    w.add("deci.block_count", 3)
+    w.add("deci.context_length", 256)
+    w.add("deci.embedding_length", n_embd)
+    w.add("deci.feed_forward_length", [n_ff, n_ff, n_ff])
+    w.add("deci.attention.head_count", heads)
+    w.add("deci.attention.head_count_kv", heads_kv)
+    w.add("deci.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("deci.rope.freq_base", 10000.0)
+    w.add("deci.rope.dimension_count", head_dim)
+    w.add("deci.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape):
+        return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd))
+    for i in range(3):
+        p = f"blk.{i}."
+        h, hkv = heads[i], heads_kv[i]
+        if hkv == 0 and h > 0:     # linear attention: wo only
+            ones(p + "attn_norm.weight", n_embd)
+            addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        elif hkv > 0:
+            ones(p + "attn_norm.weight", n_embd)
+            addw(p + "attn_q.weight", randw(h * head_dim, n_embd))
+            addw(p + "attn_k.weight", randw(hkv * head_dim, n_embd))
+            addw(p + "attn_v.weight", randw(hkv * head_dim, n_embd))
+            addw(p + "attn_output.weight", randw(n_embd, h * head_dim))
+        ones(p + "ffn_norm.weight", n_embd)
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path
+
+
+def make_tiny_openelm_gguf(path, *, seed=0, n_embd=64):
+    """openelm: per-layer head counts + per-layer FFN widths + per-head
+    qk RMS norms on a fused unbiased qkv (build_openelm.cpp)."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = 16
+    heads = [4, 2, 4]
+    heads_kv = [2, 1, 2]
+    ffs = [96, 64, 96]
+    w = GGUFWriter(path, arch="openelm")
+    w.add("openelm.block_count", 3)
+    w.add("openelm.context_length", 256)
+    w.add("openelm.embedding_length", n_embd)
+    w.add("openelm.feed_forward_length", ffs)
+    w.add("openelm.attention.head_count", heads)
+    w.add("openelm.attention.head_count_kv", heads_kv)
+    w.add("openelm.attention.key_length", head_dim)
+    w.add("openelm.attention.value_length", head_dim)
+    w.add("openelm.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("openelm.rope.freq_base", 10000.0)
+    w.add("openelm.rope.dimension_count", head_dim)
+    w.add("openelm.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape):
+        return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd))
+    ones("output_norm.weight", n_embd)
+    for i in range(3):
+        p = f"blk.{i}."
+        h, hkv, ff = heads[i], heads_kv[i], ffs[i]
+        ones(p + "attn_norm.weight", n_embd)
+        addw(p + "attn_qkv.weight", randw((h + 2 * hkv) * head_dim, n_embd))
+        ones(p + "attn_q_norm.weight", head_dim)
+        ones(p + "attn_k_norm.weight", head_dim)
+        addw(p + "attn_output.weight", randw(n_embd, h * head_dim))
+        ones(p + "ffn_norm.weight", n_embd)
+        addw(p + "ffn_gate.weight", randw(ff, n_embd))
+        addw(p + "ffn_up.weight", randw(ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, ff))
     w.write()
     return path

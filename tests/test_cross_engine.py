@@ -185,6 +185,21 @@ def _parity_check(model, prompt, tol, n_gen=6):
     assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"
 
 
+def _parity_check_loose(model, prompt, mean_tol=0.1, agree_tol=0.9, n_gen=6):
+    """Mean-L1 + argmax gate for models where a discrete routing near-tie
+    (or recurrent-state bf16 accumulation) can blow up max-L1 at isolated
+    positions without any structural mismatch."""
+    p_ids, g_ids, ref = ref_logits(model, prompt, n_gen=n_gen)
+    rt = Runtime.from_gguf(model)
+    seq = list(p_ids) + list(g_ids)
+    got = rt.all_position_logits(seq)
+    ps, pr = _softmax_np(got), _softmax_np(ref)
+    l1 = np.abs(ps - pr).sum(axis=-1)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert l1.mean() < mean_tol, f"mean L1 prob distance {l1.mean():.4f}"
+    assert agree >= agree_tol, f"greedy argmax agreement {agree:.2%}"
+
+
 @needs_ref
 @pytest.mark.parametrize("version,n_layer", [(2, 26), (3, 6)])
 def test_gemma_logit_parity(tmp_path, version, n_layer):

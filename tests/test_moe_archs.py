@@ -8,7 +8,7 @@ import pytest
 
 from fixtures import (make_tiny_classic_gguf, make_tiny_llamalike_gguf,
                       make_tiny_moe2_gguf)
-from test_cross_engine import _parity_check, needs_ref
+from test_cross_engine import _parity_check, _parity_check_loose, needs_ref
 
 PROMPT = "Hello world, this is a test"
 
@@ -273,3 +273,55 @@ def test_plamo_parity(tmp_path):
         addw(p + "ffn_down.weight", randw(n_embd, n_ff))
     w.write()
     _parity_check(path, PROMPT, 0.15)
+
+
+@needs_ref
+def test_mellum_parity(tmp_path):
+    """mellum: qwen3-style per-head qk norms + default 3:1 SWA pattern +
+    softmax/norm-topk MoE (build_mellum.cpp; llama-hparams.cpp:565-581)."""
+    # n_layer=4: the default pattern makes layer 3 global — with ALL layers
+    # sliding the reference never allocates the global KQ mask and asserts
+    # (llama.cpp:5270), like gemma3
+    # all experts used: random-weight routers tie at isolated positions
+    # and a discrete flip cascades through the KV cache (see test_dbrx)
+    model = make_tiny_moe2_gguf(
+        tmp_path / "me.gguf", arch="mellum", seed=45, n_layer=4,
+        n_expert_used=4,
+        extra_kv={"mellum.attention.sliding_window": 16})
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_bailingmoe2_parity(tmp_path):
+    """bailingmoe2: fused unbiased qkv + per-head qk norms + dense lead +
+    selection bias + shared expert (build_bailingmoe2.cpp)."""
+    model = make_tiny_moe2_gguf(
+        tmp_path / "bm.gguf", arch="bailingmoe2", seed=46, n_expert_used=4,
+        extra_kv={"bailingmoe2.expert_gating_func": 1,
+                  "bailingmoe2.expert_weights_scale": 1.5,
+                  "bailingmoe2.expert_weights_norm": True,
+                  "bailingmoe2.leading_dense_block_count": 1,
+                  "bailingmoe2.expert_group_count": 1,
+                  "bailingmoe2.expert_group_used_count": 1})
+    # layer-by-layer outputs verified identical vs the reference's cb_eval
+    # dump; all experts used to exclude routing-tie flips (see test_dbrx)
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_deci_parity(tmp_path):
+    """deci (Nemotron): per-layer head counts — normal GQA, attention-free
+    (n_head=0) and linear-attention (n_head_kv=0, wo only) layers
+    (build_deci.cpp:33-42; create_deci_tensors)."""
+    from fixtures import make_tiny_deci_gguf
+    model = make_tiny_deci_gguf(tmp_path / "dc.gguf", seed=47)
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_openelm_parity(tmp_path):
+    """openelm: per-layer head counts + per-layer FFN widths, fused qkv
+    with per-head qk RMS norms, tied head (build_openelm.cpp)."""
+    from fixtures import make_tiny_openelm_gguf
+    model = make_tiny_openelm_gguf(tmp_path / "oe.gguf", seed=48)
+    _parity_check(model, PROMPT, 0.15)
