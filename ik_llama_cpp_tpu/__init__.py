@@ -20,6 +20,9 @@ def __getattr__(name):
     if name == "Runtime":
         from .runtime.generate import Runtime
         return Runtime
+    if name == "T5Runtime":
+        from .runtime.t5_runtime import T5Runtime
+        return T5Runtime
     if name == "BatchEngine":
         from .server.engine import BatchEngine
         return BatchEngine

@@ -394,10 +394,12 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         par_res_separate_norm=par_sep,
         logit_scale_mul=logit_mul,
         nope_layer_mask=nope_mask,
+        extra=({"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
+                "dec_start": int(a("decoder_start_token_id", -1))}
+               if arch in ("t5", "t5encoder") else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,
         residual_branch_scale=branch_scale,
         nextn_layers=nextn,
-        extra={},
     )

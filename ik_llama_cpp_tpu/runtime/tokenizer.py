@@ -163,6 +163,8 @@ class Tokenizer:
     fim_suf_id: int = -1
     fim_mid_id: int = -1
     chat_template: str | None = None
+    remove_extra_whitespaces: bool = False   # UGM shall_merge_spaces
+    precompiled_charsmap: bytes | None = None  # UGM xcda normalization blob
 
     def __post_init__(self):
         self.vocab = {t: i for i, t in enumerate(self.tokens)}
@@ -311,6 +313,8 @@ class Tokenizer:
             return self._encode_spm(text)
         if self.model == "bert":
             return self._encode_wpm(text)
+        if self.model == "t5":
+            return self._encode_ugm(text)
         return self._encode_bpe(text)
 
     # ------------------------------------------------------------------ WPM
@@ -346,6 +350,181 @@ class Tokenizer:
                 out.extend(ids)
         return out
 
+    # ------------------------------------------------------------------ UGM
+    def _ugm_init(self):
+        """Lazy setup for the T5/SentencePiece unigram tokenizer
+        (llm_tokenizer_ugm, src/llama-vocab.cpp:839-1060)."""
+        toks: dict[bytes, tuple[int, float]] = {}
+        min_score = float("inf")
+        tt = self.token_types
+        user_defined: list[bytes] = []
+        for i, t in enumerate(self.tokens):
+            ty = int(tt[i]) if tt is not None else TT_NORMAL
+            b = t.encode("utf-8")
+            if ty == TT_NORMAL and self.scores is not None:
+                min_score = min(min_score, float(self.scores[i]))
+            if ty == TT_NORMAL:
+                toks[b] = (i, float(self.scores[i]) if self.scores is not None else 0.0)
+            elif ty in (TT_USER_DEFINED, TT_UNUSED):
+                # user-defined tokens score 0 to be preferred over normal ones
+                toks[b] = (i, 0.0)
+                if ty == TT_USER_DEFINED:
+                    user_defined.append(b)
+        self._ugm_tokens = toks
+        self._ugm_maxlen = max((len(b) for b in toks), default=1)
+        self._ugm_unk_score = (min_score if min_score != float("inf") else 0.0) - 10.0
+        self._ugm_user_defined = sorted(user_defined, key=len, reverse=True)
+        # precompiled charsmap: [u32 xcda_size][xcda u32s][replacement strings]
+        self._ugm_xcda = None
+        self._ugm_repl = b""
+        cm = self.precompiled_charsmap
+        if cm and len(cm) >= 4:
+            xcda_size = int.from_bytes(cm[:4], "little")
+            if xcda_size + 4 <= len(cm):
+                self._ugm_xcda = np.frombuffer(cm[4:4 + xcda_size], np.uint32)
+                self._ugm_repl = cm[4 + xcda_size:]
+
+    @staticmethod
+    def _utf8_len(b0: int) -> int:
+        if b0 < 0x80:
+            return 1
+        if b0 < 0xE0:
+            return 2 if b0 >= 0xC0 else 1
+        if b0 < 0xF0:
+            return 3
+        return 4
+
+    def _ugm_normalize_prefix(self, data: bytes, off: int):
+        """Returns (normalized_bytes, consumed). Mirrors normalize_prefix
+        (llama-vocab.cpp:1110-1179): user-defined passthrough, then longest
+        XCDA charsmap replacement, else the raw UTF-8 code point."""
+        for ud in self._ugm_user_defined:
+            if data.startswith(ud, off):
+                return data[off:off + len(ud)], len(ud)
+        xcda = self._ugm_xcda
+        best_len, best_off = 0, 0
+        if xcda is not None and xcda.size:
+            def base(i):
+                n = int(xcda[i])
+                return (n >> 10) << ((n & (1 << 9)) >> 6)
+            def lcheck(i):
+                n = int(xcda[i])
+                return n & ((1 << 31) | 0xFF)
+            def leaf(i):
+                return (int(xcda[i]) >> 8) & 1
+            def value(i):
+                return int(xcda[i]) & ((1 << 31) - 1)
+            node = base(0)
+            for p in range(off, len(data)):
+                c = data[p]
+                if c == 0:
+                    break
+                node ^= c
+                if node >= xcda.size or lcheck(node) != c:
+                    break
+                is_leaf = leaf(node)
+                node ^= base(node)
+                if is_leaf:
+                    best_len = p - off + 1
+                    best_off = value(node)
+        if best_len > 0:
+            end = self._ugm_repl.index(b"\0", best_off) \
+                if b"\0" in self._ugm_repl[best_off:] else len(self._ugm_repl)
+            return self._ugm_repl[best_off:end], best_len
+        n = min(self._utf8_len(data[off]), len(data) - off)
+        piece = data[off:off + n]
+        try:
+            piece.decode("utf-8")
+            return piece, n
+        except UnicodeDecodeError:
+            return b"\xef\xbf\xbd", 1
+    
+    def _ugm_normalize(self, text: str) -> bytes:
+        """UGM normalization (llama-vocab.cpp:1017-1060): charsmap prefix
+        replacement + space escaping to U+2581 with prefix/merge rules."""
+        data = text.encode("utf-8")
+        space = "\u2581".encode("utf-8")
+        out = bytearray()
+        prepend = self.add_space_prefix
+        merge = self.remove_extra_whitespaces
+        is_space_prepended = False
+        processing_non_ws = False
+        off = 0
+        while off < len(data):
+            norm, consumed = self._ugm_normalize_prefix(data, off)
+            for c in norm:
+                if c != 0x20:
+                    if not processing_non_ws:
+                        processing_non_ws = True
+                        if (prepend and not is_space_prepended) or merge:
+                            out.extend(space)
+                            is_space_prepended = True
+                    out.append(c)
+                else:
+                    if processing_non_ws:
+                        processing_non_ws = False
+                    if not merge:
+                        out.extend(space)
+            off += max(consumed, 1)
+        return bytes(out)
+
+    def _encode_ugm(self, text: str) -> list[int]:
+        """SentencePiece unigram Viterbi (llm_tokenizer_ugm_session::tokenize,
+        llama-vocab.cpp:909-1005): best-scoring segmentation over the
+        normalized byte string; unmatched code points become UNK with a
+        score penalty, consecutive UNKs merge."""
+        if not hasattr(self, "_ugm_tokens"):
+            self._ugm_init()
+        norm = self._ugm_normalize(text)
+        n = len(norm)
+        if n == 0:
+            return []
+        NEG = -1e300
+        best_score = [NEG] * (n + 1)
+        best_tok = [self.unk_id] * (n + 1)
+        best_src = [0] * (n + 1)
+        best_score[0] = 0.0
+        off = 0
+        while off < n:
+            cp_len = min(self._utf8_len(norm[off]), n - off)
+            cur = best_score[off]
+            single_cp_found = False
+            maxe = min(n, off + self._ugm_maxlen)
+            for end in range(off + 1, maxe + 1):
+                hit = self._ugm_tokens.get(norm[off:end])
+                if hit is None:
+                    continue
+                if end - off == cp_len:
+                    single_cp_found = True
+                tid, sc = hit
+                ch = cur + sc
+                if ch > best_score[end]:
+                    best_score[end] = ch
+                    best_tok[end] = tid
+                    best_src[end] = off
+            if not single_cp_found:
+                end = off + cp_len
+                ch = cur + self._ugm_unk_score
+                if ch > best_score[end]:
+                    best_score[end] = ch
+                    best_tok[end] = self.unk_id
+                    best_src[end] = off
+            off += cp_len
+        out_rev = []
+        pos = n
+        prev_unk = False
+        while True:
+            tid = best_tok[pos]
+            is_unk = tid == self.unk_id
+            if not (prev_unk and is_unk):
+                out_rev.append(tid)
+            if best_src[pos] == 0:
+                break     # this token starts at 0 — done (results[0] is the
+                          # sentinel start entry, never emitted)
+            prev_unk = is_unk
+            pos = best_src[pos]
+        return list(reversed(out_rev))
+
     def _split_on(self, text: str, specials: list[str]) -> list[int]:
         pattern = "|".join(re.escape(s) for s in specials)
         out = []
@@ -377,7 +556,7 @@ class Tokenizer:
         a multibyte character may span tokens (the server buffers bytes until
         they form valid UTF-8, like the reference's partial-UTF8 handling)."""
         buf = bytearray()
-        if self.model == "llama":
+        if self.model in ("llama", "t5"):
             for i in ids:
                 tt = self.token_types[i] if self.token_types is not None else TT_NORMAL
                 piece = self.tokens[i]
@@ -396,7 +575,7 @@ class Tokenizer:
         return bytes(buf)
 
     def decode(self, ids: Iterable[int]) -> str:
-        if self.model == "llama":
+        if self.model in ("llama", "t5"):
             buf = bytearray()
             for i in ids:
                 tt = self.token_types[i] if self.token_types is not None else TT_NORMAL
@@ -434,19 +613,26 @@ def tokenizer_from_gguf(md: dict) -> Tokenizer:
         return bool(v.item() if hasattr(v, "item") else v)
 
     model = str(md.get("tokenizer.ggml.model", "llama"))
+    cm = md.get("tokenizer.ggml.precompiled_charsmap")
+    if cm is not None and not isinstance(cm, (bytes, bytearray)):
+        cm = np.asarray(cm, np.uint8).tobytes()
+    # UGM (t5) defaults per llama-vocab.cpp:1844-1852,2186-2189
+    ugm = model == "t5"
     return Tokenizer(
         model=model,
         tokens=tokens,
         scores=None if scores is None else np.asarray(scores),
         token_types=None if token_types is None else np.asarray(token_types),
         merges=merges,
-        bos_id=geti("tokenizer.ggml.bos_token_id"),
-        eos_id=geti("tokenizer.ggml.eos_token_id"),
-        unk_id=geti("tokenizer.ggml.unknown_token_id"),
-        pad_id=geti("tokenizer.ggml.padding_token_id"),
-        add_bos=getb("tokenizer.ggml.add_bos_token", model == "llama"),
-        add_eos=getb("tokenizer.ggml.add_eos_token", False),
-        add_space_prefix=getb("tokenizer.ggml.add_space_prefix", True),
+        bos_id=geti("tokenizer.ggml.bos_token_id", -1 if ugm else -1),
+        eos_id=geti("tokenizer.ggml.eos_token_id", 1 if ugm else -1),
+        unk_id=geti("tokenizer.ggml.unknown_token_id", 2 if ugm else -1),
+        pad_id=geti("tokenizer.ggml.padding_token_id", 0 if ugm else -1),
+        add_bos=getb("tokenizer.ggml.add_bos_token",
+                     model == "llama" and not ugm),
+        add_eos=getb("tokenizer.ggml.add_eos_token", ugm),
+        # UGM/t5 defaults add_space_prefix=false (llama-vocab.cpp:1936)
+        add_space_prefix=getb("tokenizer.ggml.add_space_prefix", not ugm),
         pre=str(md.get("tokenizer.ggml.pre", "default")),
         fim_pre_id=geti("tokenizer.ggml.fim_pre_token_id",
                         geti("tokenizer.ggml.prefix_token_id")),
@@ -456,4 +642,7 @@ def tokenizer_from_gguf(md: dict) -> Tokenizer:
                         geti("tokenizer.ggml.middle_token_id")),
         chat_template=(str(md["tokenizer.chat_template"])
                        if "tokenizer.chat_template" in md else None),
+        remove_extra_whitespaces=getb(
+            "tokenizer.ggml.remove_extra_whitespaces", False),
+        precompiled_charsmap=cm,
     )

@@ -1440,3 +1440,104 @@ def make_tiny_openelm_gguf(path, *, seed=0, n_embd=64):
         addw(p + "ffn_down.weight", randw(n_embd, ff))
     w.write()
     return path
+
+
+def ugm_vocab():
+    """Tiny unigram (UGM/T5) vocab: specials + word pieces + single-char
+    fallback pieces, scores = log-probs (words preferred over chars)."""
+    tokens = ["<pad>", "</s>", "<unk>"]
+    types = [3, 3, 2]                 # CONTROL, CONTROL, UNKNOWN
+    scores = [0.0, 0.0, 0.0]
+    words = ["▁Hello", "▁world", "▁this", "▁is",
+             "▁a", "▁test", "▁the", "▁of", "ing",
+             "ed", "er", "▁qu", "ick", "▁brown", "▁fox"]
+    for wd in words:
+        tokens.append(wd)
+        types.append(1)
+        scores.append(-4.0 - 0.1 * (len(tokens) % 7))
+    import string
+    for ch in string.ascii_letters + string.digits + ".,!?'-:;":
+        tokens.append(ch)
+        types.append(1)
+        scores.append(-10.0 - 0.01 * ord(ch) % 3)
+    tokens.append("▁")
+    types.append(1)
+    scores.append(-9.0)
+    return tokens, scores, types
+
+
+def make_tiny_t5_gguf(path, *, seed=0, n_layer=2, n_embd=64, n_head=4,
+                      n_ff=96, n_buckets=8, gated=False):
+    """Tiny T5 GGUF: UGM vocab + enc/dec stacks with relative-bucket
+    attention bias (create_t5_tensors; build_t5.cpp)."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = ugm_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    w = GGUFWriter(path, arch="t5")
+    w.add("t5.block_count", n_layer)
+    w.add("t5.context_length", 256)
+    w.add("t5.embedding_length", n_embd)
+    w.add("t5.feed_forward_length", n_ff)
+    w.add("t5.attention.head_count", n_head)
+    w.add("t5.attention.head_count_kv", n_head)
+    w.add("t5.attention.key_length", head_dim)
+    w.add("t5.attention.value_length", head_dim)
+    w.add("t5.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("t5.attention.relative_buckets_count", n_buckets)
+    w.add("t5.decoder_start_token_id", 0)
+    w.add("t5.vocab_size", n_vocab)
+    w.add("tokenizer.ggml.model", "t5")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.eos_token_id", 1)
+    w.add("tokenizer.ggml.unknown_token_id", 2)
+    w.add("tokenizer.ggml.padding_token_id", 0)
+    w.add("tokenizer.ggml.add_eos_token", True)
+
+    def randw(*shape):
+        return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd))
+    ones("enc.output_norm.weight", n_embd)
+    ones("dec.output_norm.weight", n_embd)
+    qk = n_head * head_dim
+    for i in range(n_layer):
+        # the reference fork's build_t5_encoder reads the DECODER's wq/wk/wv
+        # (model.layers[il].wq) instead of wq_enc — a fork bug vs upstream.
+        # Write identical q/k/v weights into both stacks so cross-engine
+        # parity is meaningful while our implementation keeps the correct
+        # enc.* tensors.
+        qkv_shared = [randw(qk, n_embd) for _ in range(3)]
+        for pre, cross in ((f"enc.blk.{i}.", False), (f"dec.blk.{i}.", True)):
+            ones(pre + "attn_norm.weight", n_embd)
+            if i == 0:
+                w.add_tensor(pre + "attn_rel_b.weight",
+                             (0.5 * rng.standard_normal(
+                                 (n_buckets, n_head))).astype(np.float32))
+            addw(pre + "attn_q.weight", qkv_shared[0])
+            addw(pre + "attn_k.weight", qkv_shared[1])
+            addw(pre + "attn_v.weight", qkv_shared[2])
+            addw(pre + "attn_o.weight", randw(n_embd, qk))
+            ones(pre + "ffn_norm.weight", n_embd)
+            if gated:
+                addw(pre + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(pre + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(pre + "ffn_down.weight", randw(n_embd, n_ff))
+            if cross:
+                ones(pre + "cross_attn_norm.weight", n_embd)
+                addw(pre + "cross_attn_q.weight", randw(qk, n_embd))
+                addw(pre + "cross_attn_k.weight", randw(qk, n_embd))
+                addw(pre + "cross_attn_v.weight", randw(qk, n_embd))
+                addw(pre + "cross_attn_o.weight", randw(n_embd, qk))
+    w.write()
+    return path
