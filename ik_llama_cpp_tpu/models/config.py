@@ -263,6 +263,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         # qwen1 GGUFs store DOUBLE the FFN width (create_qwen_tensors
         # passes n_ff/2 to create_std_ffn)
         n_ff_override = int(a("feed_forward_length", 0)) // 2
+    elif arch in ("bitnet-25", "bitnet-b1.58"):
+        act = "relu2"        # build_bitnet_158: LLM_FFN_RELU_SQR
     elif arch == "deci":
         # Nemotron: per-branch residual scale + logit divide (build_deci.cpp)
         branch_scale = float(a("residual_scale", 0.0))

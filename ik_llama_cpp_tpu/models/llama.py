@@ -25,7 +25,7 @@ from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
 from .weights import (DenseLinear, QLinear, dequant_tensor, fuse_linears,
-                      load_dense, load_linear)
+                      load_dense, load_linear, scale_linear)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -174,6 +174,20 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                       "ffn_up.bias", "ffn_down.bias", "ffn_gate.bias"):
             if p + opt_b in t:
                 blk[opt_b.replace(".", "_")] = load_dense(t[p + opt_b])
+        for sub in ("attn_sub_norm", "ffn_sub_norm"):
+            if p + sub + ".weight" in t:   # bitnet inner norms
+                blk[sub] = load_dense(t[p + sub + ".weight"])
+        # bitnet per-tensor scales: fold into the weights at load (the
+        # post-matmul ggml_scale/mul is a scalar/per-channel multiply,
+        # build_bitnet.cpp; the eps-compensated sub-norms become plain
+        # rms_norms once the weight carries its scale)
+        for key, tname in (("wq", "attn_q"), ("wk", "attn_k"),
+                           ("wv", "attn_v"), ("wo", "attn_output"),
+                           ("ffn_gate", "ffn_gate"), ("ffn_up", "ffn_up"),
+                           ("ffn_down", "ffn_down")):
+            if p + tname + ".scale" in t and key in blk:
+                blk[key] = scale_linear(blk[key],
+                                        load_dense(t[p + tname + ".scale"]))
         for sn in ("attn_sinks.weight", "attn_sinks"):
             if p + sn in t:               # per-head sink logits (gpt-oss)
                 blk["attn_sinks"] = load_dense(t[p + sn])
@@ -298,6 +312,8 @@ def _ffn_dense(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
         # fused gate+up in one tensor (phi3, build_phi3.cpp LLM_FFN_SWIGLU)
         gate, up = jnp.split(both, 2, axis=-1)
     act = L.glu(gate, up, cfg.act).astype(jnp.bfloat16)
+    if "ffn_sub_norm" in blk:    # bitnet inner norm before ffn_down
+        act = L.rms_norm(act, blk["ffn_sub_norm"], cfg.rms_eps).astype(jnp.bfloat16)
     if stats is not None:
         stats[f"blk.{il}.ffn_gate.weight"] = _sumsq(h)
         stats[f"blk.{il}.ffn_up.weight"] = stats[f"blk.{il}.ffn_gate.weight"]
@@ -435,6 +451,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=swa_window)
     attn = attn.reshape(b, t, h * d)
+    if "attn_sub_norm" in blk:   # bitnet inner norm before the out proj
+        attn = L.rms_norm(attn, blk["attn_sub_norm"], cfg.rms_eps)
     if stats is not None:
         stats[f"blk.{il}.attn_output.weight"] = _sumsq(attn)
     out = blk["wo"](attn, interpret=interpret)

@@ -175,6 +175,22 @@ def load_dense(info: GGUFTensorInfo, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(dequant_tensor(info), dtype=dtype)
 
 
+def scale_linear(lin, s):
+    """Fold a scalar (or per-output-channel) multiplier into a linear — the
+    load-time equivalent of bitnet's post-matmul ggml_scale/ggml_mul with
+    the *.scale tensors (build_bitnet.cpp:32-115). ``s`` is a scalar or a
+    1-D (N,) array broadcast over output channels."""
+    import numpy as _np
+    s = jnp.asarray(s, jnp.float32).reshape(-1)   # () or (N,)
+    if isinstance(lin, QLinear):
+        scale = lin.scale * s[None, :] if s.size > 1 else lin.scale * s[0]
+        bias = None if lin.bias is None else (
+            lin.bias * s[None, :] if s.size > 1 else lin.bias * s[0])
+        return QLinear(lin.codes, scale, bias, lin.group)
+    w = lin.w.astype(jnp.float32) * (s[None, :] if s.size > 1 else s[0])
+    return DenseLinear(w.astype(lin.w.dtype))
+
+
 def fuse_linears(linears: list) -> "QLinear | DenseLinear | None":
     """Concatenate linears along the output dim into ONE matmul — the
     load-time analogue of the reference's merge-qkv / merge-up-gate

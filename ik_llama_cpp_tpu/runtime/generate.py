@@ -70,7 +70,8 @@ _DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
                  "seed_oss", "mellum", "hunyuan-moe", "dots1", "ernie4_5",
                  "ernie4_5-moe", "minimax-m2", "minimax-m3", "mimo2",
                  "cohere2_moe", "laguna", "arctic", "dbrx", "grok", "plamo",
-                 "bailingmoe2", "deci", "openelm")
+                 "bailingmoe2", "deci", "openelm", "bitnet", "bitnet-25",
+                 "bitnet-b1.58")
 FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))

@@ -1541,3 +1541,62 @@ def make_tiny_t5_gguf(path, *, seed=0, n_layer=2, n_embd=64, n_head=4,
                 addw(pre + "cross_attn_o.weight", randw(n_embd, qk))
     w.write()
     return path
+
+
+def make_tiny_bitnet_gguf(path, *, arch="bitnet-b1.58", seed=0, n_layer=2,
+                          n_embd=64, n_head=4, n_head_kv=2, n_ff=96,
+                          scales=True):
+    """BitNet b1.58/25: attn/ffn inner sub-norms, relu^2 gated FFN, optional
+    per-tensor scalar .scale tensors (create_bitnet2_tensors;
+    build_bitnet.cpp build_bitnet_158)."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kv_dim = n_head_kv * head_dim
+    w = GGUFWriter(path, arch=arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape):
+        return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd))
+    ones("output_norm.weight", n_embd)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "attn_sub_norm.weight", n_embd)
+        ones(p + "ffn_sub_norm.weight", n_ff)
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        ones(p + "ffn_norm.weight", n_embd)
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        if scales:
+            for tname in ("attn_q", "attn_k", "attn_v", "attn_output",
+                          "ffn_gate", "ffn_up", "ffn_down"):
+                w.add_tensor(p + tname + ".scale",
+                             np.asarray([0.5 + rng.random()], np.float32))
+    w.write()
+    return path

@@ -325,3 +325,25 @@ def test_openelm_parity(tmp_path):
     from fixtures import make_tiny_openelm_gguf
     model = make_tiny_openelm_gguf(tmp_path / "oe.gguf", seed=48)
     _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_bitnet158_parity(tmp_path):
+    """bitnet-b1.58: inner attn/ffn sub-norms, relu^2 gated FFN
+    (build_bitnet.cpp build_bitnet_158; create_bitnet2_tensors — the b1.58
+    creator takes no .scale tensors; those belong to v1 'bitnet')."""
+    from fixtures import make_tiny_bitnet_gguf
+    model = make_tiny_bitnet_gguf(tmp_path / "bn.gguf", seed=52, scales=False)
+    _parity_check(model, PROMPT, 0.15)
+
+
+@needs_ref
+def test_bitnet_v1_parity(tmp_path):
+    """bitnet (v1 ternary): per-tensor scalar .scale multipliers (folded
+    into the weights at load — post-matmul ggml_scale and the
+    eps-compensated sub-norms are equivalent to scaled weights with plain
+    RMS norms), silu gated FFN (build_bitnet.cpp:31-125)."""
+    from fixtures import make_tiny_bitnet_gguf
+    model = make_tiny_bitnet_gguf(tmp_path / "bn1.gguf", arch="bitnet",
+                                  seed=53, scales=True)
+    _parity_check(model, PROMPT, 0.15)
