@@ -398,7 +398,9 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         nope_layer_mask=nope_mask,
         extra=({"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
                 "dec_start": int(a("decoder_start_token_id", -1))}
-               if arch in ("t5", "t5encoder") else {}),
+               if arch in ("t5", "t5encoder") else
+               {"full_attn_interval": int(a("full_attention_interval", 4))}
+               if arch in ("qwen35", "qwen35moe", "qwen3next") else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,

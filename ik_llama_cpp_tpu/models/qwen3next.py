@@ -37,8 +37,12 @@ from .llama import _load_experts
 from .weights import _use_pallas, dequant_tensor, load_dense, load_linear
 
 
-def is_recurrent(il: int) -> bool:
-    return (il + 1) % 4 != 0
+def is_recurrent(il: int, interval: int = 4) -> bool:
+    return (il + 1) % interval != 0
+
+
+def _interval(cfg: ModelConfig) -> int:
+    return int(cfg.extra.get("full_attn_interval", 4))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -101,14 +105,25 @@ def load_qwen3next_params(gg: GGUFModel, cfg: ModelConfig, *,
             # = attn_post_norm for qwen3next)
             "ffn_norm": load_dense(t[p + "post_attention_norm.weight"]),
         }
-        if is_recurrent(i):
-            blk["ssm_in"] = load_linear(t[p + "ssm_in.weight"], use_quant=use_quant)
+        if is_recurrent(i, _interval(cfg)):
+            if p + "ssm_in.weight" in t:
+                # qwen3next fused per-k-head [q|k|v|z] projection
+                blk["ssm_in"] = load_linear(t[p + "ssm_in.weight"], use_quant=use_quant)
+            else:
+                # qwen35: flat [q|k|v] qkv + separate whole-width z gate
+                # (create_qwen35_tensors; delta_net::build_qkvz overload)
+                blk["wqkv_lin"] = load_linear(t[p + "attn_qkv.weight"], use_quant=use_quant)
+                blk["wqkv_gate"] = load_linear(t[p + "attn_gate.weight"], use_quant=use_quant)
             blk["ssm_conv1d"] = jnp.asarray(
                 dequant_tensor(t[p + "ssm_conv1d.weight"]).reshape(
                     -1, cfg.ssm_d_conv), jnp.float32)     # (conv_dim, d_conv)
             blk["ssm_dt_b"] = load_dense(t[p + "ssm_dt.bias"])
             blk["ssm_a"] = load_dense(t[p + "ssm_a"])
-            blk["ssm_ba"] = load_linear(t[p + "ssm_ba.weight"], use_quant=False)
+            if p + "ssm_ba.weight" in t:
+                blk["ssm_ba"] = load_linear(t[p + "ssm_ba.weight"], use_quant=False)
+            else:   # qwen35 separate beta/alpha (-> delta repeat_type 1)
+                blk["ssm_beta"] = load_linear(t[p + "ssm_beta.weight"], use_quant=False)
+                blk["ssm_alpha"] = load_linear(t[p + "ssm_alpha.weight"], use_quant=False)
             blk["ssm_norm"] = load_dense(t[p + "ssm_norm.weight"])
             blk["ssm_out"] = load_linear(t[p + "ssm_out.weight"], use_quant=use_quant)
         else:
@@ -157,24 +172,37 @@ def _delta_layer(blk, h, cfg: ModelConfig, conv_state, ssm_state, n_valid):
     conv_dim = 2 * key_dim + value_dim
     eps = cfg.rms_eps
 
-    # qkvz: per-k-head interleaved [q(dk) | k(dk) | v(dv*r) | z(dv*r)]
-    mixed = blk["ssm_in"](h).reshape(b, t, hk, 2 * dk + 2 * dv * r)
-    q = mixed[..., :dk]                                   # (B,T,Hk,dk)
-    k = mixed[..., dk:2 * dk]
-    v = mixed[..., 2 * dk:2 * dk + dv * r].reshape(b, t, hv, dv)
-    z = mixed[..., 2 * dk + dv * r:].reshape(b, t, hv, dv)
+    if "ssm_in" in blk:
+        # qwen3next: per-k-head interleaved [q(dk) | k(dk) | v(dv*r) | z(dv*r)]
+        mixed = blk["ssm_in"](h).reshape(b, t, hk, 2 * dk + 2 * dv * r)
+        q = mixed[..., :dk]                               # (B,T,Hk,dk)
+        k = mixed[..., dk:2 * dk]
+        v = mixed[..., 2 * dk:2 * dk + dv * r].reshape(b, t, hv, dv)
+        z = mixed[..., 2 * dk + dv * r:].reshape(b, t, hv, dv)
+        qkv = jnp.concatenate([q.reshape(b, t, key_dim),
+                               k.reshape(b, t, key_dim),
+                               v.reshape(b, t, value_dim)], axis=-1)
+    else:
+        # qwen35: already-flat [q | k | v] + separate whole-width z gate
+        qkv = blk["wqkv_lin"](h)
+        z = blk["wqkv_gate"](h).reshape(b, t, hv, dv)
 
-    # beta / alpha: per-k-head interleaved [b(r) | a(r)]
-    ba = blk["ssm_ba"](h).reshape(b, t, hk, 2 * r)
-    beta = ba[..., :r].reshape(b, t, hv)
-    alpha = ba[..., r:].reshape(b, t, hv)
+    if "ssm_ba" in blk:
+        # beta / alpha: per-k-head interleaved [b(r) | a(r)] -> repeat 0
+        ba = blk["ssm_ba"](h).reshape(b, t, hk, 2 * r)
+        beta = ba[..., :r].reshape(b, t, hv)
+        alpha = ba[..., r:].reshape(b, t, hv)
+        repeat_type = 0
+    else:
+        # qwen35 separate projections -> the reference passes repeat 1
+        # (build_layer_attn_linear_core: ssm_beta_alpha ? 0 : 1)
+        beta = blk["ssm_beta"](h)
+        alpha = blk["ssm_alpha"](h)
+        repeat_type = 1
     g = blk["ssm_a"] * jax.nn.softplus(alpha.astype(jnp.float32)
                                        + blk["ssm_dt_b"])
 
     # conv over [q_flat | k_flat | v_flat] with carried tail + silu
-    qkv = jnp.concatenate([q.reshape(b, t, key_dim),
-                           k.reshape(b, t, key_dim),
-                           v.reshape(b, t, value_dim)], axis=-1)
     qkv_f = qkv.astype(jnp.float32)
     xpad = jnp.concatenate([conv_state, qkv_f], axis=1)
     w = blk["ssm_conv1d"]                                 # (conv_dim, d_conv)
@@ -195,7 +223,8 @@ def _delta_layer(blk, h, cfg: ModelConfig, conv_state, ssm_state, n_valid):
     beta = jnp.where(live, beta, -1e30)
     g = jnp.where(live, g, 0.0)
 
-    out, new_ssm = delta_net(qc, kc, vc, g, beta, ssm_state, repeat_type=0)
+    out, new_ssm = delta_net(qc, kc, vc, g, beta, ssm_state,
+                             repeat_type=repeat_type)
 
     # gated output: rms_norm(o) * silu(z), then ssm_out
     o = L.rms_norm(out.astype(jnp.float32), blk["ssm_norm"], eps)
@@ -211,8 +240,14 @@ def _gated_attention(blk, h, cfg: ModelConfig, kv_k, kv_v, npv, q_pos,
     b, t, _ = h.shape
     nh, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
 
-    qg = blk["wq"](h).reshape(b, t, nh, 2 * d)
-    q, gate = qg[..., :d], qg[..., d:]
+    qg = blk["wq"](h)
+    if qg.shape[-1] == nh * 2 * d:
+        # qwen3next gated q: per-head [q | gate]
+        qg = qg.reshape(b, t, nh, 2 * d)
+        q, gate = qg[..., :d], qg[..., d:]
+    else:
+        # qwen35: plain q, no output gate (build_std_attention path)
+        q, gate = qg.reshape(b, t, nh, d), None
     k = blk["wk"](h).reshape(b, t, hkv, d)
     v = blk["wv"](h).reshape(b, t, hkv, d)
     q = L.rms_norm(q, blk["attn_q_norm"], cfg.rms_eps)
@@ -231,7 +266,9 @@ def _gated_attention(blk, h, cfg: ModelConfig, kv_k, kv_v, npv, q_pos,
         attn = flash_attention(qb, kv_k, kv_v, npv, kv_len, scale=scale)
     else:
         attn = attend(qb, kv_k, kv_v, q_pos=q_pos, kv_len=kv_len, scale=scale)
-    attn = attn.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
+    attn = attn.astype(jnp.float32)
+    if gate is not None:
+        attn = attn * jax.nn.sigmoid(gate.astype(jnp.float32))
     attn = attn.reshape(b, t, nh * d)
     return blk["wo"](attn.astype(jnp.bfloat16)), kv_k, kv_v
 
@@ -252,7 +289,7 @@ def forward(params, cfg: ModelConfig, tokens, cache: HybridCache, n_past,
     new_k, new_v, new_conv, new_ssm = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         h = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        if is_recurrent(i):
+        if is_recurrent(i, _interval(cfg)):
             out, conv_i, ssm_i = _delta_layer(blk, h, cfg, cache.conv[i],
                                               cache.state[i], n_valid)
             k_i, v_i = cache.k[i], cache.v[i]

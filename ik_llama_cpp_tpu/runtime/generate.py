@@ -87,9 +87,10 @@ LOADERS["mamba"] = mamba_mod.load_mamba_params
 CACHES["mamba"] = lambda cfg, b, cap, quant=False: mamba_mod.MambaCache.create(cfg, b, cap)
 
 from ..models import qwen3next as q3n_mod  # noqa: E402
-FORWARDS["qwen3next"] = q3n_mod.forward
-LOADERS["qwen3next"] = q3n_mod.load_qwen3next_params
-CACHES["qwen3next"] = lambda cfg, b, cap, quant=False: q3n_mod.HybridCache.create(cfg, b, cap)
+for _a in ("qwen3next", "qwen35", "qwen35moe"):
+    FORWARDS[_a] = q3n_mod.forward
+    LOADERS[_a] = q3n_mod.load_qwen3next_params
+    CACHES[_a] = lambda cfg, b, cap, quant=False: q3n_mod.HybridCache.create(cfg, b, cap)
 
 from ..models import bert as bert_mod  # noqa: E402
 FORWARDS["bert"] = bert_mod.forward
@@ -146,7 +147,7 @@ class Runtime:
 
     @property
     def recurrent(self) -> bool:
-        return self.cfg.arch in ("mamba", "qwen3next")
+        return self.cfg.arch in ("mamba", "qwen3next", "qwen35", "qwen35moe")
 
     # ------------------------------------------------------------------
     def _step(self, chunk: int, last_only: bool):

@@ -1600,3 +1600,108 @@ def make_tiny_bitnet_gguf(path, *, arch="bitnet-b1.58", seed=0, n_layer=2,
                              np.asarray([0.5 + rng.random()], np.float32))
     w.write()
     return path
+
+
+def make_tiny_qwen35_gguf(path, *, moe=False, seed=0, n_layer=4, n_embd=64,
+                          n_head=4, n_head_kv=2, head_k_dim=64,
+                          num_k_heads=2, num_v_heads=4, head_v_dim=64,
+                          d_conv=4, n_ff=96, n_expert=4, n_expert_used=2,
+                          n_ff_exp=48, n_ff_shexp=32):
+    """Qwen3.5 hybrid: delta-net recurrent layers with flat [q|k|v] wqkv +
+    separate whole-width z gate + separate ssm_beta/ssm_alpha (repeat_type
+    1), plain (ungated) full-attention layers, post_attention_norm as the
+    FFN norm (create_qwen35_tensors; delta_net::build_layer_attn_linear).
+    Delta head dims must be 64/128 for the reference's production kernel."""
+    path = Path(path)
+    arch = "qwen35moe" if moe else "qwen35"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    ssm_d_inner = head_v_dim * num_v_heads
+    key_dim = head_k_dim * num_k_heads
+    value_dim = ssm_d_inner
+    conv_dim = key_dim * 2 + value_dim
+    w = GGUFWriter(path, arch=arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    # imrope sections: all dims in the time section — text-only equivalence
+    w.add(f"{arch}.rope.dimension_sections",
+          np.asarray([head_dim // 2, 0, 0, 0], np.int32))
+    w.add(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add(f"{arch}.ssm.inner_size", ssm_d_inner)
+    w.add(f"{arch}.ssm.state_size", head_k_dim)
+    w.add(f"{arch}.ssm.time_step_rank", num_v_heads)
+    w.add(f"{arch}.ssm.group_count", num_k_heads)
+    if moe:
+        w.add(f"{arch}.expert_count", n_expert)
+        w.add(f"{arch}.expert_used_count", n_expert_used)
+        w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+        w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    kv_dim = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "post_attention_norm.weight", n_embd)
+        if (i + 1) % 4 != 0:     # recurrent
+            addw(p + "attn_qkv.weight", randw(2 * key_dim + value_dim, n_embd))
+            addw(p + "attn_gate.weight", randw(value_dim, n_embd))
+            w.add_tensor(p + "ssm_conv1d.weight",
+                         randw(conv_dim, d_conv, scale=0.4))
+            w.add_tensor(p + "ssm_dt.bias", randw(num_v_heads))
+            w.add_tensor(p + "ssm_a",
+                         (-np.abs(rng.standard_normal(num_v_heads)) * 0.5
+                          ).astype(np.float32))
+            addw(p + "ssm_beta.weight", randw(num_v_heads, n_embd))
+            addw(p + "ssm_alpha.weight", randw(num_v_heads, n_embd))
+            ones(p + "ssm_norm.weight", head_v_dim)
+            addw(p + "ssm_out.weight", randw(n_embd, value_dim))
+        else:                    # plain full attention with qk norms
+            addw(p + "attn_q.weight", randw(n_head * head_dim, n_embd))
+            addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+            addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+            addw(p + "attn_output.weight", randw(n_embd, n_head * head_dim))
+            ones(p + "attn_q_norm.weight", head_dim)
+            ones(p + "attn_k_norm.weight", head_dim)
+        if moe:
+            addw(p + "ffn_gate_inp.weight",
+                 randw(n_expert, n_embd, scale=3.0 / np.sqrt(n_embd)))
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+            w.add_tensor(p + "ffn_gate_inp_shexp.weight", randw(1, n_embd))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_shexp, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_shexp, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
+        else:
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path

@@ -372,3 +372,27 @@ def test_qwen3next_logit_parity(tmp_path):
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert l1.mean() < 0.1, f"mean L1 prob distance {l1.mean():.4f}"
     assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"
+
+
+@needs_ref
+@pytest.mark.parametrize("moe", [False, True])
+def test_qwen35_logit_parity(tmp_path, moe):
+    """qwen35 / qwen35moe: delta-net hybrid with flat [q|k|v] wqkv +
+    whole-width z gate, separate ssm_beta/ssm_alpha (delta repeat_type 1),
+    plain full-attention layers, imrope (== NEOX for text-only since all
+    position components are equal), post_attention_norm as the FFN norm
+    (build_qwen35.cpp; delta_net::build_layer_attn_linear_core).
+
+    Same head-dim-64 + mean-L1 considerations as test_qwen3next_logit_parity."""
+    from fixtures import make_tiny_qwen35_gguf
+    model = make_tiny_qwen35_gguf(tmp_path / "q35.gguf", moe=moe, seed=61)
+    p_ids, g_ids, ref = ref_logits(model, "abc def ghi jkl mno pqr", n_gen=6)
+    rt = Runtime.from_gguf(model)
+    assert rt.tokenizer.encode("abc def ghi jkl mno pqr") == list(p_ids)
+    seq = list(p_ids) + list(g_ids)
+    got = rt.all_position_logits(seq)
+    ps, pr = _softmax_np(got), _softmax_np(ref)
+    l1 = np.abs(ps - pr).sum(axis=-1)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert l1.mean() < 0.1, f"mean L1 prob distance {l1.mean():.4f}"
+    assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"

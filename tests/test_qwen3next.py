@@ -48,3 +48,16 @@ def test_state_distinguishes_prefixes(rt):
     a = rt.all_position_logits(rt.tokenizer.encode("alpha beta gamma"))
     b = rt.all_position_logits(rt.tokenizer.encode("one two gamma"))
     assert np.abs(a[-1] - b[-1]).max() > 1e-4
+
+
+def test_qwen35_smoke(tmp_path):
+    """qwen35 loads and decodes deterministically (flat wqkv + z gate,
+    separate beta/alpha, ungated attention)."""
+    import numpy as np
+    from fixtures import make_tiny_qwen35_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    model = make_tiny_qwen35_gguf(tmp_path / "q35.gguf", seed=60)
+    rt = Runtime.from_gguf(model)
+    _, out = rt.generate("Hello world", max_new_tokens=4)
+    _, out2 = rt.generate("Hello world", max_new_tokens=4)
+    assert out == out2
