@@ -399,7 +399,9 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         extra=({"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
                 "dec_start": int(a("decoder_start_token_id", -1))}
                if arch in ("t5", "t5encoder") else
-               {"full_attn_interval": int(a("full_attention_interval", 4))}
+               {"full_attn_interval": int(a("full_attention_interval", 4)),
+                # imrope (LLAMA_ROPE_TYPE_IMROPE, llama.cpp:8832) sections
+                "rope_sections": [int(v) for v in a("rope.dimension_sections", [])]}
                if arch in ("qwen35", "qwen35moe", "qwen3next") else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,

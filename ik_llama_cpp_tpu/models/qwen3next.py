@@ -285,6 +285,13 @@ def forward(params, cfg: ModelConfig, tokens, cache: HybridCache, n_past,
     q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     rope_dims = cfg.rope_dim or cfg.head_dim
     cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
+    sections = (cfg.extra or {}).get("rope_sections") or []
+    if sum(sections):
+        # qwen35 imrope: pairs mapped to the "extra" stream carry position 0
+        # for text tokens -> no rotation (ggml.c:20777; llama.cpp:6238-6257)
+        mask = L.imrope_text_mask(sections, rope_dims)
+        cos = jnp.where(mask, cos, 1.0)
+        sin = jnp.where(mask, sin, 0.0)
 
     new_k, new_v, new_conv, new_ssm = [], [], [], []
     for i, blk in enumerate(params["blocks"]):

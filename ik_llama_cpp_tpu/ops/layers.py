@@ -73,6 +73,32 @@ def rope_cache(positions, head_dim: int, freq_base: float = 10000.0,
     return (jnp.cos(theta) * mscale).astype(dtype), (jnp.sin(theta) * mscale).astype(dtype)
 
 
+def imrope_text_mask(sections, n_rot: int):
+    """Per-dim-pair rotation mask for interleaved mrope on TEXT tokens.
+
+    ggml_mrope_cache_init (ggml.c:20777-20786) assigns each dim pair
+    (sector = pair % sum(sections)) round-robin to the t/h/w streams, with
+    unmatched sectors falling to the "extra" stream. For text batches the
+    reference feeds positions [t, t, t, 0] (llama.cpp:6238-6257), so t/h/w
+    pairs rotate by the token position and extra pairs do not rotate at all.
+    Returns a bool (n_rot//2,) numpy mask: True = rotate by position."""
+    import numpy as _np
+    s = list(sections) + [0] * (4 - len(sections))
+    sect_dims = s[0] + s[1] + s[2] + s[3]
+    half = n_rot // 2
+    mask = _np.zeros(half, dtype=bool)
+    for j in range(half):
+        sector = j % max(sect_dims, 1)
+        if sector % 3 == 1 and sector < 3 * s[1]:
+            mask[j] = True      # theta_h = t for text
+        elif sector % 3 == 2 and sector < 3 * s[2]:
+            mask[j] = True      # theta_w = t for text
+        elif sector % 3 == 0 and sector < 3 * s[0]:
+            mask[j] = True      # theta_t
+        # else: extra stream, position 0 -> no rotation
+    return mask
+
+
 def apply_rope(x, cos, sin, rope_type: int = ROPE_TYPE_NEOX):
     """x: (..., T, H, D); cos/sin: (..., T, R//2) broadcast over heads.
 

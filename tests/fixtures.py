@@ -1682,8 +1682,10 @@ def make_tiny_qwen35_gguf(path, *, moe=False, seed=0, n_layer=4, n_embd=64,
             addw(p + "ssm_alpha.weight", randw(num_v_heads, n_embd))
             ones(p + "ssm_norm.weight", head_v_dim)
             addw(p + "ssm_out.weight", randw(n_embd, value_dim))
-        else:                    # plain full attention with qk norms
-            addw(p + "attn_q.weight", randw(n_head * head_dim, n_embd))
+        else:                    # gated full attention with qk norms
+            # wq is {n_embd, head_dim*n_head*2}: per-head [q|gate] like
+            # qwen3next (create_qwen35_tensors; llm_build_mul_mat_qkv_gated)
+            addw(p + "attn_q.weight", randw(n_head * head_dim * 2, n_embd))
             addw(p + "attn_k.weight", randw(kv_dim, n_embd))
             addw(p + "attn_v.weight", randw(kv_dim, n_embd))
             addw(p + "attn_output.weight", randw(n_embd, n_head * head_dim))
