@@ -82,7 +82,7 @@ def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = 
             blk["wq"] = load_linear(t[p + "attn_q.weight"], use_quant=use_quant)
         if p + "ffn_gate_inp.weight" in t:
             blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"], use_quant=False)
-            blk["experts"] = _load_experts(t, p)
+            blk["experts"] = _load_experts(t, p, use_quant=use_quant)
             if p + "exp_probs_b.bias" in t:
                 blk["exp_probs_b"] = load_dense(t[p + "exp_probs_b.bias"])
             if p + "ffn_gate_shexp.weight" in t:

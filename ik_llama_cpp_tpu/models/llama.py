@@ -19,7 +19,7 @@ import numpy as np
 from ..gguf.reader import GGUFModel
 from ..ops import layers as L
 from ..ops.attention import alibi_slopes, attend
-from ..ops.moe import ExpertWeights, moe_ffn
+from ..ops.moe import ExpertWeights, QuantExpertWeights, moe_ffn
 from ..ops.flash_attention import flash_attention, flash_attention_q8
 from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
 from .weights import _use_pallas
@@ -131,7 +131,7 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
                                               use_quant=False)
             if p + "ffn_gate_inp.bias" in t:   # router bias (gpt-oss)
                 blk["ffn_gate_inp_b"] = load_dense(t[p + "ffn_gate_inp.bias"])
-            blk["experts"] = _load_experts(t, p)
+            blk["experts"] = _load_experts(t, p, use_quant=use_quant)
             if p + "ffn_gate_shexp.weight" in t:  # shared expert (qwen2moe)
                 blk["ffn_gate_shexp"] = load_linear(t[p + "ffn_gate_shexp.weight"], use_quant=use_quant)
                 blk["ffn_up_shexp"] = load_linear(t[p + "ffn_up_shexp.weight"], use_quant=use_quant)
@@ -215,24 +215,67 @@ def _fuse_block(blk: dict) -> None:
             del blk["ffn_gate"]
 
 
-def _load_experts(t, prefix: str) -> ExpertWeights:
-    """Stacked 3-D expert tensors (ne = (K, N, n_expert)) -> bf16 device arrays."""
-    def stacked(name, transpose):
-        info = t[prefix + name]
-        arr = dequant_tensor(info)  # logical (n_expert, N, K)
-        if transpose:
-            arr = arr.transpose(0, 2, 1)  # (n_expert, K, N)
-        return jnp.asarray(np.ascontiguousarray(arr), dtype=jnp.bfloat16)
+def _planar_stacked(info):
+    """Planar-decode a stacked expert tensor (ne = (K, N, n_expert)) to
+    (codes int8 (n_expert, K, N), scale f32 (n_expert, K//G, N), group).
+    Returns None when the format has no symmetric planar decode (float
+    tensors, or asymmetric formats carrying a per-group bias)."""
+    from ..quant.planar import PLANAR_FNS, planar_decode
+    from ..native import planar_decode_native
+    if info.ggml_type not in PLANAR_FNS:
+        return None
+    k, n, n_expert = info.shape[0], info.shape[1], info.shape[2]
+    nat = planar_decode_native(info.data, info.ggml_type, k)
+    if nat is not None:
+        codes, scale, bias, group = nat
+    else:
+        pw = planar_decode(info.data, info.ggml_type, k)
+        codes, scale, bias, group = pw.codes, pw.scale, pw.bias, pw.group
+    if bias is not None:
+        return None
+    codes = np.ascontiguousarray(
+        codes.reshape(n_expert, n, k).transpose(0, 2, 1))       # (G, K, N)
+    scale = np.ascontiguousarray(
+        scale.reshape(n_expert, n, k // group).transpose(0, 2, 1))
+    return jnp.asarray(codes), jnp.asarray(scale), group
 
+
+def _load_experts(t, prefix: str, *, use_quant: bool = True):
+    """Stacked 3-D expert tensors (ne = (K, N, n_expert)) -> device arrays.
+
+    Quantized path (the analogue of keeping experts in their GGUF quant for
+    iqk_moe_fused_up_gate / mmq_id.cu): planar int8 codes + f32 group scales
+    per projection, consumed by ops/moe_qmm.ragged_qmatmul. Falls back to
+    dequantized bf16 when any projection has no symmetric planar form."""
     def bias(name):
         if prefix + name not in t:
             return None
         return jnp.asarray(dequant_tensor(t[prefix + name]), jnp.float32)
 
+    names = ("ffn_gate_exps.weight", "ffn_up_exps.weight",
+             "ffn_down_exps.weight")
+    if use_quant:
+        planar = [_planar_stacked(t[prefix + nm]) for nm in names]
+        if all(p is not None for p in planar):
+            (gc, gs, gg), (uc, us, ug), (dc, ds, dg) = planar
+            return QuantExpertWeights(
+                gate=gc, gate_s=gs, up=uc, up_s=us, down=dc, down_s=ds,
+                gate_group=gg, up_group=ug, down_group=dg,
+                gate_b=bias("ffn_gate_exps.bias"),
+                up_b=bias("ffn_up_exps.bias"),
+                down_b=bias("ffn_down_exps.bias"),
+            )
+
+    def stacked(name):
+        info = t[prefix + name]
+        arr = dequant_tensor(info)  # logical (n_expert, N, K)
+        arr = arr.transpose(0, 2, 1)  # (n_expert, K, N)
+        return jnp.asarray(np.ascontiguousarray(arr), dtype=jnp.bfloat16)
+
     return ExpertWeights(
-        gate=stacked("ffn_gate_exps.weight", True),
-        up=stacked("ffn_up_exps.weight", True),
-        down=stacked("ffn_down_exps.weight", True),
+        gate=stacked("ffn_gate_exps.weight"),
+        up=stacked("ffn_up_exps.weight"),
+        down=stacked("ffn_down_exps.weight"),
         gate_b=bias("ffn_gate_exps.bias"),
         up_b=bias("ffn_up_exps.bias"),
         down_b=bias("ffn_down_exps.bias"),

@@ -137,7 +137,7 @@ def load_qwen3next_params(gg: GGUFModel, cfg: ModelConfig, *,
         if p + "ffn_gate_inp.weight" in t:
             blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"],
                                               use_quant=False)
-            blk["experts"] = _load_experts(t, p)
+            blk["experts"] = _load_experts(t, p, use_quant=use_quant)
             if p + "ffn_gate_shexp.weight" in t:
                 blk["ffn_gate_shexp"] = load_linear(t[p + "ffn_gate_shexp.weight"], use_quant=use_quant)
                 blk["ffn_up_shexp"] = load_linear(t[p + "ffn_up_shexp.weight"], use_quant=use_quant)

@@ -23,6 +23,17 @@ GATING_SIGMOID = 2
 GATING_SOFTMAX_WEIGHT = 3   # softmax over the selected top-k only
 
 
+def _ragged_qmm(xs, codes, scale, group_sizes, group):
+    """Fused dequant grouped GEMM on TPU; jnp oracle elsewhere (the two are
+    differential-tested against each other in tests/test_moe_qmm.py)."""
+    from .moe_qmm import ragged_qmatmul, ragged_qmatmul_ref
+    if jax.default_backend() == "cpu":
+        return ragged_qmatmul_ref(xs, codes, scale, group_sizes, group=group)
+    block_m = 256 if xs.shape[0] >= 256 else 16
+    return ragged_qmatmul(xs, codes, scale, group_sizes, group=group,
+                          block_m=block_m)
+
+
 def route(router_logits, n_expert_used: int, *, gating: int = GATING_SOFTMAX,
           norm_topk: bool = False, scale: float = 1.0, bias=None,
           selection_bias=None):
@@ -70,6 +81,43 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@dataclass
+class QuantExpertWeights:
+    """Planar-quantized stacked experts: int8 codes + f32 group scales kept
+    in HBM as loaded (the analogue of the reference's quantized expert
+    tensors fed to iqk_moe_fused_up_gate / mmq_id.cu) — HBM footprint stays
+    ~the GGUF file size instead of ballooning 2-4x to bf16.
+
+    gate/up/down each: codes int8 (n_expert, K, N), scale f32
+    (n_expert, K//group, N). Optional per-expert bias vectors (gpt-oss):
+    gate_b/up_b (n_expert, FF), down_b (n_expert, E)."""
+
+    gate: Any
+    gate_s: Any
+    up: Any
+    up_s: Any
+    down: Any
+    down_s: Any
+    gate_group: int = 32
+    up_group: int = 32
+    down_group: int = 32
+    gate_b: Any = None
+    up_b: Any = None
+    down_b: Any = None
+
+
+jax.tree_util.register_pytree_node(
+    QuantExpertWeights,
+    lambda ew: ((ew.gate, ew.gate_s, ew.up, ew.up_s, ew.down, ew.down_s,
+                 ew.gate_b, ew.up_b, ew.down_b),
+                (ew.gate_group, ew.up_group, ew.down_group)),
+    lambda aux, ch: QuantExpertWeights(
+        ch[0], ch[1], ch[2], ch[3], ch[4], ch[5],
+        gate_group=aux[0], up_group=aux[1], down_group=aux[2],
+        gate_b=ch[6], up_b=ch[7], down_b=ch[8]),
+)
+
+
 def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             gating: int = GATING_SOFTMAX, norm_topk: bool = False,
             scale: float = 1.0, selection_bias=None, activation="silu",
@@ -101,12 +149,20 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
     xs = jnp.repeat(x, k, axis=0)[order]             # (T*k, E) sorted by expert
     group_sizes = jnp.bincount(flat_ids, length=n_expert).astype(jnp.int32)
 
-    xs = xs.astype(experts.gate.dtype)
     sorted_ids = flat_ids[order]
-    g = jax.lax.ragged_dot(xs, experts.gate, group_sizes,
-                           preferred_element_type=jnp.float32)
-    u = jax.lax.ragged_dot(xs, experts.up, group_sizes,
-                           preferred_element_type=jnp.float32)
+    quant = isinstance(experts, QuantExpertWeights)
+    if quant:
+        xs = xs.astype(jnp.bfloat16)
+        g = _ragged_qmm(xs, experts.gate, experts.gate_s, group_sizes,
+                        experts.gate_group)
+        u = _ragged_qmm(xs, experts.up, experts.up_s, group_sizes,
+                        experts.up_group)
+    else:
+        xs = xs.astype(experts.gate.dtype)
+        g = jax.lax.ragged_dot(xs, experts.gate, group_sizes,
+                               preferred_element_type=jnp.float32)
+        u = jax.lax.ragged_dot(xs, experts.up, group_sizes,
+                               preferred_element_type=jnp.float32)
     if experts.gate_b is not None:
         g = g + experts.gate_b[sorted_ids]
     if experts.up_b is not None:
@@ -121,8 +177,13 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
         h = (g * jax.nn.sigmoid(g)) * u
     else:
         h = jax.nn.gelu(g, approximate=True) * u
-    y = jax.lax.ragged_dot(h.astype(experts.down.dtype), experts.down, group_sizes,
-                           preferred_element_type=jnp.float32)  # (T*k, E)
+    if quant:
+        y = _ragged_qmm(h.astype(jnp.bfloat16), experts.down, experts.down_s,
+                        group_sizes, experts.down_group)  # (T*k, E)
+    else:
+        y = jax.lax.ragged_dot(h.astype(experts.down.dtype), experts.down,
+                               group_sizes,
+                               preferred_element_type=jnp.float32)  # (T*k, E)
     if experts.down_b is not None:
         y = y + experts.down_b[sorted_ids]
 

@@ -1,0 +1,202 @@
+"""Ragged (grouped) fused dequant-matmul — quantized MoE expert GEMM.
+
+The TPU replacement for the reference's quantized expert matmuls:
+`iqk_moe_fused_up_gate` (ggml/src/iqk/iqk_mul_mat.h:74, dispatched from
+ggml.c:18593) and the CUDA indirect MMQ path (ggml-cuda/mmq_id.cu).
+Experts stay in HBM as planar int8 codes + f32 group scales (quant/planar.py)
+— ~1.06-1.25 bytes/weight instead of 2 — and are dequantized on the VPU
+inside the kernel, tile by tile, feeding bf16 to the MXU.
+
+Kernel structure: tokens are pre-sorted by routed expert (CSR-style
+`group_sizes`), and the m-dimension is processed in `tm`-row tiles that may
+span group boundaries. Each grid step owns one (m-tile, group) pair; tiles
+revisited by several groups merge through a masked store. This step-mapping
+scheme follows the public Megablocks/`jax.experimental.pallas.ops.tpu.megablox`
+grouped-matmul design; the dequant epilogue, padding strategy and phantom
+tail group are ours.
+
+`ragged_qmatmul_ref` is the jnp oracle used by differential tests (the
+analogue of test-backend-ops.cpp CPU-vs-backend comparison).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def ragged_qmatmul_ref(x, codes, scale, group_sizes, *, group: int = 32):
+    """jnp oracle: per-group x[rows_g] @ dequant(codes[g], scale[g]).
+
+    x: (M, K); codes: int8 (G, K, N); scale: f32 (G, K//group, N);
+    group_sizes: i32 (G,) with sum == M. Numerics match the kernel: the whole
+    dequant chain runs in bf16 (int8 codes are exact in bf16; the scale is
+    rounded once) — measured 7x faster than an f32 chain on v5e, at the cost
+    of <=2^-9 relative weight error, far below the quantization error itself.
+    """
+    w = codes.astype(jnp.bfloat16) * jnp.repeat(scale, group,
+                                                axis=1).astype(jnp.bfloat16)
+    return lax.ragged_dot(x.astype(jnp.bfloat16), w,
+                          group_sizes.astype(jnp.int32),
+                          preferred_element_type=jnp.float32)
+
+
+def _metadata(group_sizes, m_padded: int, tm: int, n_groups: int):
+    """Step mapping for the ragged m-dimension.
+
+    Returns (offs, step_group, step_tile, num_steps):
+      offs:       (n_groups+2,) CSR row offsets incl. a phantom tail group
+                  covering the zero padding rows;
+      step_group: (smax,) group id per grid step (phantom id == n_groups);
+      step_tile:  (smax,) m-tile id per grid step, non-decreasing so output
+                  tiles are only revisited consecutively;
+      num_steps:  dynamic number of real steps (grid size).
+    """
+    gs = group_sizes.astype(jnp.int32)
+    total = jnp.sum(gs)
+    # phantom group owns the padding rows so that sum(sizes) == m_padded
+    gs = jnp.concatenate([gs, (m_padded - total)[None]])
+    g_all = n_groups + 1
+
+    ends = jnp.cumsum(gs)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), ends])
+    starts = offs[:-1]
+    r_end = ((ends + tm - 1) // tm) * tm
+    r_start = (starts // tm) * tm
+    tiles_per = jnp.where(gs == 0, 0, (r_end - r_start) // tm)
+
+    tiles_m = m_padded // tm
+    smax = tiles_m + g_all - 1
+    step_group = jnp.repeat(jnp.arange(g_all, dtype=jnp.int32), tiles_per,
+                            total_repeat_length=smax)
+    # one owned visit per tile, plus one revisit per non-empty group that
+    # starts mid-tile
+    starts_mid = (starts % tm != 0) & (gs > 0)
+    tile_of_start = jnp.where(starts_mid, starts // tm, tiles_m)
+    extra = jnp.bincount(tile_of_start, length=tiles_m + 1)[:tiles_m]
+    visits = 1 + extra.astype(jnp.int32)
+    step_tile = jnp.repeat(jnp.arange(tiles_m, dtype=jnp.int32), visits,
+                           total_repeat_length=smax)
+    num_steps = jnp.sum(tiles_per)
+    return offs, step_group, step_tile, num_steps
+
+
+def _kernel(group: int, n_groups: int):
+    def kernel(offs_ref, gid_ref, tid_ref, x_ref, c_ref, s_ref, out_ref,
+               acc_ref):
+        sid = pl.program_id(1)
+        k_i = pl.program_id(2)
+        k_last = pl.num_programs(2) - 1
+
+        @pl.when(k_i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        tk, tn = c_ref.shape
+        w = c_ref[...].astype(jnp.bfloat16).reshape(tk // group, group, tn)
+        w = (w * s_ref[...].astype(jnp.bfloat16)[:, None, :]).reshape(tk, tn)
+        acc_ref[...] += jnp.dot(x_ref[...], w,
+                                preferred_element_type=jnp.float32)
+
+        @pl.when(k_i == k_last)
+        def _():
+            gid = gid_ref[sid]
+            row0 = tid_ref[sid] * acc_ref.shape[0]
+            rows = row0 + lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+            mask = (rows >= offs_ref[gid]) & (rows < offs_ref[gid + 1])
+            out_ref[...] = jnp.where(mask, acc_ref[...], out_ref[...])
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "block_m", "block_n", "block_k", "interpret"),
+)
+def ragged_qmatmul(
+    x,
+    codes,
+    scale,
+    group_sizes,
+    *,
+    group: int = 32,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Grouped fused dequant-matmul: (M, K) x int8 (G, K, N) -> f32 (M, N).
+
+    Rows of ``x`` must be sorted by group; ``group_sizes`` (G,) gives each
+    group's row count (sum <= M; trailing rows are padding and produce
+    undefined output rows). scale: f32 (G, K//group, N).
+    """
+    m, k = x.shape
+    g, k2, n = codes.shape
+    assert k == k2, (x.shape, codes.shape)
+    assert scale.shape == (g, k // group, n), (scale.shape,)
+
+    tm = min(block_m, _round_up(m, 16))
+    tk = min(block_k, _round_up(k, max(256, group)))
+    tn = min(block_n, _round_up(n, 128))
+    assert tk % group == 0, (tk, group)
+    mp, kp, np_ = _round_up(m, tm), _round_up(k, tk), _round_up(n, tn)
+
+    x = x.astype(jnp.bfloat16)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        codes = jnp.pad(codes, ((0, 0), (0, kp - k), (0, np_ - n)))
+        scale = jnp.pad(scale, ((0, 0), (0, (kp - k) // group), (0, np_ - n)))
+
+    offs, step_group, step_tile, num_steps = _metadata(group_sizes, mp, tm, g)
+
+    def x_map(n_i, s, k_i, offs, gid, tid):
+        return tid[s], k_i
+
+    def w_map(n_i, s, k_i, offs, gid, tid):
+        return jnp.minimum(gid[s], g - 1), k_i, n_i
+
+    def out_map(n_i, s, k_i, offs, gid, tid):
+        return tid[s], n_i
+
+    grid = (np_ // tn, num_steps, kp // tk)
+    out = pl.pallas_call(
+        _kernel(group, g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tk), x_map),
+                pl.BlockSpec((None, tk, tn), w_map),
+                pl.BlockSpec((None, tk // group, tn), w_map),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), out_map),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * np_,
+            bytes_accessed=mp * kp * 2 + kp * np_ + (kp // group) * np_ * 4
+            + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(offs, step_group, step_tile, x, codes, scale)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out

@@ -22,7 +22,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.weights import QLinear, DenseLinear
-from ..ops.moe import ExpertWeights
+from ..ops.moe import ExpertWeights, QuantExpertWeights
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -109,6 +109,25 @@ def _expert_specs(ep: bool):
     )
 
 
+def _quant_expert_specs(ew: "QuantExpertWeights", ep: bool):
+    """Specs for planar-quantized experts: codes (n_expert, K, N) + scales
+    (n_expert, K//G, N) follow the same megatron split (up/gate columns on
+    'model', down rows on 'model'). Row-splitting the down scales requires
+    FF % (group * tp) == 0 — true for every production MoE (FF_exp is a
+    multiple of 256); tiny fixtures fall back to bf16 experts before TP."""
+    e_ax = EXPERT_AXIS if ep else None
+    return QuantExpertWeights(
+        gate=P(e_ax, None, MODEL_AXIS), gate_s=P(e_ax, None, MODEL_AXIS),
+        up=P(e_ax, None, MODEL_AXIS), up_s=P(e_ax, None, MODEL_AXIS),
+        down=P(e_ax, MODEL_AXIS, None), down_s=P(e_ax, MODEL_AXIS, None),
+        gate_group=ew.gate_group, up_group=ew.up_group,
+        down_group=ew.down_group,
+        gate_b=None if ew.gate_b is None else P(e_ax, MODEL_AXIS),
+        up_b=None if ew.up_b is None else P(e_ax, MODEL_AXIS),
+        down_b=None if ew.down_b is None else P(e_ax, None),
+    )
+
+
 def param_specs(params: Any, *, ep: bool = False) -> Any:
     """Build a pytree of PartitionSpecs parallel to a llama params pytree."""
 
@@ -119,6 +138,8 @@ def param_specs(params: Any, *, ep: bool = False) -> Any:
             return [visit(v, path) for v in obj]
         if isinstance(obj, ExpertWeights):
             return _expert_specs(ep)
+        if isinstance(obj, QuantExpertWeights):
+            return _quant_expert_specs(obj, ep)
         if isinstance(obj, QLinear):
             spec = _spec_for_leaf_path(path, obj)
             bias_spec = None if obj.bias is None else (

@@ -190,6 +190,8 @@ class Runtime:
                     *, all_logits: bool = False):
         """Evaluate ids; returns (logits ndarray (len(ids) or 1, V), kv, n_past)."""
         out_chunks = []
+        logits = None
+        last_len = 0
         i = 0
         while i < len(ids):
             chunk = ids[i:i + PREFILL_BUCKETS[-1]]
@@ -206,13 +208,21 @@ class Runtime:
             # only the first len(chunk) positions are real; roll back cache writes
             # beyond them by trimming n_past bookkeeping (cache rows past kv_len
             # are ignored by the mask on subsequent steps)
-            logits = np.asarray(logits[0, :len(chunk)])
-            out_chunks.append(logits)
+            if all_logits:
+                out_chunks.append(np.asarray(logits[0, :len(chunk)]))
             kv = kv_new
+            last_len = len(chunk)
             n_past += len(chunk)
             i += len(chunk)
-        full = np.concatenate(out_chunks, axis=0)
-        return (full if all_logits else full[-1:]), kv, n_past
+        if all_logits:
+            return np.concatenate(out_chunks, axis=0), kv, n_past
+        # fetch ONLY the final position's row (device-side slice): prefill
+        # callers never need intermediate logits, and device->host readback
+        # of a full (T, V) block is the single most expensive fetch in the
+        # serve loop (the reference reads back just the out_ids rows too,
+        # llama.cpp:6576-6601)
+        final = np.asarray(logits[0, last_len - 1:last_len])
+        return final, kv, n_past
 
     def generate(self, prompt: str | list[int], max_new_tokens: int = 32,
                  sampler: SamplerParams | None = None, seed: int = 0,
