@@ -1,249 +1,330 @@
-"""Benchmark: end-to-end PP512 + TG on an 8B-config model with planar-quantized
-weights (Q4_K-class: int8 codes + f32 group-32 scales), run on the real chip.
+"""Benchmark v2: drives the REAL engine (Runtime.from_gguf -> eval_tokens ->
+on-device decode loop) on the real chip, plus a quantized-expert MoE section.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Baseline: reference ik_llama.cpp LLaMA-3.1-8B Q4_K_S PP512 = 269.6 t/s
-(Ryzen-7950X 16t, BASELINE.md / github-data/discussions/164).
+Headline: PP512 tok/s on an 8B-config dense model with planar group-32
+quantized weights loaded through the GGUF pipeline. Baseline: reference
+ik_llama.cpp LLaMA-3.1-8B Q4_K_S PP512 = 269.6 t/s (Ryzen-7950X 16t,
+BASELINE.md / github-data/discussions/164). TG baseline 13.48 t/s.
 
-Measurement notes for this environment (axon remote-TPU tunnel):
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
+
+Environment notes (axon remote-TPU tunnel, measured):
+  * H2D ~1 GB/s, D2H ~1 MB/s, ~30 ms dispatch/fetch round-trip. So: the
+    GGUF on disk holds ONE transformer layer (uploaded once) and the
+    remaining layers are materialized as distinct on-device copies —
+    HBM capacity/traffic per forward match a real 32-layer model while
+    upload stays ~25 s. Only tiny output slices are ever fetched.
   * identical executions are content-deduplicated by the tunnel -> every
-    timed run uses fresh token ids;
-  * block_until_ready does not reliably block -> executions are forced by
-    fetching a small output slice, and the fetch round-trip floor is
-    amortized by scanning the forward R times inside one jit.
+    timed run uses fresh token ids / caches.
 """
 from __future__ import annotations
 
-import functools
 import json
-import sys
 import time
+from dataclasses import replace
 
 import numpy as np
+
+G = 32
+
+
+def _vocab_kv(w, n_vocab):
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<t{i}>" for i in range(n_vocab - 3)]
+    types = [2, 3, 3] + [1] * (n_vocab - 3)
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.zeros(n_vocab, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+
+
+def build_8b_single_layer_gguf(path, *, E=4096, H=32, HKV=8, FF=14336,
+                               V=32000, ctx=8192):
+    """8B-config llama GGUF holding ONE layer's tensors (Q4_0: the same
+    planar runtime layout — int8 codes + f32 group-32 scales — as every
+    4-bit-class format)."""
+    from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
+    from ik_llama_cpp_tpu.gguf.constants import GGMLType
+    from ik_llama_cpp_tpu.quant.quantize import quantize
+
+    D = E // H
+    rng = np.random.default_rng(0)
+    w = GGUFWriter(path, arch="llama")
+    w.add("llama.block_count", 1)
+    w.add("llama.context_length", ctx)
+    w.add("llama.embedding_length", E)
+    w.add("llama.feed_forward_length", FF)
+    w.add("llama.attention.head_count", H)
+    w.add("llama.attention.head_count_kv", HKV)
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", 500000.0)
+    w.add("llama.rope.dimension_count", D)
+    w.add("llama.vocab_size", V)
+    _vocab_kv(w, V)
+
+    def q(name, rows, cols, ttype=GGMLType.Q4_0):
+        arr = (rng.standard_normal((rows, cols)) / np.sqrt(cols)).astype(np.float32)
+        w.add_tensor(name, quantize(arr, ttype), shape=(cols, rows),
+                     ggml_type=ttype)
+
+    q("token_embd.weight", V, E, GGMLType.Q8_0)  # tied lm head
+    w.add_tensor("output_norm.weight", np.ones(E, np.float32))
+    p = "blk.0."
+    w.add_tensor(p + "attn_norm.weight", np.ones(E, np.float32))
+    w.add_tensor(p + "ffn_norm.weight", np.ones(E, np.float32))
+    q(p + "attn_q.weight", E, E)
+    q(p + "attn_k.weight", HKV * D, E)
+    q(p + "attn_v.weight", HKV * D, E)
+    q(p + "attn_output.weight", E, E)
+    q(p + "ffn_gate.weight", FF, E)
+    q(p + "ffn_up.weight", FF, E)
+    q(p + "ffn_down.weight", E, FF)
+    w.write()
+    return path
+
+
+def replicate_layers(rt, n_layer):
+    """Clone block 0 into n_layer DISTINCT device buffers so HBM capacity
+    and per-forward traffic equal a real n_layer model."""
+    import jax
+    import jax.numpy as jnp
+    blk0 = rt.params["blocks"][0]
+    rt.params["blocks"] = [
+        jax.tree_util.tree_map(jnp.copy, blk0) for _ in range(n_layer)]
+    rt.cfg = replace(rt.cfg, n_layer=n_layer)
+    rt._step_fns.clear()
+    return rt
+
+
+class Timer:
+    """Dispatch/fetch floor-compensated timing."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+        self.jnp = jnp
+        tiny = jax.jit(lambda x: x * 2)
+        _ = np.asarray(tiny(jnp.ones((8, 8)))[0, :2])
+        floors = []
+        for i in range(3):
+            xi = jnp.full((8, 8), float(i + 2))
+            _ = np.asarray(xi[0, 0])
+            t0 = time.perf_counter()
+            _ = np.asarray(tiny(xi)[0, :2])
+            floors.append(time.perf_counter() - t0)
+        self.floor = min(floors)
+
+    def run(self, fn, n=3):
+        """min over n timed calls of fn(i) (each must force a small fetch)."""
+        ts = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            fn(i)
+            ts.append(time.perf_counter() - t0)
+        return max(min(ts) - self.floor, 1e-9)
+
+
+def bench_dense(tm, on_tpu):
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+
+    NL, T, V = (32, 512, 32000) if on_tpu else (2, 128, 4096)
+    t0 = time.perf_counter()
+    path = build_8b_single_layer_gguf(
+        "/tmp/bench8b.gguf", **({} if on_tpu else
+                                dict(E=256, H=4, HKV=2, FF=512, V=V)))
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rt = Runtime.from_gguf(path)
+    rt = replicate_layers(rt, NL)
+    load_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(1)
+
+    # --- PP512 through the real bucketed prefill -------------------------
+    def pp_once(i):
+        ids = [int(x) for x in rng.integers(3, V, T)]
+        kv = rt.new_cache(1, 2 * T)
+        logits, kv, n_past = rt.eval_tokens(ids, kv, 0)
+        assert logits.shape[-1] == V and n_past == T
+        return kv
+
+    pp_once(0)  # compile
+    t_pp = tm.run(pp_once, 3)
+    pp_tps = T / t_pp
+
+    # --- TG via the on-device greedy decode loop -------------------------
+    N_TG = 64 if on_tpu else 8
+
+    def warm_cache(n_fill, capacity):
+        ids = [int(x) for x in rng.integers(3, V, n_fill)]
+        kv = rt.new_cache(1, capacity)
+        _, kv, n_past = rt.eval_tokens(ids, kv, 0)
+        return kv, n_past
+
+    loop = rt._decode_loop(N_TG)
+
+    def tg_at(n_fill, capacity):
+        kv, n_past = warm_cache(n_fill, capacity)
+        toks, kv, _ = loop(rt.params, jnp.asarray([[5]], jnp.int32), kv,
+                           jnp.int32(n_past))           # compile (donates kv)
+        _ = np.asarray(toks[0, :4])
+        times = []
+        for i in range(2):
+            kv, n_past = warm_cache(n_fill, capacity)
+            t0 = time.perf_counter()
+            toks, kv, _ = loop(rt.params, jnp.asarray([[i + 7]], jnp.int32),
+                               kv, jnp.int32(n_past))
+            _ = np.asarray(toks[0, :4])
+            times.append(time.perf_counter() - t0)
+        return N_TG / max(min(times) - tm.floor, 1e-9)
+
+    tg_512 = tg_at(T, 2 * T)
+    sweep = {"tg@512": round(tg_512, 2)}
+    if on_tpu:
+        sweep["tg@4096"] = round(tg_at(4096, 4096 + 2 * N_TG), 2)
+    return {
+        "pp_tps": pp_tps, "tg_tps": tg_512, "sweep": sweep,
+        "build_s": round(build_s, 1), "load_s": round(load_s, 1),
+        "config": f"L{NL} E4096 H32 KV8 FF14336 V{V} Q4_0-planar tied-head",
+    }
+
+
+def build_moe_device_params(cfg, key):
+    """Device-generated qwen3moe params (bypasses GGUF upload — H2D through
+    the tunnel is ~1 GB/s and the expert tensors alone are ~11 GB; loader
+    correctness is covered by tests/test_cross_engine.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.models.weights import QLinear
+    from ik_llama_cpp_tpu.ops.moe import QuantExpertWeights
+
+    E, FF, NE = cfg.n_embd, cfg.n_ff_exp, cfg.n_expert
+    D, H, HKV = cfg.head_dim, cfg.n_head, cfg.n_head_kv
+    V = cfg.n_vocab
+    ks = iter(jax.random.split(key, 8 + 4 * cfg.n_layer))
+
+    def codes(k, shape):
+        return jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+
+    def scales(k, shape):
+        return (jax.random.normal(k, shape) * 0.008).astype(jnp.float32)
+
+    def qlin(kin, kout):
+        k1, k2 = jax.random.split(next(ks))
+        return QLinear(codes(k1, (kin, kout)), scales(k2, (kin // G, kout)),
+                       None, group=G)
+
+    params = {
+        "tok_embd": (jax.random.normal(next(ks), (V, E)) * 0.02
+                     ).astype(jnp.bfloat16),
+        "output_norm": jnp.ones((E,), jnp.float32),
+        "output": qlin(E, V),
+    }
+    blocks = []
+    for _ in range(cfg.n_layer):
+        k1, k2 = jax.random.split(next(ks))
+        ew = QuantExpertWeights(
+            gate=codes(k1, (NE, E, FF)), gate_s=scales(k2, (NE, E // G, FF)),
+            up=codes(k1, (NE, E, FF)), up_s=scales(k2, (NE, E // G, FF)),
+            down=codes(k2, (NE, FF, E)), down_s=scales(k1, (NE, FF // G, E)))
+        blocks.append({
+            "attn_norm": jnp.ones((E,), jnp.float32),
+            "ffn_norm": jnp.ones((E,), jnp.float32),
+            "wqkv": qlin(E, (H + 2 * HKV) * D),
+            "wo": qlin(H * D, E),
+            "attn_q_norm": jnp.ones((D,), jnp.float32),
+            "attn_k_norm": jnp.ones((D,), jnp.float32),
+            "ffn_gate_inp": qlin(E, NE),
+            "experts": ew,
+        })
+    params["blocks"] = blocks
+    return params
+
+
+def bench_moe(tm, on_tpu):
+    """Qwen3-30B-A3B-class quantized-expert MoE through the real forward +
+    decode loop (16 of 48 layers: int8-planar experts for the full depth
+    would exceed one v5e's 16 GB HBM; times scale linearly in depth)."""
+    import jax
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.models.config import ModelConfig
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+
+    NL = 16 if on_tpu else 2
+    T = 512 if on_tpu else 64
+    V = 32000 if on_tpu else 1024
+    cfg = ModelConfig(
+        arch="qwen3moe", n_layer=NL, n_embd=2048 if on_tpu else 256,
+        n_head=16, n_head_kv=4, n_ff=6144, n_vocab=V, n_ctx_train=8192,
+        head_dim=128 if on_tpu else 64, rope_freq_base=1000000.0,
+        use_qk_norm=True, n_expert=128 if on_tpu else 8,
+        n_expert_used=8 if on_tpu else 2,
+        n_ff_exp=768 if on_tpu else 96, norm_topk_prob=True)
+    params = build_moe_device_params(cfg, jax.random.PRNGKey(0))
+    rt = Runtime(cfg=cfg, tokenizer=None, params=params)
+
+    rng = np.random.default_rng(2)
+
+    def pp_once(i):
+        ids = [int(x) for x in rng.integers(3, V, T)]
+        kv = rt.new_cache(1, 2 * T)
+        logits, kv, n_past = rt.eval_tokens(ids, kv, 0)
+        return kv
+
+    pp_once(0)
+    t_pp = tm.run(pp_once, 3)
+
+    N_TG = 32 if on_tpu else 4
+    loop = rt._decode_loop(N_TG)
+
+    def tg_once(i):
+        ids = [int(x) for x in rng.integers(3, V, T)]
+        kv = rt.new_cache(1, 2 * T)
+        _, kv, n_past = rt.eval_tokens(ids, kv, 0)
+        t0 = time.perf_counter()
+        toks, kv, _ = loop(rt.params, jnp.asarray([[i + 3]], jnp.int32), kv,
+                           jnp.int32(n_past))
+        _ = np.asarray(toks[0, :4])
+        return time.perf_counter() - t0
+
+    tg_once(0)
+    times = [tg_once(i + 1) for i in range(2)]
+    t_tg = max(min(times) - tm.floor, 1e-9) / N_TG
+    return {
+        "moe_pp_tps": round(T / t_pp, 1),
+        "moe_tg_tps": round(1.0 / t_tg, 2),
+        "moe_config": f"L{NL}/48 E2048 experts128 top8 ffexp768 int8-planar",
+    }
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from ik_llama_cpp_tpu.ops.qmatmul import qmatmul
-    from ik_llama_cpp_tpu.ops import layers as L
-    from ik_llama_cpp_tpu.ops.attention import attend
-    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention
-
     on_tpu = jax.default_backend() not in ("cpu",)
-    # 8B-class dims (LLaMA-3.1-8B)
-    if on_tpu:
-        NLAYER, E, H, HKV, FF, V = 32, 4096, 32, 8, 14336, 32000
-        T, R = 512, 4
-    else:  # CI smoke fallback
-        NLAYER, E, H, HKV, FF, V = 2, 256, 4, 2, 512, 1024
-        T, R = 128, 2
-    D = E // H
-    G = 32
+    tm = Timer()
 
-    key = jax.random.PRNGKey(0)
+    dense = bench_dense(tm, on_tpu)
+    moe = bench_moe(tm, on_tpu)
 
-    @jax.jit
-    def gen_weights(key):
-        ks = jax.random.split(key, 16)
-
-        def codes(k, shape):
-            return jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
-
-        def scales(k, shape):
-            return (jax.random.normal(k, shape) * 0.008).astype(jnp.float32)
-
-        w = {
-            # fused q|k|v like the runtime's merge-qkv load path
-            "wqkv": (codes(ks[0], (NLAYER, E, E + 2 * HKV * D)),
-                     scales(ks[1], (NLAYER, E // G, E + 2 * HKV * D))),
-            "wo": (codes(ks[4], (NLAYER, E, E)), scales(ks[5], (NLAYER, E // G, E))),
-            "wgu": (codes(ks[6], (NLAYER, E, 2 * FF)), scales(ks[7], (NLAYER, E // G, 2 * FF))),
-            "wd": (codes(ks[8], (NLAYER, FF, E)), scales(ks[9], (NLAYER, FF // G, E))),
-            "norm1": jnp.ones((NLAYER, E), jnp.float32),
-            "norm2": jnp.ones((NLAYER, E), jnp.float32),
-            "embd": (jax.random.normal(ks[10], (V, E)) * 0.02).astype(jnp.bfloat16),
-            "head": (codes(ks[11], (E, V)), scales(ks[12], (E // G, V))),
-        }
-        return w
-
-    t0 = time.perf_counter()
-    w = gen_weights(key)
-    _ = np.asarray(w["wqkv"][0][0, 0, :4])  # force materialization
-    gen_s = time.perf_counter() - t0
-
-    def layer(x, lw, q_pos, kv_len, cos, sin):
-        (wqkv_c, wqkv_s), (wo_c, wo_s), (wgu_c, wgu_s), (wd_c, wd_s), n1, n2 = lw
-        b, t, _ = x.shape
-        h = L.rms_norm(x, n1)
-        h2 = h.reshape(-1, E)
-        qkv = qmatmul(h2, wqkv_c, wqkv_s, group=G)
-        q = qkv[:, :E].reshape(b, t, H, D)
-        kv = qkv[:, E:].reshape(b, t, 2, HKV, D)
-        k, v = kv[:, :, 0], kv[:, :, 1]
-        q = L.apply_rope(q, cos, sin, 0)
-        k = L.apply_rope(k, cos, sin, 0)
-        if on_tpu and q.shape[1] > 1:
-            a = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                                v.astype(jnp.bfloat16),
-                                jnp.zeros((b,), jnp.int32), kv_len,
-                                scale=1.0 / float(np.sqrt(D)))
-        else:
-            a = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                       v.astype(jnp.bfloat16), q_pos=q_pos, kv_len=kv_len,
-                       scale=1.0 / float(np.sqrt(D)))
-        a = qmatmul(a.reshape(-1, E), wo_c, wo_s, group=G).reshape(b, t, E)
-        x = x + a.astype(x.dtype)
-        h = L.rms_norm(x, n2)
-        gu = qmatmul(h.reshape(-1, E), wgu_c, wgu_s, group=G)
-        g, u = gu[:, :FF], gu[:, FF:]
-        ff = qmatmul(L.swiglu(g, u).astype(jnp.bfloat16), wd_c, wd_s, group=G)
-        return x + ff.reshape(b, t, E).astype(x.dtype)
-
-    @jax.jit
-    def prefill_r(w, tokens):
-        """R repetitions of the full forward (token ids perturbed per rep)."""
-        b, t = tokens.shape
-        q_pos = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
-        kv_len = jnp.full((b,), t, jnp.int32)
-        cos, sin = L.rope_cache(q_pos, D, 500000.0)
-
-        def one(tok):
-            x = w["embd"][tok]
-            lws = (w["wqkv"], w["wo"], w["wgu"], w["wd"], w["norm1"], w["norm2"])
-
-            def body(x, i):
-                lw = jax.tree_util.tree_map(lambda a: a[i], lws)
-                return layer(x, lw, q_pos, kv_len, cos, sin), None
-
-            x, _ = jax.lax.scan(body, x, jnp.arange(NLAYER))
-            x = L.rms_norm(x, jnp.ones((E,), jnp.float32))
-            lg = qmatmul(x[:, -1], w["head"][0], w["head"][1], group=G)
-            return lg
-
-        def rep(carry, r):
-            tok = (tokens + r + carry[0, :1].astype(jnp.int32)) % V
-            lg = one(tok)
-            return lg, lg[0, 0]
-
-        lg, _ = jax.lax.scan(rep, jnp.zeros((b, V), jnp.float32), jnp.arange(R))
-        return lg
-
-    rng = np.random.default_rng(0)
-
-    def run_once(seed):
-        tokens = jnp.asarray(rng.integers(0, V, (1, T), np.int64).astype(np.int32))
-        _ = np.asarray(tokens[0, :2])
-        t0 = time.perf_counter()
-        out = prefill_r(w, tokens)
-        _ = np.asarray(out[0, :8])  # force
-        return time.perf_counter() - t0
-
-    compile_t = run_once(0)  # includes compile
-    times = [run_once(i + 1) for i in range(4)]
-    # measure the fetch/dispatch floor with a trivial jitted op
-    tiny = jax.jit(lambda x: x * 2)
-    _ = np.asarray(tiny(jnp.ones((8, 8)))[0, :2])
-    floors = []
-    for i in range(3):
-        xi = jnp.full((8, 8), float(i + 2))
-        _ = np.asarray(xi[0, 0])
-        f0 = time.perf_counter()
-        _ = np.asarray(tiny(xi)[0, :2])
-        floors.append(time.perf_counter() - f0)
-    floor = min(floors)
-
-    t_all = min(times)
-    t_fw = max(t_all - floor, 1e-6) / R
-    pp_tps = T / t_fw
-
-    # ---- TG: on-device greedy decode loop over a warm KV cache ----------
-    S = 1024          # cache capacity; decode starts at n_past = 512
-    R_TG = 32 if on_tpu else 4
-
-    @jax.jit
-    def decode_r(w, kv_k, kv_v, tok0):
-        lws = (w["wqkv"], w["wo"], w["wgu"], w["wd"],
-               w["norm1"], w["norm2"])
-
-        def step(carry, r):
-            tok, kk, vv, n_past = carry
-            pos = n_past[None, None]                       # (1,1)
-            cos, sin = L.rope_cache(pos, D, 500000.0)
-            x = w["embd"][tok][None, None, :]              # (1,1,E)
-            kv_len = n_past[None] + 1
-
-            def body(xc, i):
-                x, kk, vv = xc
-                lw = jax.tree_util.tree_map(lambda a: a[i], lws)
-                (wqkv_c, wqkv_s), (wo_c, wo_s), \
-                    (wgu_c, wgu_s), (wd_c, wd_s), n1, n2 = lw
-                h = L.rms_norm(x, n1).reshape(-1, E)
-                qkv = qmatmul(h, wqkv_c, wqkv_s, group=G)
-                q = qkv[:, :E].reshape(1, 1, H, D)
-                kv = qkv[:, E:].reshape(1, 1, 2, HKV, D)
-                k_new, v_new = kv[:, :, 0], kv[:, :, 1]
-                q = L.apply_rope(q, cos, sin, 0)
-                k_new = L.apply_rope(k_new, cos, sin, 0)
-                kk = jax.lax.dynamic_update_slice(
-                    kk, k_new.astype(kk.dtype)[None],
-                    (i, jnp.int32(0), n_past, jnp.int32(0), jnp.int32(0)))
-                vv = jax.lax.dynamic_update_slice(
-                    vv, v_new.astype(vv.dtype)[None],
-                    (i, jnp.int32(0), n_past, jnp.int32(0), jnp.int32(0)))
-                a = attend(q.astype(jnp.bfloat16), kk[i], vv[i],
-                           q_pos=pos, kv_len=kv_len,
-                           scale=1.0 / float(np.sqrt(D)))
-                a = qmatmul(a.reshape(-1, E), wo_c, wo_s, group=G)
-                x = x + a.reshape(1, 1, E).astype(x.dtype)
-                h = L.rms_norm(x, n2)
-                gu = qmatmul(h.reshape(-1, E), wgu_c, wgu_s, group=G)
-                g, u = gu[:, :FF], gu[:, FF:]
-                ff = qmatmul(L.swiglu(g, u).astype(jnp.bfloat16), wd_c, wd_s,
-                             group=G)
-                return (x + ff.reshape(1, 1, E).astype(x.dtype), kk, vv), None
-
-            (x, kk, vv), _ = jax.lax.scan(body, (x, kk, vv),
-                                          jnp.arange(NLAYER))
-            x = L.rms_norm(x, jnp.ones((E,), jnp.float32))
-            lg = qmatmul(x[0, -1:], w["head"][0], w["head"][1], group=G)
-            nxt = jnp.argmax(lg[0]).astype(jnp.int32)
-            return (nxt, kk, vv, n_past + 1), nxt
-
-        carry = (tok0, kv_k, kv_v, jnp.int32(S // 2))
-        (tok, kk, vv, n_past), toks = jax.lax.scan(step, carry, jnp.arange(R_TG))
-        return toks
-
-    kv_k = jnp.zeros((NLAYER, 1, S, HKV, D), jnp.bfloat16)
-    kv_v = jnp.zeros((NLAYER, 1, S, HKV, D), jnp.bfloat16)
-
-    def tg_once(seed):
-        tok0 = jnp.int32(seed % V)
-        t0 = time.perf_counter()
-        toks = decode_r(w, kv_k, kv_v, tok0)
-        _ = np.asarray(toks[:4])
-        return time.perf_counter() - t0
-
-    tg_once(0)      # compile
-    tg_times = [tg_once(i + 1) for i in range(3)]
-    t_tg = max(min(tg_times) - floor, 1e-6) / R_TG
-    tg_tps = 1.0 / t_tg
-
-    baseline = 269.6  # reference CPU 8B Q4_K_S PP512 t/s
+    baseline_pp = 269.6   # reference 8B Q4_K_S PP512 (discussions/164)
+    baseline_tg = 13.48   # reference 8B Q4_K_S TG128
     result = {
-        "metric": "pp512_tokens_per_s_8b_q4k_planar",
-        "value": round(pp_tps, 1),
+        "metric": "pp512_tokens_per_s_8b_q4_planar_engine",
+        "value": round(dense["pp_tps"], 1),
         "unit": "tokens/s",
-        "vs_baseline": round(pp_tps / baseline, 2),
+        "vs_baseline": round(dense["pp_tps"] / baseline_pp, 2),
         "detail": {
             "backend": jax.default_backend(),
-            "t_forward_ms": round(t_fw * 1e3, 2),
-            "tg_tokens_per_s": round(tg_tps, 2),
-            "tg_vs_baseline": round(tg_tps / 13.48, 2),  # ref Q4_K_S TG128
-            "fetch_floor_ms": round(floor * 1e3, 2),
-            "compile_s": round(compile_t, 1),
-            "weightgen_s": round(gen_s, 1),
-            "config": f"L{NLAYER} E{E} H{H} KV{HKV} FF{FF} V{V} T{T} R{R}",
+            "engine": "real (Runtime.from_gguf -> eval_tokens -> _decode_loop)",
+            "tg_tokens_per_s": round(dense["tg_tps"], 2),
+            "tg_vs_baseline": round(dense["tg_tps"] / baseline_tg, 2),
+            "sweep": dense["sweep"],
+            "gguf_build_s": dense["build_s"],
+            "load_s": dense["load_s"],
+            "fetch_floor_ms": round(tm.floor * 1e3, 2),
+            "config": dense["config"],
+            **moe,
         },
     }
     print(json.dumps(result))

@@ -398,7 +398,10 @@ def quantize_f32(x: np.ndarray, imatrix=None) -> np.ndarray:
     return x.astype(np.float32).view(np.uint8).reshape(-1)
 
 
+from .quantize_iqk import IQK_QUANTIZE_FNS  # noqa: E402  (cycle-free)
+
 QUANTIZE_FNS = {
+    **IQK_QUANTIZE_FNS,
     GGMLType.F32: quantize_f32,
     GGMLType.F16: quantize_f16,
     GGMLType.BF16: quantize_bf16,
