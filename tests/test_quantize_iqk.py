@@ -66,15 +66,20 @@ IQK_TYPES = [GGMLType.IQ4_KS, GGMLType.IQ4_K, GGMLType.IQ5_KS,
              GGMLType.IQ5_K, GGMLType.IQ6_K, GGMLType.IQ3_K,
              GGMLType.IQ3_KS, GGMLType.IQ2_K, GGMLType.IQ2_KS,
              GGMLType.IQ2_KL]
+# trellis types: exact whole-codebook search (ours) vs the reference's
+# k-means-pruned search — ours matches or beats it
+KT_TYPES = [GGMLType.IQ1_KT, GGMLType.IQ2_KT, GGMLType.IQ3_KT,
+            GGMLType.IQ4_KT]
 
 
-@pytest.mark.parametrize("t", IQK_TYPES, ids=lambda t: t.name)
+@pytest.mark.parametrize("t", IQK_TYPES + KT_TYPES, ids=lambda t: t.name)
 @pytest.mark.parametrize("use_imatrix", [False, True], ids=["plain", "imatrix"])
 def test_iqk_encoder_quality_vs_reference(t, use_imatrix):
     if _LIB is None:
         pytest.skip("reference libggml missing")
     rng = np.random.default_rng(3)
-    x = synth(16, 512) + rng.standard_normal((16, 512)).astype(np.float32)
+    nrows = 4 if t in KT_TYPES else 16   # exact trellis search is O(V) slow
+    x = synth(nrows, 512) + rng.standard_normal((nrows, 512)).astype(np.float32)
     im = None
     if use_imatrix:
         im = (1.0 + rng.random(512)).astype(np.float32)
