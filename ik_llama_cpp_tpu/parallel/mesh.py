@@ -81,6 +81,12 @@ _BLOCK_KINDS = {
 def _spec_for_leaf_path(path: str, leaf) -> P:
     parts = path.split(".")
     name = parts[-1]
+    if name in ("wk_b", "wv_b"):
+        # MLA absorb projections (h, d_nope, lora_kv) / (h, lora_kv, dv):
+        # head axis on 'model' with a replicated latent cache — the
+        # reference's distribute_mla_tensors_for_split_mode_graph
+        # (llama-load-tensors.cpp:4479; replicated_k_l llama-context.h:143)
+        return P(MODEL_AXIS, None, None)
     if name in ("tok_embd", "output_norm", "cvec"):
         return P(None) if getattr(leaf, "ndim", 2) == 1 else P(None, None)
     kind = _BLOCK_KINDS.get(name)

@@ -53,11 +53,25 @@ def make_tp_forward(cfg: ModelConfig, mesh: Mesh, params, *,
                    tp_axis=MODEL_AXIS,
                    logits_last_only=logits_last_only, **fwd_kw)
 
+    # MLA absorb: the compressed latent cache has ONE shared head — it is
+    # REPLICATED across the model axis (every shard computes identical rows
+    # from the replicated wkv_a_mqa), matching the reference's
+    # replicated_k_l per-device latent copies (llama-context.h:143)
+    def _has_absorb(p):
+        blocks = p.get("blocks") if isinstance(p, dict) else None
+        return bool(blocks) and "wk_b" in blocks[0]
+
+    if _has_absorb(params):
+        rep = P(None, DATA_AXIS, None, None, None)
+        cache_spec = KVCache(rep, rep)
+    else:
+        cache_spec = KVCache(kv_spec(), kv_spec())
+
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, None), KVCache(kv_spec(), kv_spec()), P()),
-        out_specs=(P(DATA_AXIS, None, None), KVCache(kv_spec(), kv_spec())),
+        in_specs=(pspecs, P(DATA_AXIS, None), cache_spec, P()),
+        out_specs=(P(DATA_AXIS, None, None), cache_spec),
         check_rep=False,
     )
     return jax.jit(sharded)

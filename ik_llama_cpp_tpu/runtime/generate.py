@@ -131,8 +131,10 @@ class Runtime:
         if "fuse" in sig:
             kw["fuse"] = fuse     # merge qkv / gate-up (single-chip fast path)
         if "mla" in sig:
-            # latent absorb cache (single-chip); TP uses the full-KV path
-            kw["mla"] = not (tensor_parallel and tensor_parallel > 1)
+            # latent absorb cache — also under TP: wk_b/wv_b shard on the
+            # head axis with a replicated latent cache (the reference's
+            # distribute_mla_tensors_for_split_mode_graph design)
+            kw["mla"] = True
         params = loader(gg, cfg, use_quant=use_quant, **kw)
         if tensor_parallel and tensor_parallel > 1:
             from ..parallel.mesh import make_mesh, shard_params

@@ -125,22 +125,19 @@ def test_runtime_tensor_parallel(tmp_path):
 
 
 def test_deepseek2_mla_tp(tmp_path):
-    """DeepSeek2 MLA under TP: per-head wq_b/wkv_b column split, replicated
-    latent path — must match single-chip logits (the reference's
-    distribute_mla_tensors_for_split_mode_graph semantics)."""
+    """DeepSeek2 MLA latent-ABSORB under TP: wk_b/wv_b shard on the head
+    axis, the compressed latent cache is replicated per shard — must match
+    single-chip absorb logits (the reference's
+    distribute_mla_tensors_for_split_mode_graph + replicated_k_l)."""
     from fixtures import make_tiny_deepseek2_gguf
     from ik_llama_cpp_tpu.runtime.generate import Runtime
     path = make_tiny_deepseek2_gguf(tmp_path / "ds2tp.gguf", n_head=4, seed=17)
-    from ik_llama_cpp_tpu.gguf.reader import load_gguf
-    from ik_llama_cpp_tpu.models.config import config_from_gguf
-    from ik_llama_cpp_tpu.models import deepseek2 as ds2
-    rt1 = Runtime.from_gguf(path)
-    # TP serves the full-KV path; compare against the same variant
-    gg = load_gguf(path)
-    rt1.params = ds2.load_deepseek2_params(gg, config_from_gguf(gg.metadata),
-                                           mla=False)
-    rt1._step_fns.clear()
-    rt4 = Runtime.from_gguf(path, tensor_parallel=4)
+    rt1 = Runtime.from_gguf(path)                      # single-chip absorb
+    assert "wk_b" in rt1.params["blocks"][0]
+    rt4 = Runtime.from_gguf(path, tensor_parallel=4)   # TP absorb
+    assert "wk_b" in rt4.params["blocks"][0]
+    kv = rt4.new_cache(1, 64)
+    assert kv.k.shape[3] == 1, "TP must serve the latent cache, not full-KV"
     ids = rt1.tokenizer.encode("hello sharded latent world")
     a = rt1.all_position_logits(ids, capacity=64)
     b = rt4.all_position_logits(ids, capacity=64)
