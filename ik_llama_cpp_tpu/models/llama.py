@@ -96,7 +96,8 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
         params["output_b"] = load_dense(t["output.bias"])
 
     blocks = []
-    for i in range(cfg.n_layer):
+    mtp_blocks = []
+    for i in range(cfg.n_layer + cfg.nextn_layers):
         p = f"blk.{i}."
         blk = {}
         if p + "attn_output.weight" in t:   # absent on deci attention-free layers
@@ -192,11 +193,86 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             if p + sn in t:               # per-head sink logits (gpt-oss)
                 blk["attn_sinks"] = load_dense(t[p + sn])
                 break
+        if i >= cfg.n_layer:
+            # trailing NextN/MTP layer (nextn_predict_layers): its own
+            # attention+FFN block plus the eh_proj/enorm/hnorm glue
+            # (create tensors: llama-load-tensors.cpp:1291; graph:
+            # build_glm4_moe_mtp, src/graphs/build_glm4.cpp:280-368)
+            if p + "nextn.eh_proj.weight" not in t:
+                continue
+            blk["eh_proj"] = load_linear(t[p + "nextn.eh_proj.weight"],
+                                         use_quant=use_quant)
+            blk["enorm"] = load_dense(t[p + "nextn.enorm.weight"])
+            blk["hnorm"] = load_dense(t[p + "nextn.hnorm.weight"])
+            if p + "nextn.shared_head_norm.weight" in t:
+                blk["shead_norm"] = load_dense(
+                    t[p + "nextn.shared_head_norm.weight"])
+            if p + "nextn.shared_head.head.weight" in t:
+                blk["shead"] = load_linear(
+                    t[p + "nextn.shared_head.head.weight"],
+                    use_quant=use_quant)
+            if p + "nextn.embed_tokens.weight" in t:
+                blk["mtp_embd"] = jnp.asarray(np.ascontiguousarray(
+                    dequant_tensor(t[p + "nextn.embed_tokens.weight"])),
+                    jnp.bfloat16)
+            mtp_blocks.append(blk)
+            continue
         if fuse:
             _fuse_block(blk)
         blocks.append(blk)
     params["blocks"] = blocks
+    if mtp_blocks:
+        params["mtp_blocks"] = mtp_blocks
     return params
+
+
+def mtp_forward(params, cfg: ModelConfig, tokens, hidden, kv: KVCache, n_past,
+                *, interpret: bool = False):
+    """NextN/MTP layer step (build_glm4_moe_mtp, src/graphs/build_glm4.cpp:
+    280-368): predict the token at position p+2 from the MAIN model's
+    pre-output-norm hidden state at position p and the token at p+1.
+
+    tokens: (B, T) the p+1 tokens; hidden: (B, T, E) main hidden at p;
+    kv: a 1-layer KVCache for the MTP layer. Returns (logits, kv, hidden')
+    where hidden' is the MTP layer's own output stream (chained drafts)."""
+    mtp = params["mtp_blocks"][0]
+    b, t = tokens.shape
+    embd = mtp.get("mtp_embd", params["tok_embd"])
+    emb = embd[tokens].astype(jnp.float32)
+    x = jnp.concatenate([
+        L.rms_norm(emb, mtp["enorm"], cfg.rms_eps),
+        L.rms_norm(hidden.astype(jnp.float32), mtp["hnorm"], cfg.rms_eps),
+    ], axis=-1)
+    x = mtp["eh_proj"](x.astype(jnp.bfloat16),
+                       interpret=interpret).astype(jnp.bfloat16)
+
+    npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
+    q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    rope_dims = cfg.rope_dim or cfg.head_dim
+    cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base)
+
+    h = _norm(x, mtp.get("attn_norm"), mtp.get("attn_norm_bias"), cfg)
+    attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
+        mtp, h, cfg, kv.k[0], kv.v[0], n_past, q_pos, cos, sin, interpret,
+        kv_ks=None if kv.k_scale is None else kv.k_scale[0],
+        kv_vs=None if kv.v_scale is None else kv.v_scale[0])
+    if "attn_post_norm" in mtp:
+        attn_out = L.rms_norm(attn_out, mtp["attn_post_norm"], cfg.rms_eps)
+    x = x + attn_out.astype(x.dtype)
+    h = _norm(x, mtp.get("ffn_norm"), mtp.get("ffn_norm_bias"), cfg)
+    ff = _ffn(mtp, h, cfg, interpret=interpret)
+    x = x + ff.astype(x.dtype)
+
+    kv = KVCache(k_i[None], v_i[None],
+                 None if ks_i is None else ks_i[None],
+                 None if vs_i is None else vs_i[None])
+    out_hidden = x.astype(jnp.float32)
+    y = L.rms_norm(x, mtp.get("shead_norm", params.get("output_norm")),
+                   cfg.rms_eps)
+    head = mtp.get("shead", params["output"])
+    logits = head(y.astype(jnp.bfloat16), interpret=interpret
+                  ).astype(jnp.float32)
+    return logits, kv, out_hidden
 
 
 def _fuse_block(blk: dict) -> None:
@@ -311,7 +387,8 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
                     norm_topk=cfg.norm_topk_prob or cfg.expert_weights_norm,
                     scale=cfg.expert_weights_scale, ep_axis=ep_axis,
                     selection_bias=blk.get("ffn_exp_probs_b"),
-                    activation=cfg.moe_act)
+                    activation=cfg.moe_act,
+                    weight_before_ffn=cfg.moe_weight_before)
         if "ffn_gate_shexp" in blk:
             g = blk["ffn_gate_shexp"](h, interpret=interpret)
             u = blk["ffn_up_shexp"](h, interpret=interpret)
@@ -370,7 +447,8 @@ def _ffn_dense(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
 def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 interpret=False, tp_axis=None, stats=None, il=0,
                 kv_ks=None, kv_vs=None, swa_window=None,
-                n_head=None, n_head_kv=None):
+                n_head=None, n_head_kv=None, attn_chunk=0,
+                attn_scale_vec=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -424,9 +502,18 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
             q = L.rms_norm(q, qn, cfg.rms_eps)
             k = L.rms_norm(k, kn, cfg.rms_eps)
 
+    if cfg.qk_l2_norm and cos is not None:
+        # llama4 weightless Llama4TextL2Norm on rope layers
+        # (build_llama.cpp:89-95)
+        q = L.rms_norm(q, None, cfg.rms_eps)
+        k = L.rms_norm(k, None, cfg.rms_eps)
     if cos is not None:           # smollm3 NoPE layers pass cos=None
         q = L.apply_rope(q, cos, sin, cfg.rope_type)
         k = L.apply_rope(k, cos, sin, cfg.rope_type)
+    if attn_scale_vec is not None:
+        # llama4 NoPE-layer attention temperature (llama.cpp:5187)
+        q = (q.astype(jnp.float32) * attn_scale_vec[..., None, None]
+             ).astype(q.dtype)
 
     # append to cache at each row's n_past (vector for continuous batching)
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
@@ -469,7 +556,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     elif sinks is not None and _use_pallas() and not quant:
         attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
-                               sinks=sinks)
+                               attn_chunk=attn_chunk, sinks=sinks)
     elif sinks is not None:
         # quantized-KV + sinks: XLA attend path (dequantize first)
         attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
@@ -480,19 +567,21 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     elif quant and _use_pallas():
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
-                                  swa_window=swa_window)
+                                  swa_window=swa_window, attn_chunk=attn_chunk)
     elif quant:
         attn = attend(qb, dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
                       dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
-                      softcap=cfg.attn_softcap, swa_window=swa_window)
+                      softcap=cfg.attn_softcap, swa_window=swa_window,
+                      attn_chunk=attn_chunk)
     elif _use_pallas():
         attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
-                               softcap=cfg.attn_softcap, swa_window=swa_window)
+                               softcap=cfg.attn_softcap, swa_window=swa_window,
+                               attn_chunk=attn_chunk)
     else:
         attn = attend(qb, kv_k_a, kv_v_a, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
-                      swa_window=swa_window)
+                      swa_window=swa_window, attn_chunk=attn_chunk)
     attn = attn.reshape(b, t, h * d)
     if "attn_sub_norm" in blk:   # bitnet inner norm before the out proj
         attn = L.rms_norm(attn, blk["attn_sub_norm"], cfg.rms_eps)
@@ -512,7 +601,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             tp_axis: str | None = None, ep_axis: str | None = None,
             collect_stats: bool = False, n_valid=None,
             return_hidden: bool = False, return_layer_hiddens: bool = False,
-            inputs_embeds=None):
+            return_mtp_hidden: bool = False, inputs_embeds=None):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
     Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
@@ -552,6 +641,12 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     else:
         cos_swa, sin_swa = cos, sin
 
+    attn_temp = None
+    if cfg.attn_temp_scale > 0:
+        # llama4 NoPE attention temperature (llama.cpp:5187)
+        attn_temp = (jnp.log(jnp.floor((q_pos.astype(jnp.float32) + 1.0)
+                                       / cfg.attn_temp_floor) + 1.0)
+                     * cfg.attn_temp_scale + 1.0)
     stats = {} if collect_stats else None
     layer_hiddens = []
     new_k, new_v, new_ks, new_vs = [], [], [], []
@@ -587,6 +682,9 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             ks_i = None if kv.k_scale is None else kv.k_scale[i]
             vs_i = None if kv.v_scale is None else kv.v_scale[i]
         else:
+            chunk_l = cfg.attn_chunk if (
+                cfg.attn_chunk > 0 and (not cfg.swa_layer_mask
+                                        or cfg.swa_layer_mask[i])) else 0
             attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
                 blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
                 None if nope else (cos_swa if is_swa else cos),
@@ -596,7 +694,9 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                 kv_vs=None if kv.v_scale is None else kv.v_scale[i],
                 swa_window=cfg.swa_window if is_swa else 0,
                 n_head=n_head_l if cfg.n_head_arr else None,
-                n_head_kv=n_head_kv_l if cfg.n_head_kv_arr else None)
+                n_head_kv=n_head_kv_l if cfg.n_head_kv_arr else None,
+                attn_chunk=chunk_l,
+                attn_scale_vec=attn_temp if nope else None)
         if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch
@@ -662,7 +762,15 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             ff = L.rms_norm(ff, blk["ffn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res
             ff = ff * cfg.residual_branch_scale
-        x = x + ff.astype(x.dtype)
+        if cfg.moe_normed_residual and "experts" in blk:
+            # build_llama MoE-branch quirk: the FFN residual is the NORMED
+            # ffn input — llm_build_moe_ffn's add_input adds its own
+            # (normed) argument and the raw ffn_inp add is commented out
+            # (build_llama.cpp:139-164, :191); applies to mixtral /
+            # granitemoe / llama4
+            x = (h + ff.astype(jnp.float32)).astype(x.dtype)
+        else:
+            x = x + ff.astype(x.dtype)
         if "ffn_norm_exps" in blk:
             hx = L.rms_norm(x_layer_in, blk["ffn_norm_exps"], cfg.rms_eps)
             moe_y = _ffn(blk, hx, cfg, interpret=interpret, stats=stats,
@@ -686,6 +794,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                  None if new_vs[0] is None else jnp.stack(new_vs))
     if return_layer_hiddens:
         return jnp.stack(layer_hiddens), kv
+    mtp_hidden = x    # pre-output-norm stream ("result_mtp_embd")
     x = _norm(x, params.get("output_norm"), params.get("output_norm_b"), cfg)
     if return_hidden:
         return x.astype(jnp.float32), kv
@@ -708,4 +817,6 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         logits = L.softcap(logits, cfg.final_softcap)
     if collect_stats:
         return logits, kv, stats
+    if return_mtp_hidden:
+        return logits, kv, mtp_hidden.astype(jnp.float32)
     return logits, kv

@@ -56,7 +56,8 @@ def _bucket(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
-_DENSE_FAMILY = ("llama", "qwen2", "qwen3", "mistral", "gemma",
+_DENSE_FAMILY = ("llama", "llama4", "granitemoe", "qwen2vl",
+                 "qwen2", "qwen3", "mistral", "gemma",
                  "gemma2", "gemma3", "phi3", "qwen2moe", "qwen3moe",
                  "internlm2", "smollm3", "mistral3", "granite",
                  "exaone", "starcoder2", "mixtral", "gpt-oss",
@@ -181,6 +182,82 @@ class Runtime:
 
             self._step_fns[key] = step
         return self._step_fns[key]
+
+    # ----------------------------------------------------- MTP (nextn) ----
+    @property
+    def has_mtp(self) -> bool:
+        return isinstance(self.params, dict) and "mtp_blocks" in self.params
+
+    def new_mtp_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
+        """1-layer KV cache for the trailing NextN/MTP layer."""
+        import dataclasses
+        cfg1 = dataclasses.replace(self.cfg, n_layer=1)
+        return KVCache.create(cfg1, batch, capacity)
+
+    def _mtp_step(self, chunk: int):
+        key = ("mtp", chunk)
+        if key not in self._step_fns:
+            from ..models.llama import mtp_forward
+            cfg, interp = self.cfg, self.interpret
+
+            @jax.jit
+            def step(params, tokens, hidden, kv, n_past):
+                return mtp_forward(params, cfg, tokens, hidden, kv, n_past,
+                                   interpret=interp)
+
+            self._step_fns[key] = step
+        return self._step_fns[key]
+
+    def mtp_eval(self, ids: list[int], hidden: np.ndarray, kv: KVCache,
+                 n_past: int):
+        """Run the MTP layer over (token, hidden) pairs — warmup /
+        update-accepted (mtp_update_kv_cache, common/speculative.cpp:3240).
+        Returns (last_logits (V,), last_mtp_hidden (E,), kv, n_past)."""
+        logits = h_out = None
+        i = 0
+        while i < len(ids):
+            chunk = ids[i:i + PREFILL_BUCKETS[-1]]
+            b = _bucket(len(chunk))
+            padded = np.zeros((1, b), np.int32)
+            padded[0, :len(chunk)] = chunk
+            hid = np.zeros((1, b, hidden.shape[-1]), np.float32)
+            hid[0, :len(chunk)] = hidden[i:i + len(chunk)]
+            step = self._mtp_step(b)
+            logits, kv, h_out = step(self.params, jnp.asarray(padded),
+                                     jnp.asarray(hid), kv, jnp.int32(n_past))
+            n_past += len(chunk)
+            i += len(chunk)
+        j = len(chunk) - 1            # last REAL position of the final chunk
+        return (np.asarray(logits[0, j]), np.asarray(h_out[0, j]), kv, n_past)
+
+    def eval_tokens_hidden(self, ids: list[int], kv: KVCache, n_past: int = 0):
+        """eval_tokens variant returning per-position PRE-output-norm hidden
+        states (the MTP input, 'result_mtp_embd'). Returns
+        (logits_all (n, V), hidden (n, E), kv, n_past)."""
+        fwd = FORWARDS[self.cfg.arch]
+        cfg, interp = self.cfg, self.interpret
+        key = ("hidden-step",)
+        if key not in self._step_fns:
+            @jax.jit
+            def step(params, tokens, kv, n_past):
+                return fwd(params, cfg, tokens, kv, n_past, interpret=interp,
+                           return_mtp_hidden=True)
+            self._step_fns[key] = step
+        step = self._step_fns[key]
+        out_l, out_h = [], []
+        i = 0
+        while i < len(ids):
+            chunk = ids[i:i + PREFILL_BUCKETS[-1]]
+            b = _bucket(len(chunk))
+            padded = np.zeros((1, b), np.int32)
+            padded[0, :len(chunk)] = chunk
+            logits, kv, hid = step(self.params, jnp.asarray(padded), kv,
+                                   jnp.int32(n_past))
+            out_l.append(np.asarray(logits[0, :len(chunk)]))
+            out_h.append(np.asarray(hid[0, :len(chunk)]))
+            n_past += len(chunk)
+            i += len(chunk)
+        return (np.concatenate(out_l), np.concatenate(out_h), kv, n_past)
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
         if self.cfg.arch in ("deepseek2", "deepseek4"):

@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-from .generate import Runtime
+from .generate import PREFILL_BUCKETS, Runtime
 from .sampling import SamplerParams, sample as sample_token
 
 
@@ -167,6 +167,11 @@ def generate_speculative(
     stats = SpecStats()
     rng = np.random.default_rng(seed)
 
+    if stage == "mtp":
+        return _generate_mtp(target, ids, max_new_tokens, n_draft=n_draft,
+                             sampler=sampler, rng=rng, capacity=capacity,
+                             stop_at_eos=stop_at_eos, stats=stats)
+
     kv = target.new_cache(1, capacity)
     logits, kv, n_past = target.eval_tokens(ids, kv, 0)
     ngram = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
@@ -237,5 +242,93 @@ def generate_speculative(
         if draft is not None:
             # rewind draft cache likewise (it advanced len(proposal)+1)
             d_n_past = d_n_past - (len(proposal) - n_acc)
+
+    return ids, out[:max_new_tokens], stats
+
+
+def _generate_mtp(target, ids, max_new_tokens, *, n_draft, sampler, rng,
+                  capacity, stop_at_eos, stats):
+    """In-graph MTP (NextN) self-speculation — the reference's MTP stage
+    (common/speculative.cpp mtp_speculative_gen_draft / mtp_update_kv_cache):
+    the trailing nextn layer drafts from the MAIN model's pre-output-norm
+    hidden states; drafts are verified in the main decode; accepted rows of
+    the MTP cache are refreshed with the main hidden states.
+
+    Row convention: MTP row p holds (main hidden h_p, token t_{p+1}) and
+    predicts t_{p+2}."""
+    assert target.has_mtp, "model has no nextn/MTP layer"
+    import jax.numpy as jnp
+
+    out: list[int] = []
+
+    def next_token(lg):
+        return int(sample_token(lg, sampler, rng, history=ids + out))
+
+    kv = target.new_cache(1, capacity)
+    logits_all, hid_all, kv, n_past = target.eval_tokens_hidden(ids, kv, 0)
+    mtp_kv = target.new_mtp_cache(1, capacity)
+    # warmup rows 0..n-2: (h_p, t_{p+1})
+    _, _, mtp_kv, mtp_n_past = target.mtp_eval(ids[1:], hid_all[:-1],
+                                               mtp_kv, 0)
+    last_hidden = hid_all[-1]
+    cur = next_token(logits_all[-1])
+    out.append(cur)
+    step1 = target._mtp_step(PREFILL_BUCKETS[0])
+
+    while len(out) < max_new_tokens:
+        if stop_at_eos and cur == target.tokenizer.eos_id:
+            break
+        # ---- draft: chain the MTP layer, feeding its own output stream
+        proposal = []
+        tok_j, hid_j = cur, last_hidden
+        mtp_pos = mtp_n_past
+        b0 = PREFILL_BUCKETS[0]
+        for _ in range(n_draft):
+            padded = np.zeros((1, b0), np.int32)
+            padded[0, 0] = tok_j
+            hid_in = np.zeros((1, b0, hid_j.shape[-1]), np.float32)
+            hid_in[0, 0] = hid_j
+            lg, mtp_kv, h_m = step1(target.params, jnp.asarray(padded),
+                                    jnp.asarray(hid_in), mtp_kv,
+                                    jnp.int32(mtp_pos))
+            tok_j = int(np.asarray(lg[0, 0]).argmax())
+            hid_j = np.asarray(h_m[0, 0])
+            proposal.append(tok_j)
+            mtp_pos += 1
+        stats.n_rounds += 1
+        stats.n_draft += len(proposal)
+
+        # ---- verify in the main model
+        block = [cur] + proposal
+        p0 = n_past
+        logits_blk, hid_blk, kv, n_past = target.eval_tokens_hidden(
+            block, kv, n_past)
+        n_acc = 0
+        for j, prop in enumerate(proposal):
+            pred = next_token(logits_blk[j])
+            if pred != prop or len(out) >= max_new_tokens:
+                out.append(pred)
+                cur = pred
+                break
+            out.append(prop)
+            n_acc += 1
+            cur = prop
+            if stop_at_eos and prop == target.tokenizer.eos_id:
+                break
+        else:
+            pred = next_token(logits_blk[len(proposal)])
+            out.append(pred)
+            cur = pred
+        stats.n_accept += n_acc
+
+        consumed = 1 + n_acc
+        n_past = p0 + consumed
+        # ---- refresh MTP rows p0-1..p0+consumed-2 with MAIN hiddens
+        upd_tokens = block[:consumed]            # t at positions p0..
+        upd_hidden = np.concatenate([last_hidden[None],
+                                     hid_blk[:consumed - 1]], axis=0)
+        _, _, mtp_kv, mtp_n_past = target.mtp_eval(upd_tokens, upd_hidden,
+                                                   mtp_kv, p0 - 1)
+        last_hidden = hid_blk[consumed - 1]
 
     return ids, out[:max_new_tokens], stats

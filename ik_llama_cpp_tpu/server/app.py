@@ -615,6 +615,11 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--parallel", type=int, default=4)
+    ap.add_argument("--spec", choices=["ngram", "suffix"],
+                    help="self-speculation stage for the decode loop "
+                         "(drafts verified in the shared batched step)")
+    ap.add_argument("--spec-n", type=int, default=8,
+                    help="draft tokens per speculative step")
     ap.add_argument("--ctx-size", type=int, default=2048)
     ap.add_argument("--cache-type", choices=["bf16", "q8"], default="bf16",
                     help="KV cache type (-ctk/-ctv analogue)")
@@ -665,7 +670,8 @@ def main(argv=None):
             adapter = load_lora_gguf(spec)
         apply_lora(rt.params, adapter)
         loras.append(adapter)
-    engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size)
+    engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size,
+                         spec=args.spec, spec_n=args.spec_n)
     engine.start()
     srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
     srv.loras = loras

@@ -66,16 +66,24 @@ class Slot:
     pending: bytes = b""        # partial UTF-8 tail awaiting continuation
     t_start: float = 0.0
     t_first_token: float = 0.0
+    drafter: Any = None         # per-slot self-speculation lookup structure
 
 
 class BatchEngine:
     """Owns the model + shared KV cache; runs the slot loop in a thread."""
 
-    def __init__(self, runtime: Runtime, n_slots: int = 4, capacity: int = 2048):
+    def __init__(self, runtime: Runtime, n_slots: int = 4, capacity: int = 2048,
+                 spec: str | None = None, spec_n: int = 8):
+        """``spec``: self-speculation stage for the decode loop — 'ngram',
+        'suffix' or None. Draft tokens of every GENERATING slot are
+        verified inside the shared batched decode step, the reference's
+        update_slots drafting (server-context.cpp:3564-3599)."""
         self.rt = runtime
         self.cfg = runtime.cfg
         self.n_slots = n_slots
         self.capacity = capacity
+        self.spec = spec
+        self.spec_n = spec_n
         self.kv = runtime.new_cache(n_slots, capacity)
         self.slots = [Slot(i) for i in range(n_slots)]
         self.requests: queue.Queue[Request] = queue.Queue()
@@ -83,11 +91,23 @@ class BatchEngine:
         self._thread: Optional[threading.Thread] = None
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
+        self._spec_decode_fn = None
         # metrics
         self.n_prompt_tokens_processed = 0
         self.n_prompt_tokens_cached = 0
         self.n_tokens_predicted = 0
         self.n_requests = 0
+        self.n_draft_proposed = 0
+        self.n_draft_accepted = 0
+
+    def _new_drafter(self):
+        if self.spec == "ngram":
+            from ..runtime.speculative import NgramDraft
+            return NgramDraft()
+        if self.spec == "suffix":
+            from ..runtime.speculative import SuffixDraft
+            return SuffixDraft()
+        return None
 
     # ---------------------------------------------------------------- jits
     def _prefill_many(self, n_rows: int, bucket: int):
@@ -150,6 +170,20 @@ class BatchEngine:
 
             self._decode_fn = decode_all
         return self._decode_fn
+
+    def _spec_decode(self):
+        """Batched verify step: (n_slots, 1+spec_n) tokens per row (last
+        sampled token + draft), logits at every position."""
+        if self._spec_decode_fn is None:
+            cfg = self.cfg
+            fwd = FORWARDS[cfg.arch]
+
+            @jax.jit
+            def decode_spec(params, tokens, kv, n_past):
+                return fwd(params, cfg, tokens, kv, n_past, logits_last_only=False)
+
+            self._spec_decode_fn = decode_spec
+        return self._spec_decode_fn
 
     # ---------------------------------------------------------------- loop
     def start(self):
@@ -316,6 +350,18 @@ class BatchEngine:
             if not gen:
                 time.sleep(0.002)
                 continue
+            drafts = {}
+            if self.spec is not None:
+                for s in gen:
+                    if s.drafter is None:
+                        s.drafter = self._new_drafter()
+                    d = s.drafter.propose(s.tokens, self.spec_n) or []
+                    if d:
+                        drafts[s.idx] = list(d[:self.spec_n])
+            if drafts and all(
+                    s.n_past + self.spec_n + 2 < self.capacity for s in gen):
+                self._decode_speculative(gen, drafts)
+                continue
             toks = pad_tokens.copy()
             n_past = np.zeros((self.n_slots,), np.int32)
             for s in gen:
@@ -330,6 +376,41 @@ class BatchEngine:
                     self._context_shift(s)
                     continue
                 self._emit_token(s, logits_np[s.idx])
+
+    def _decode_speculative(self, gen: list, drafts: dict):
+        """Verify drafts inside ONE batched decode: each generating row
+        carries [last_token | draft...]; the sampled token at position j is
+        accepted while it equals draft[j] (server-context.cpp:3564-3599).
+        Rejected cache rows need no rollback — n_past simply does not
+        advance past them and they are overwritten by the next step."""
+        k = self.spec_n
+        toks = np.zeros((self.n_slots, 1 + k), np.int32)
+        n_past = np.zeros((self.n_slots,), np.int32)
+        for s in gen:
+            d = drafts.get(s.idx, [])
+            toks[s.idx, 0] = s.tokens[-1]
+            toks[s.idx, 1:1 + len(d)] = d
+            n_past[s.idx] = s.n_past
+        fn = self._spec_decode()
+        logits, self.kv = fn(self.rt.params, jnp.asarray(toks), self.kv,
+                             jnp.asarray(n_past))
+        logits_np = np.asarray(logits)
+        for s in gen:
+            d = drafts.get(s.idx, [])
+            self.n_draft_proposed += len(d)
+            pos = 0
+            while s.state == SlotState.GENERATING:
+                prev_len = len(s.tokens)
+                self._emit_token(s, logits_np[s.idx, pos])
+                tok = s.tokens[prev_len] if len(s.tokens) > prev_len else None
+                s.n_past += 1
+                if s.n_past >= self.capacity - 1:
+                    self._context_shift(s)
+                    break
+                if pos >= len(d) or tok != d[pos]:
+                    break
+                self.n_draft_accepted += 1
+                pos += 1
 
     def _context_shift(self, slot: Slot):
         """Out of cache: keep the prompt head + recent half of the context,
@@ -402,5 +483,9 @@ class BatchEngine:
             f"llamacpp:slots_idle {sum(1 for s in self.slots if s.state == SlotState.IDLE)}",
             "# TYPE llamacpp:slots_processing gauge",
             f"llamacpp:slots_processing {sum(1 for s in self.slots if s.state != SlotState.IDLE)}",
+            "# TYPE llamacpp:draft_tokens_total counter",
+            f"llamacpp:draft_tokens_total {self.n_draft_proposed}",
+            "# TYPE llamacpp:draft_tokens_accepted_total counter",
+            f"llamacpp:draft_tokens_accepted_total {self.n_draft_accepted}",
         ]
         return "\n".join(lines) + "\n"

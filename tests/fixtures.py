@@ -657,7 +657,7 @@ def make_tiny_gptoss_gguf(
 def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
                              n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
                              n_ff=128, ffn_norm=True, eps_key="rms",
-                             tied=False):
+                             tied=False, attn_bias=False):
     """Generic llama-structured fixture with an arbitrary arch name +
     extra metadata (granite, smollm3, ...)."""
     path = Path(path)
@@ -703,6 +703,10 @@ def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
         addw(p + "attn_q.weight", randw(n_embd, n_embd))
         addw(p + "attn_k.weight", randw(kv_dim, n_embd))
         addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        if attn_bias:     # qwen2/qwen2vl-style q/k/v biases
+            w.add_tensor(p + "attn_q.bias", randw(n_embd) * 0.5)
+            w.add_tensor(p + "attn_k.bias", randw(kv_dim) * 0.5)
+            w.add_tensor(p + "attn_v.bias", randw(kv_dim) * 0.5)
         addw(p + "attn_output.weight", randw(n_embd, n_embd))
         if ffn_norm:
             w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
@@ -1214,6 +1218,15 @@ _MOE2 = {
     "dbrx":        dict(fused=True, ffn_as_out_norm=True),
     "grok":        dict(dense_all=True, grok_sandwich=True),
     "mellum":      dict(qk_norm="head"),
+    # glm4moe (GLM-4.5): qk norms + router bias + leading dense + shared
+    # expert; also the host of the trailing nextn/MTP layer (nextn=1)
+    "glm4moe":     dict(qk_norm="head", probs_b=True, dense_lead=1,
+                        shexp=True),
+    # granitemoe: plain llama attention + MoE everywhere + granite scalars
+    # (passed via extra_kv)
+    "granitemoe":  dict(exps_n_ff=True),
+    # mixtral: LLM_ARCH_LLAMA with expert tensors
+    "llama":       dict(exps_n_ff=True),
     # bailingmoe2: fused unbiased qkv + per-head qk norms + dense lead +
     # shexp sized (n_ff_shexp or n_ff_exp) * n_expert_shared
     "bailingmoe2": dict(fused=True, qk_norm="head", shexp=True,
@@ -1224,7 +1237,7 @@ _MOE2 = {
 def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
                         n_head=4, n_head_kv=2, n_ff=96, n_ff_exp=48,
                         n_expert=4, n_expert_used=2, n_ff_shexp=32,
-                        extra_kv=None):
+                        extra_kv=None, nextn=0):
     """Modern-MoE fixture emitting the tensor set create_tensors_helper
     requires per arch (see _MOE2)."""
     t = dict(_MOE2[arch])
@@ -1236,7 +1249,7 @@ def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
     kv_dim = n_head_kv * head_dim
     w = GGUFWriter(path, arch=arch)
     w.add("general.name", f"tiny-{arch}")
-    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.block_count", n_layer + nextn)
     w.add(f"{arch}.context_length", 256)
     w.add(f"{arch}.embedding_length", n_embd)
     w.add(f"{arch}.feed_forward_length", n_ff)
@@ -1248,6 +1261,8 @@ def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
     w.add(f"{arch}.expert_count", n_expert)
     w.add(f"{arch}.expert_used_count", n_expert_used)
     w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    if nextn:
+        w.add(f"{arch}.nextn_predict_layers", nextn)
     if t.get("shexp"):
         w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
         w.add(f"{arch}.expert_shared_count", 1)
@@ -1277,7 +1292,7 @@ def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
 
     lead = t.get("dense_lead", 0)
     step = t.get("moe_step", 1)
-    for i in range(n_layer):
+    for i in range(n_layer + nextn):
         p = f"blk.{i}."
         ones(p + "attn_norm.weight", n_embd)
         if t.get("fused"):
@@ -1327,6 +1342,13 @@ def make_tiny_moe2_gguf(path, *, arch: str, seed=0, n_layer=3, n_embd=64,
                 addw(p + "ffn_gate_shexp.weight", randw(sw, n_embd))
                 addw(p + "ffn_up_shexp.weight", randw(sw, n_embd))
                 addw(p + "ffn_down_shexp.weight", randw(n_embd, sw))
+        if i >= n_layer:
+            # trailing NextN/MTP layer glue (create tensors:
+            # llama-load-tensors.cpp:1291)
+            addw(p + "nextn.eh_proj.weight", randw(n_embd, 2 * n_embd))
+            ones(p + "nextn.enorm.weight", n_embd)
+            ones(p + "nextn.hnorm.weight", n_embd)
+            ones(p + "nextn.shared_head_norm.weight", n_embd)
     w.write()
     return path
 
@@ -1701,6 +1723,76 @@ def make_tiny_qwen35_gguf(path, *, moe=False, seed=0, n_layer=4, n_embd=64,
             addw(p + "ffn_gate_shexp.weight", randw(n_ff_shexp, n_embd))
             addw(p + "ffn_up_shexp.weight", randw(n_ff_shexp, n_embd))
             addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
+        else:
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path
+
+
+def make_tiny_llama4_gguf(path, *, seed=0, n_layer=4, n_embd=64, n_head=4,
+                          n_head_kv=2, n_ff=96, n_ff_exp=48, n_expert=16,
+                          n_expert_used=2, moe_step=2):
+    """llama4: NoPE every 4th layer with attention temperature, weightless
+    qk L2 norm (16E model), interleaved MoE (sigmoid top-k + always-on
+    shared expert sized n_ff_exp), chunked attention pattern
+    (create_llama4_tensors; build_llama.cpp LLM_ARCH_LLAMA4 branches)."""
+    path = Path(path)
+    arch = "llama4"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kv_dim = n_head_kv * head_dim
+    w = GGUFWriter(path, arch=arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 500000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.interleave_moe_layer_step", moe_step)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "ffn_norm.weight", n_embd)
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        if (i + 1) % moe_step == 0:
+            addw(p + "ffn_gate_inp.weight",
+                 randw(n_expert, n_embd, scale=3.0 / np.sqrt(n_embd)))
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
         else:
             addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
             addw(p + "ffn_up.weight", randw(n_ff, n_embd))

@@ -253,3 +253,40 @@ def test_props_chat_template(server):
     p = req(server, "/props")
     assert "default_generation_settings" in p
     assert p["total_slots"] == 2
+
+
+def test_engine_speculative_matches_plain(tmp_path):
+    """BatchEngine with ngram self-speculation must produce the SAME greedy
+    tokens as the plain decode loop, with draft tokens accepted (the
+    reference's in-update_slots drafting, server-context.cpp:3564-3599)."""
+    import queue as _q
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.runtime.sampling import SamplerParams
+    from ik_llama_cpp_tpu.server.engine import BatchEngine, Request
+
+    model = make_tiny_llama_gguf(tmp_path / "spec.gguf", seed=5)
+    rt = Runtime.from_gguf(model)
+    # a repetitive prompt so the ngram drafter has something to propose
+    ids = rt.tokenizer.encode("one two three one two three one two three")
+
+    def run(spec):
+        eng = BatchEngine(rt, n_slots=2, capacity=256, spec=spec, spec_n=4)
+        out_q = _q.Queue()
+        eng.submit(Request(prompt_ids=list(ids), n_predict=24,
+                           sampler=SamplerParams(temp=0.0),
+                           stream_queue=out_q))
+        eng.start()
+        toks = []
+        while True:
+            tok, piece, done = out_q.get(timeout=120)
+            toks.append(tok)
+            if done:
+                break
+        eng.stop()
+        return toks, eng
+
+    plain, _ = run(None)
+    spec, eng = run("ngram")
+    assert spec == plain, (spec, plain)
+    assert eng.n_draft_proposed > 0
+    assert eng.n_draft_accepted > 0, "repetitive text must accept drafts"

@@ -86,3 +86,23 @@ def test_suffix_stage_end_to_end(rt):
     _, ref = rt.generate(prompt, max_new_tokens=20, stop_at_eos=False)
     assert out == ref
     assert stats.n_draft > 0
+
+
+def test_mtp_stage_matches_plain_greedy(tmp_path):
+    """In-graph MTP (nextn) speculation: identical greedy output to the
+    plain decode, with the MTP layer loaded and drafting."""
+    import sys
+    from fixtures import make_tiny_moe2_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
+
+    path = make_tiny_moe2_gguf(tmp_path / "mtp.gguf", arch="glm4moe", seed=7,
+                               nextn=1)
+    rt = Runtime.from_gguf(path)
+    assert rt.has_mtp
+    prompt = "one two three one two three"
+    p_ids, plain = rt.generate(prompt, max_new_tokens=16, stop_at_eos=False)
+    _, spec, stats = generate_speculative(rt, prompt, 16, stage="mtp",
+                                          n_draft=3, stop_at_eos=False)
+    assert spec == plain, (spec, plain)
+    assert stats.n_draft > 0
