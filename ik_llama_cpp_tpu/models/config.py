@@ -71,6 +71,19 @@ class ModelConfig:
     final_softcap: float = 0.0
     swa_window: int = 0
     swa_pattern: int = 1  # every Nth layer is full-attention (gemma-style)
+    # llama4 chunked attention: keys limited to the query's n_attn_chunk
+    # block on layers selected by swa_layer_mask (llama-hparams.cpp:293-295)
+    attn_chunk: int = 0
+    qk_l2_norm: bool = False          # llama4 weightless Llama4TextL2Norm
+    moe_weight_before: bool = False   # llama4: router weight scales the
+                                      # expert INPUT (weight_before_ffn)
+    # build_llama's MoE branch passes its NORMED ffn input as add_input to
+    # llm_build_moe_ffn and never adds the raw ffn_inp (the add is commented
+    # out, build_llama.cpp:191) — so mixtral/granitemoe/llama4 MoE layers
+    # use the normed stream as the FFN residual
+    moe_normed_residual: bool = False
+    attn_temp_scale: float = 0.0      # llama4 NoPE-layer attn temperature
+    attn_temp_floor: int = 8192
     # per-layer SWA mask (True = sliding window); empty = all layers SWA when
     # swa_window > 0. gemma2: even layers; gemma3: (il+1) % 6 != 0.
     swa_layer_mask: tuple = ()
@@ -179,7 +192,30 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     norm_type = "rms"
     residual_scale = 0.0
     no_rope_step = 0
+    moe_weight_before = False
+    moe_normed_residual = arch in ("llama", "llama4", "granite",
+                                   "granitemoe", "mixtral")
+    attn_chunk = 0
+    qk_l2 = False
+    attn_temp_scale = 0.0
+    attn_temp_floor = 8192
     expert_gating = int(a("expert_gating_func", 1))
+    if arch == "llama4":
+        # 3 chunked + 1 full attention pattern, NoPE every 4th layer,
+        # sigmoid MoE routing, weightless qk L2 norm on the 16E model,
+        # attention temperature on NoPE layers (llama-hparams.cpp:288-305;
+        # build_llama.cpp LLM_ARCH_LLAMA4 branches)
+        no_rope_step = 4
+        attn_chunk = int(a("attention.chunk_size", 8192))
+        swa_mask = tuple(il % 4 < 3 for il in range(n_layer))
+        # NOTE: the reference fork's Llama4TextL2Norm block is dead code
+        # (guarded by use_rope inside the NoPE-only branch,
+        # build_llama.cpp:52-95) — no qk norm is ever applied; match that
+        qk_l2 = False
+        attn_temp_scale = float(a("attention.temperature_scale", 0.1))
+        attn_temp_floor = int(a("attention.temperature_length", 8192))
+        expert_gating = 2
+        moe_weight_before = True
     if arch in ("granite", "granitemoe"):
         # granite multipliers (llama-hparams.cpp:1344-1351; build_llama.cpp
         # residual/embedding/logit scaling)
@@ -362,7 +398,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         norm_topk_prob=bool(a("norm_topk_prob", arch in (
             # builders that hardcode norm_w=true in their moe_ffn call
             "qwen3moe", "hunyuan-moe", "mellum", "mimo2", "dbrx", "grok",
-            "arctic", "minimax-m2", "ernie4_5-moe"))),
+            "arctic", "minimax-m2", "ernie4_5-moe", "granitemoe",
+            "mixtral", "llama"))),  # "llama" = mixtral ggufs (moe-only)
         expert_weights_scale=float(a("expert_weights_scale", 1.0)),
         n_lora_q=int(a("attention.q_lora_rank", 0) or 0),
         n_lora_kv=int(a("attention.kv_lora_rank", 0) or 0),
@@ -396,6 +433,12 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         par_res_separate_norm=par_sep,
         logit_scale_mul=logit_mul,
         nope_layer_mask=nope_mask,
+        attn_chunk=attn_chunk,
+        qk_l2_norm=qk_l2,
+        moe_weight_before=moe_weight_before,
+        moe_normed_residual=moe_normed_residual,
+        attn_temp_scale=attn_temp_scale,
+        attn_temp_floor=attn_temp_floor,
         extra=({"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
                 "dec_start": int(a("decoder_start_token_id", -1))}
                if arch in ("t5", "t5encoder") else

@@ -27,7 +27,7 @@ def alibi_slopes(n_head: int, max_bias: float):
 
 
 def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
-           swa_window: int = 0, sinks=None, alibi=None):
+           swa_window: int = 0, sinks=None, alibi=None, attn_chunk: int = 0):
     """Masked attention over a fixed-size KV buffer.
 
     q: (B, T, H, Dk); k: (B, S, Hkv, Dk); v: (B, S, Hkv, Dv) — S is capacity.
@@ -60,6 +60,10 @@ def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
     mask = (key_pos <= qp) & (key_pos < kv_len[:, None, None])
     if swa_window > 0:
         mask &= key_pos > qp - swa_window
+    if attn_chunk > 0:
+        # llama4 chunked attention: keys within the query's chunk only
+        # (llama.cpp:5334 pos_chunk_start)
+        mask &= key_pos >= (qp // attn_chunk) * attn_chunk
     if alibi is not None:
         dist = jnp.abs(key_pos - qp).astype(jnp.float32)             # (B,T,S)
         scores = scores - (jnp.asarray(alibi, jnp.float32)[None, :, None, None]

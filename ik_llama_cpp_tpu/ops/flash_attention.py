@@ -30,7 +30,7 @@ def _cdiv(a, b):
 
 
 def _fa_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts, d,
-               dv, h, has_sinks=False):
+               dv, h, has_sinks=False, attn_chunk=0):
     if has_sinks:
         sinks_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -64,6 +64,9 @@ def _fa_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts, d,
     mask = (k_cols <= q_rows) & (k_cols < kv_len)
     if swa > 0:
         mask &= k_cols > q_rows - swa
+    if attn_chunk > 0:
+        # llama4 chunked attention (llama.cpp:5334 pos_chunk_start)
+        mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
 
     # skip fully-masked tiles: first key of tile > last query position, or
     # tile beyond cache fill
@@ -97,12 +100,12 @@ def _fa_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts, d,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "softcap", "swa_window", "block_q", "block_kv",
+    static_argnames=("scale", "softcap", "swa_window", "attn_chunk", "block_q", "block_kv",
                      "interpret"),
 )
 def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
                     softcap: float = 0.0, swa_window: int = 0,
-                    sinks=None,
+                    attn_chunk: int = 0, sinks=None,
                     block_q: int = 512, block_kv: int = 2048,
                     interpret: bool = False):
     """q: (B, T, H, D); k, v: (B, S, Hkv, D).
@@ -149,7 +152,8 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, softcap=softcap,
-                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h,
+                          swa=swa_window, attn_chunk=attn_chunk,
+                          tq=tq, ts=ts, d=dp, dv=dvp, h=h,
                           has_sinks=sinks is not None),
         grid=grid,
         in_specs=in_prefix + [
@@ -182,7 +186,7 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
 def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                   o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts,
-                  d, dv, h):
+                  d, dv, h, attn_chunk=0):
     """Same online-softmax loop, KV tiles arrive as int8 + per-row scales."""
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -203,6 +207,9 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     mask = (k_cols <= q_rows) & (k_cols < kv_len)
     if swa > 0:
         mask &= k_cols > q_rows - swa
+    if attn_chunk > 0:
+        # llama4 chunked attention (llama.cpp:5334 pos_chunk_start)
+        mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
     tile_live = (j * ts <= q_pos0 + i * tq + tq - 1) & (j * ts < kv_len)
 
     @pl.when(tile_live)
@@ -233,11 +240,12 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "softcap", "swa_window", "block_q", "block_kv",
+    static_argnames=("scale", "softcap", "swa_window", "attn_chunk", "block_q", "block_kv",
                      "interpret"),
 )
 def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
                        softcap: float = 0.0, swa_window: int = 0,
+                       attn_chunk: int = 0,
                        block_q: int = 512, block_kv: int = 2048,
                        interpret: bool = False):
     """FA over an int8 quantized KV cache with per-(token, head) scales.
@@ -278,6 +286,7 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
 
     out = pl.pallas_call(
         functools.partial(_fa_q8_kernel, scale=scale, softcap=softcap,
+                          attn_chunk=attn_chunk,
                           swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
         grid=grid,
         in_specs=[

@@ -121,7 +121,7 @@ jax.tree_util.register_pytree_node(
 def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             gating: int = GATING_SOFTMAX, norm_topk: bool = False,
             scale: float = 1.0, selection_bias=None, activation="silu",
-            ep_axis: str | None = None):
+            ep_axis: str | None = None, weight_before_ffn: bool = False):
     """x: (T, E) -> (T, E) f32. Sorted ragged grouped-GEMM dispatch.
 
     With ``ep_axis`` (inside shard_map over an expert-sharded mesh) each
@@ -147,6 +147,12 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
     order = jnp.argsort(flat_ids)                    # stable
     inv_order = jnp.argsort(order)
     xs = jnp.repeat(x, k, axis=0)[order]             # (T*k, E) sorted by expert
+    if weight_before_ffn:
+        # llama4: the sigmoid router weight scales the expert INPUT, and the
+        # expert outputs sum unweighted (llm_build_moe_ffn weight_before_ffn,
+        # llama-build-context.cpp:1410/:1516-1522) — not interchangeable
+        # with output weighting because the activation is nonlinear
+        xs = xs * w.reshape(-1)[order][:, None]
     group_sizes = jnp.bincount(flat_ids, length=n_expert).astype(jnp.int32)
 
     sorted_ids = flat_ids[order]
@@ -188,7 +194,10 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
         y = y + experts.down_b[sorted_ids]
 
     y = y[inv_order].reshape(t, k, e)
-    out = jnp.sum(y * w[:, :, None], axis=1)
+    if weight_before_ffn:
+        out = jnp.sum(y, axis=1)
+    else:
+        out = jnp.sum(y * w[:, :, None], axis=1)
     if ep_axis is not None:
         out = jax.lax.psum(out, ep_axis)
     return out

@@ -410,3 +410,50 @@ def test_qwen35_logit_parity(tmp_path, moe):
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert l1.mean() < 0.1, f"mean L1 prob distance {l1.mean():.4f}"
     assert agree >= 0.9, f"greedy argmax agreement {agree:.2%}"
+
+
+@needs_ref
+def test_llama4_logit_parity(tmp_path):
+    """llama4: NoPE every 4th layer, weightless qk L2 norm (16E), sigmoid
+    interleaved MoE with always-on shared expert."""
+    from fixtures import make_tiny_llama4_gguf
+    # seed chosen for routing stability: 16-expert sigmoid routing on random
+    # tiny weights has near-ties that flip between engines on some seeds
+    model = make_tiny_llama4_gguf(tmp_path / "l4.gguf", seed=15)
+    _parity_check(model, "Hello world, this is a test", 0.12)
+
+
+@needs_ref
+def test_granitemoe_logit_parity(tmp_path):
+    """granite_moe: llama graph + granite residual/embedding/logit scalars
+    + softmax MoE with normalized top-k weights (build_llama MoE branch)."""
+    from fixtures import make_tiny_moe2_gguf
+    model = make_tiny_moe2_gguf(
+        tmp_path / "gmoe.gguf", arch="granitemoe", seed=21,
+        extra_kv={"granitemoe.residual_scale": 0.5,
+                  "granitemoe.embedding_scale": 2.0,
+                  "granitemoe.attention.scale": 0.25,
+                  "granitemoe.logit_scale": 4.0})
+    _parity_check(model, "Hello world, this is a test", 0.12)
+
+
+@needs_ref
+def test_qwen2vl_text_logit_parity(tmp_path):
+    """qwen2vl text mode: qwen2 graph; chunked MROPE with text positions
+    [t,t,t,0] and a zero-size 4th section reduces exactly to NEOX rope."""
+    from fixtures import make_tiny_llamalike_gguf
+    model = make_tiny_llamalike_gguf(
+        tmp_path / "q2vl.gguf", arch="qwen2vl", seed=23, attn_bias=True,
+        extra_kv={"qwen2vl.rope.dimension_sections":
+                  np.asarray([4, 2, 2, 0], np.int32)})
+    _parity_check(model, "Hello world, this is a test", 0.12)
+
+
+@needs_ref
+def test_mixtral_logit_parity(tmp_path):
+    """Mixtral = LLM_ARCH_LLAMA with experts: softmax top-k with normalized
+    weights AND the build_llama normed-FFN-residual quirk."""
+    from fixtures import make_tiny_moe2_gguf
+    model = make_tiny_moe2_gguf(tmp_path / "mixtral.gguf", arch="llama",
+                                seed=25)
+    _parity_check(model, "Hello world, this is a test", 0.12)
