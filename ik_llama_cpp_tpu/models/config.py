@@ -137,6 +137,26 @@ _NORM_ROPE_ARCHS = {
 }
 
 
+def _step35_extra(a, n_layer, n_rot, swa_mask):
+    """step35 per-layer arrays (llama-hparams.cpp:1586-1598)."""
+    dims = a("rope.dimension_count_per_layer")
+    if dims is not None and hasattr(dims, "__len__"):
+        rope_arr = tuple(int(x) for x in dims)
+    else:
+        rope_arr = tuple(
+            n_rot if (swa_mask and swa_mask[i]) else n_rot // 2
+            for i in range(n_layer))
+    lim = a("swiglu_limits")
+    if lim is None:
+        lim = a("swiglu_clamp_exp")
+    lim_sh = a("swiglu_limits_shared")
+    if lim_sh is None:
+        lim_sh = a("swiglu_clamp_shexp")
+    to_t = lambda v: tuple(float(x) for x in v) if v is not None and         hasattr(v, "__len__") else tuple([float(v or 0.0)] * n_layer)
+    return {"rope_dim_arr": rope_arr, "swiglu_limits": to_t(lim),
+            "swiglu_limits_shared": to_t(lim_sh)}
+
+
 def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     arch = md["general.architecture"]
     a = lambda key, default=None: _get(md, arch, key, default)
@@ -358,6 +378,12 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     if arch == "cohere2_moe" and swa_mask:
         # NoPE on the global (non-sliding) layers, like cohere2
         nope_mask = tuple(not m for m in swa_mask)
+    if arch == "step35":
+        # per-layer SWA pattern + per-layer rope dims (default: full n_rot on
+        # SWA layers, half on global) + per-layer clamped-swiglu limits;
+        # sigmoid routing by default (llama-hparams.cpp:1564-1605)
+        if expert_gating == 0 or not a("expert_gating_func"):
+            expert_gating = 2
     if arch == "gpt-oss":
         # build_openai.cpp: even layers SWA (pattern 2), per-head sinks,
         # softmax-over-topk routing, clamped swiglu_oai experts
@@ -439,7 +465,9 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         moe_normed_residual=moe_normed_residual,
         attn_temp_scale=attn_temp_scale,
         attn_temp_floor=attn_temp_floor,
-        extra=({"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
+        extra=(_step35_extra(a, n_layer, head_dim, swa_mask)
+               if arch == "step35" else
+               {"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
                 "dec_start": int(a("decoder_start_token_id", -1))}
                if arch in ("t5", "t5encoder") else
                {"full_attn_interval": int(a("full_attention_interval", 4)),

@@ -189,6 +189,11 @@ def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True
             if p + tname + ".scale" in t and key in blk:
                 blk[key] = scale_linear(blk[key],
                                         load_dense(t[p + tname + ".scale"]))
+        if p + "attn_gate.weight" in t and cfg.arch in ("step35", "laguna"):
+            # step35 head-wise attention output gate (wqkv_gate,
+            # llama-load-tensors.cpp:1252; build_std_attention gated branch)
+            blk["attn_gate"] = load_linear(t[p + "attn_gate.weight"],
+                                           use_quant=use_quant)
         for sn in ("attn_sinks.weight", "attn_sinks"):
             if p + sn in t:               # per-head sink logits (gpt-oss)
                 blk["attn_sinks"] = load_dense(t[p + sn])
@@ -370,6 +375,12 @@ def _sumsq(x):
     return jnp.sum(xf * xf, axis=tuple(range(xf.ndim - 1)))
 
 
+def _act_limit(cfg, il, shared=False):
+    lims = (cfg.extra or {}).get(
+        "swiglu_limits_shared" if shared else "swiglu_limits")
+    return float(lims[il]) if lims else 0.0
+
+
 def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
          ep_axis=None):
     """Dense or MoE feed-forward on (B, T, E) normalized input."""
@@ -388,12 +399,15 @@ def _ffn(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0,
                     scale=cfg.expert_weights_scale, ep_axis=ep_axis,
                     selection_bias=blk.get("ffn_exp_probs_b"),
                     activation=cfg.moe_act,
-                    weight_before_ffn=cfg.moe_weight_before)
+                    weight_before_ffn=cfg.moe_weight_before,
+                    act_limit=_act_limit(cfg, il))
         if "ffn_gate_shexp" in blk:
             g = blk["ffn_gate_shexp"](h, interpret=interpret)
             u = blk["ffn_up_shexp"](h, interpret=interpret)
             sh = blk["ffn_down_shexp"](
-                L.glu(g, u, cfg.moe_act).astype(jnp.bfloat16),
+                L.glu(g, u, cfg.moe_act,
+                      limit=_act_limit(cfg, il, shared=True)
+                      ).astype(jnp.bfloat16),
                 interpret=interpret)
             if "ffn_gate_inp_shexp" in blk:  # qwen2moe gated shared expert
                 gate = jax.nn.sigmoid(blk["ffn_gate_inp_shexp"](h, interpret=interpret))
@@ -431,7 +445,8 @@ def _ffn_dense(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
             return y
         # fused gate+up in one tensor (phi3, build_phi3.cpp LLM_FFN_SWIGLU)
         gate, up = jnp.split(both, 2, axis=-1)
-    act = L.glu(gate, up, cfg.act).astype(jnp.bfloat16)
+    act = L.glu(gate, up, cfg.act,
+                limit=_act_limit(cfg, il)).astype(jnp.bfloat16)
     if "ffn_sub_norm" in blk:    # bitnet inner norm before ffn_down
         act = L.rms_norm(act, blk["ffn_sub_norm"], cfg.rms_eps).astype(jnp.bfloat16)
     if stats is not None:
@@ -582,6 +597,12 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         attn = attend(qb, kv_k_a, kv_v_a, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=swa_window, attn_chunk=attn_chunk)
+    if "attn_gate" in blk:
+        # step35: attn output gated per head by sigmoid(wqkv_gate @ normed
+        # input) (build_std_attention "attn_gated_3d")
+        gate = blk["attn_gate"](x, interpret=interpret)        # (B, T, H)
+        attn = attn * jax.nn.sigmoid(
+            gate.astype(jnp.float32))[..., None].astype(attn.dtype)
     attn = attn.reshape(b, t, h * d)
     if "attn_sub_norm" in blk:   # bitnet inner norm before the out proj
         attn = L.rms_norm(attn, blk["attn_sub_norm"], cfg.rms_eps)
@@ -641,6 +662,17 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     else:
         cos_swa, sin_swa = cos, sin
 
+    rope_arr_all = (cfg.extra or {}).get("rope_dim_arr")
+    if rope_arr_all:
+        _rope_by_dim = {dd: L.rope_cache(q_pos, dd, cfg.rope_freq_base,
+                                         **rope_kw)
+                        for dd in set(rope_arr_all)}
+        if cfg.rope_freq_base_swa > 0 and cfg.swa_layer_mask:
+            _rope_swa_by_dim = {
+                dd: L.rope_cache(q_pos, dd, cfg.rope_freq_base_swa)
+                for dd in set(rope_arr_all)}
+        else:
+            _rope_swa_by_dim = _rope_by_dim
     attn_temp = None
     if cfg.attn_temp_scale > 0:
         # llama4 NoPE attention temperature (llama.cpp:5187)
@@ -653,6 +685,17 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     for i, blk in enumerate(params["blocks"]):
         x_layer_in = x    # arctic's parallel MoE branch reads the layer input
         is_swa = cfg.layer_is_swa(i)
+        rope_arr = (cfg.extra or {}).get("rope_dim_arr")
+        if rope_arr:
+            # step35 per-layer rotary dims (rope_dim_per_layer,
+            # llama-hparams.cpp:1587-1591). NOTE: an n_rot-dim rope has its
+            # OWN frequency progression base^(-2i/n_rot) — tables are built
+            # per distinct rot width, not sliced from the widest one
+            dim_l = int(rope_arr[i])
+            cos_l, sin_l = _rope_by_dim[dim_l]
+            cos_swa_l, sin_swa_l = _rope_swa_by_dim[dim_l]
+        else:
+            cos_l, sin_l, cos_swa_l, sin_swa_l = cos, sin, cos_swa, sin_swa
         nope = (not cfg.use_rope) or \
             (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
             (bool(cfg.nope_layer_mask) and cfg.nope_layer_mask[i])
@@ -687,8 +730,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                                         or cfg.swa_layer_mask[i])) else 0
             attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
                 blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
-                None if nope else (cos_swa if is_swa else cos),
-                None if nope else (sin_swa if is_swa else sin), interpret,
+                None if nope else (cos_swa_l if is_swa else cos_l),
+                None if nope else (sin_swa_l if is_swa else sin_l), interpret,
                 tp_axis=tp_axis, stats=stats, il=i,
                 kv_ks=None if kv.k_scale is None else kv.k_scale[i],
                 kv_vs=None if kv.v_scale is None else kv.v_scale[i],

@@ -23,7 +23,8 @@ from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFModel, GGUFTensorInfo
 from ..quant.dequant import dequantize
 from ..quant.planar import PLANAR_FNS, planar_decode
-from ..ops.qmatmul import qmatmul, qmatmul_ref
+from ..ops.qmatmul import (qmatmul, qmatmul_ref, qmatmul4,
+                           qmatmul4_ref, pack_int4)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -59,6 +60,45 @@ class QLinear:
             # separately proven by tests/test_qmatmul.py)
             y = qmatmul_ref(x2, self.codes, self.scale, self.bias, group=self.group)
         return y.reshape(orig_shape[:-1] + (self.codes.shape[1],))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QLinearI4:
+    """4-bit-packed planar linear: two code indices per byte along K, an
+    optional static 16-entry codebook — half the HBM traffic of QLinear for
+    4-bit-class formats (the TG-decisive saving; cf. mmvq.cu's native 4-bit
+    kernels)."""
+
+    packed: Any          # uint8 (K//2, N)
+    scale: Any           # f32 (K//group, N)
+    bias: Any            # f32 (K//group, N) | None
+    group: int = 32
+    lut16: tuple | None = None   # static codebook; None = idx-8
+
+    def tree_flatten(self):
+        return (self.packed, self.scale, self.bias), (self.group, self.lut16)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, scale, bias = children
+        return cls(packed, scale, bias, group=aux[0], lut16=aux[1])
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0] * 2, self.packed.shape[1])
+
+    def __call__(self, x, *, interpret: bool = False):
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        if _use_pallas():
+            y = qmatmul4(x2, self.packed, self.scale, self.bias,
+                         group=self.group, lut16=self.lut16,
+                         interpret=interpret)
+        else:
+            y = qmatmul4_ref(x2, self.packed, self.scale, self.bias,
+                             group=self.group, lut16=self.lut16)
+        return y.reshape(orig_shape[:-1] + (self.packed.shape[1],))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -121,6 +161,17 @@ class LoraLinear:
 
 _FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
 
+# default OFF until the Mosaic compile of qmatmul4 is verified on real
+# hardware (the remote-compile service was down when the int32-unpack fix
+# landed); interpret-mode + oracle coverage is green
+_PACK_INT4 = False
+
+
+def set_pack_int4(flag: bool) -> None:
+    """Toggle 4-bit weight packing at load."""
+    global _PACK_INT4
+    _PACK_INT4 = flag
+
 _USE_PALLAS: bool | None = None
 
 
@@ -163,10 +214,15 @@ def load_linear(info: GGUFTensorInfo, *, use_quant: bool = True) -> QLinear | De
         else:
             pw = planar_decode(info.data, info.ggml_type, k)
             codes_np, scale_np, bias_np, group = pw.codes, pw.scale, pw.bias, pw.group
-        codes = jnp.asarray(np.ascontiguousarray(codes_np.T))          # (K, N)
+        codes_t = np.ascontiguousarray(codes_np.T)                     # (K, N)
         scale = jnp.asarray(np.ascontiguousarray(scale_np.T))          # (K//G, N)
         bias = None if bias_np is None else jnp.asarray(np.ascontiguousarray(bias_np.T))
-        return QLinear(codes, scale, bias, group=group)
+        p4 = pack_int4(codes_t) if _PACK_INT4 else None
+        if p4 is not None:
+            packed, lut = p4
+            return QLinearI4(jnp.asarray(packed), scale, bias, group=group,
+                             lut16=lut)
+        return QLinear(jnp.asarray(codes_t), scale, bias, group=group)
     w = dequant_tensor(info).reshape(n, k).T  # (K, N)
     return DenseLinear(jnp.asarray(np.ascontiguousarray(w), dtype=jnp.bfloat16))
 
@@ -182,6 +238,11 @@ def scale_linear(lin, s):
     1-D (N,) array broadcast over output channels."""
     import numpy as _np
     s = jnp.asarray(s, jnp.float32).reshape(-1)   # () or (N,)
+    if isinstance(lin, QLinearI4):
+        scale = lin.scale * s[None, :] if s.size > 1 else lin.scale * s[0]
+        bias = None if lin.bias is None else (
+            lin.bias * s[None, :] if s.size > 1 else lin.bias * s[0])
+        return QLinearI4(lin.packed, scale, bias, lin.group, lin.lut16)
     if isinstance(lin, QLinear):
         scale = lin.scale * s[None, :] if s.size > 1 else lin.scale * s[0]
         bias = None if lin.bias is None else (
@@ -197,6 +258,21 @@ def fuse_linears(linears: list) -> "QLinear | DenseLinear | None":
     (llama-load-tensors.cpp): fewer, larger MXU dispatches (the TG hot path
     is dispatch-bound once HBM is saturated). Returns None if the linears
     are not fusable (mixed kinds / mismatched K or group)."""
+    if all(isinstance(l, QLinearI4) for l in linears):
+        k = linears[0].packed.shape[0]
+        g, lut = linears[0].group, linears[0].lut16
+        if any(l.packed.shape[0] != k or l.group != g or l.lut16 != lut
+               for l in linears):
+            return None
+        has_bias = [l.bias is not None for l in linears]
+        if any(has_bias) and not all(has_bias):
+            return None
+        return QLinearI4(
+            jnp.concatenate([l.packed for l in linears], axis=1),
+            jnp.concatenate([l.scale for l in linears], axis=1),
+            jnp.concatenate([l.bias for l in linears], axis=1)
+            if all(has_bias) else None,
+            group=g, lut16=lut)
     if all(isinstance(l, QLinear) for l in linears):
         k = linears[0].codes.shape[0]
         g = linears[0].group

@@ -140,9 +140,18 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=True)
 
 
-def glu(gate, up, act: str = "silu"):
+def glu(gate, up, act: str = "silu", limit: float = 0.0):
     """Gated FFN activation: act(gate) * up. act per llm_build_ffn's
-    LLM_FFN_SILU / LLM_FFN_GELU(+PAR) / LLM_FFN_RELU_SQR variants."""
+    LLM_FFN_SILU / LLM_FFN_GELU(+PAR) / LLM_FFN_RELU_SQR variants.
+
+    ``limit`` > 0 clamps per step35/deepseek4 swiglu_limits
+    (ggml_compute_forward_fused_mul_unary, ggml.c:16966-16976):
+    min(silu(g), limit) * clamp(u, -limit, limit)."""
+    if limit > 0.0 and act == "silu":
+        gf = gate.astype(jnp.float32)
+        uf = up.astype(jnp.float32)
+        g = jnp.minimum(silu(gf), limit)
+        return (g * jnp.clip(uf, -limit, limit)).astype(up.dtype)
     gf = gate.astype(jnp.float32)
     if act == "gelu":
         a = jax.nn.gelu(gf, approximate=True)

@@ -53,7 +53,9 @@ def route(router_logits, n_expert_used: int, *, gating: int = GATING_SOFTMAX,
     if gating == GATING_SOFTMAX_WEIGHT:
         w = jax.nn.softmax(w, axis=-1)
     if norm_topk:
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        # +1e-20: bailingmoe2/step35 bias the denominator (ggml_scale_bias,
+        # llama-build-context.cpp:1495) — a no-op for every other arch
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
     if abs(scale - 1.0) > 1e-5:
         w = w * scale
     return w, idx
@@ -121,7 +123,8 @@ jax.tree_util.register_pytree_node(
 def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             gating: int = GATING_SOFTMAX, norm_topk: bool = False,
             scale: float = 1.0, selection_bias=None, activation="silu",
-            ep_axis: str | None = None, weight_before_ffn: bool = False):
+            ep_axis: str | None = None, weight_before_ffn: bool = False,
+            act_limit: float = 0.0):
     """x: (T, E) -> (T, E) f32. Sorted ragged grouped-GEMM dispatch.
 
     With ``ep_axis`` (inside shard_map over an expert-sharded mesh) each
@@ -180,7 +183,12 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
         uc = jnp.clip(u, -limit, limit)
         h = gc * jax.nn.sigmoid(alpha * gc) * (uc + 1.0)
     elif activation == "silu":
-        h = (g * jax.nn.sigmoid(g)) * u
+        if act_limit > 0.0:
+            # step35/deepseek4 per-layer clamped swiglu (ggml.c:16966-16976)
+            h = (jnp.minimum(g * jax.nn.sigmoid(g), act_limit)
+                 * jnp.clip(u, -act_limit, act_limit))
+        else:
+            h = (g * jax.nn.sigmoid(g)) * u
     else:
         h = jax.nn.gelu(g, approximate=True) * u
     if quant:

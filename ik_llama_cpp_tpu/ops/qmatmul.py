@@ -162,3 +162,202 @@ def qmatmul(
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out
+
+
+# ---------------------------------------------------------------------------
+# int4-packed fused dequant-matmul: 4-bit-class formats (Q4_0/Q4_K/IQ4_NL/
+# IQ4_XS/...) whose planar codes take <= 16 distinct values are re-packed at
+# load into 4-bit indices, two per byte along K — HALF the weight traffic of
+# the int8 planar layout, which is the whole game for bandwidth-bound token
+# generation (the analogue of the reference's native 4-bit MMVQ kernels,
+# ggml-cuda/mmvq.cu).
+#
+# Layout: packed (K/2, N) uint8 with idx[2i] | idx[2i+1] << 4. The even/odd
+# K columns of x are pre-split OUTSIDE the kernel (cheap: activations are
+# tiny next to weights), so the in-kernel unpack needs no lane interleave:
+#   acc += x_even @ deq(lo) + x_odd @ deq(hi)
+# The 16-entry codebook is applied with a 4-level select tree on the VPU.
+# ---------------------------------------------------------------------------
+
+def _lut16_select(idx, lut16):
+    """idx uint8 in [0,16) -> f32 values via a 4-level select tree (TPU has
+    no cheap 16-entry vector gather)."""
+    out = None
+    # binary select tree over the 4 index bits
+    v = [jnp.float32(x) for x in lut16]
+    b0 = (idx & 1) != 0
+    b1 = (idx & 2) != 0
+    b2 = (idx & 4) != 0
+    b3 = (idx & 8) != 0
+    lvl0 = [jnp.where(b0, v[i + 1], v[i]) for i in range(0, 16, 2)]
+    lvl1 = [jnp.where(b1, lvl0[i + 1], lvl0[i]) for i in range(0, 8, 2)]
+    lvl2 = [jnp.where(b2, lvl1[i + 1], lvl1[i]) for i in range(0, 4, 2)]
+    return jnp.where(b3, lvl2[1], lvl2[0])
+
+
+def _make_kernel4(group: int, has_bias: bool, lut16):
+    def kernel(*refs):
+        if has_bias:
+            xe_ref, xo_ref, w_ref, s_ref, b_ref, out_ref, acc_ref = refs
+        else:
+            xe_ref, xo_ref, w_ref, s_ref, out_ref, acc_ref = refs
+            b_ref = None
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        tk2, tn = w_ref.shape
+        g2 = group // 2
+        # Mosaic prefers i32 for the bit plumbing; the narrow load is what
+        # matters for HBM traffic
+        packed = w_ref[:].astype(jnp.int32)
+        s = s_ref[:].astype(jnp.bfloat16)[:, None, :]
+        if b_ref is not None:
+            b = b_ref[:].astype(jnp.bfloat16)[:, None, :]
+        for half, shift in ((0, 0), (1, 4)):
+            idx = (packed >> shift) & 0x0F
+            if lut16 is None:
+                w = (idx - 8).astype(jnp.bfloat16)
+            else:
+                w = _lut16_select(idx, lut16).astype(jnp.bfloat16)
+            w = w.reshape(tk2 // g2, g2, tn) * s
+            if b_ref is not None:
+                w = w + b
+            w = w.reshape(tk2, tn)
+            x = (xe_ref if half == 0 else xo_ref)[:]
+            acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "lut16", "block_m", "block_n", "block_k",
+                     "interpret"),
+)
+def qmatmul4(
+    x,
+    packed,
+    scale,
+    bias=None,
+    *,
+    group: int = 32,
+    lut16: tuple | None = None,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """x (M, K) @ dequant(packed 4-bit (K//2, N)) -> f32 (M, N).
+
+    lut16: 16 codebook values (tuple, static) or None for idx-8 (Q4_0-class).
+    scale/bias: f32 (K//group, N) like qmatmul.
+    """
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2, (x.shape, packed.shape)
+    assert scale.shape == (k // group, n)
+    assert group % 2 == 0
+
+    bm = min(block_m, _round_up(m, 16))
+    bk = min(block_k, _round_up(k, 512))
+    bn = min(block_n, _round_up(n, 128))
+    mp, kp, np_ = _round_up(m, bm), _round_up(k, bk), _round_up(n, bn)
+
+    x = x.astype(jnp.bfloat16)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        packed = jnp.pad(packed, ((0, (kp - k) // 2), (0, np_ - n)))
+        scale = jnp.pad(scale, ((0, (kp - k) // group), (0, np_ - n)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, (kp - k) // group), (0, np_ - n)))
+
+    # split x into even/odd K columns once (matches packed nibble order)
+    xe = x[:, 0::2]
+    xo = x[:, 1::2]
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+    bk2 = bk // 2
+    sg = bk // group
+
+    in_specs = [
+        pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sg, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+    ]
+    args = [xe, xo, packed, scale]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((sg, bn), lambda i, j, kk: (kk, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+
+    out = pl.pallas_call(
+        _make_kernel4(group, bias is not None, lut16),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + kp * np_ // 2
+            + (kp // group) * np_ * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def qmatmul4_ref(x, packed, scale, bias=None, *, group=32, lut16=None):
+    """jnp oracle for qmatmul4 (same numerics contract as qmatmul_ref)."""
+    k2, n = packed.shape
+    lo = (packed & 0x0F).astype(np.uint8)
+    hi = (packed >> 4).astype(np.uint8)
+    idx = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    if lut16 is None:
+        w = (idx.astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    else:
+        w = jnp.asarray(np.asarray(lut16, np.float32))[idx].astype(jnp.bfloat16)
+    w = w * jnp.repeat(scale, group, axis=0).astype(jnp.bfloat16)
+    if bias is not None:
+        w = w + jnp.repeat(bias, group, axis=0).astype(jnp.bfloat16)
+    return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+
+
+def pack_int4(codes: np.ndarray):
+    """Opportunistically pack planar int8 codes (K, N) into 4-bit indices.
+
+    Returns (packed (K//2, N) uint8, lut16 tuple | None) or None when the
+    tensor is not 4-bit-packable (more than 16 distinct code values, or odd
+    K). lut16 None means values are idx-8 (Q4_0-class)."""
+    k = codes.shape[0]
+    if k % 2:
+        return None
+    vals = np.unique(codes)
+    if vals.size > 16:
+        return None
+    if vals.min() >= -8 and vals.max() <= 7 and vals.size > 12:
+        # dense [-8,7] range: store idx = code + 8, no codebook
+        idx = (codes.astype(np.int16) + 8).astype(np.uint8)
+        lut = None
+    else:
+        lut16 = np.full(16, float(vals[-1]), np.float32)
+        lut16[:vals.size] = vals.astype(np.float32)
+        idx = np.searchsorted(vals, codes).astype(np.uint8)
+        lut = tuple(float(v) for v in lut16)
+    packed = (idx[0::2] | (idx[1::2] << 4)).astype(np.uint8)
+    return packed, lut

@@ -56,7 +56,7 @@ def _bucket(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
-_DENSE_FAMILY = ("llama", "llama4", "granitemoe", "qwen2vl",
+_DENSE_FAMILY = ("llama", "llama4", "granitemoe", "qwen2vl", "step35",
                  "qwen2", "qwen3", "mistral", "gemma",
                  "gemma2", "gemma3", "phi3", "qwen2moe", "qwen3moe",
                  "internlm2", "smollm3", "mistral3", "granite",

@@ -457,3 +457,14 @@ def test_mixtral_logit_parity(tmp_path):
     model = make_tiny_moe2_gguf(tmp_path / "mixtral.gguf", arch="llama",
                                 seed=25)
     _parity_check(model, "Hello world, this is a test", 0.12)
+
+
+@needs_ref
+def test_step35_logit_parity(tmp_path):
+    """step35: per-layer SWA + rope dims, head-wise attention gate,
+    sigmoid MoE (normalized, +1e-20) with clamped swiglu limits."""
+    from fixtures import make_tiny_step35_gguf
+    # routing-stable seed (sigmoid top-2 of 4 on random weights has
+    # near-ties that flip between engines on some seeds)
+    model = make_tiny_step35_gguf(tmp_path / "s35.gguf", seed=34)
+    _parity_check(model, "Hello world, this is a test", 0.12)

@@ -61,3 +61,43 @@ def test_qmatmul_unaligned_shapes():
     ref = qmatmul_ref(jnp.asarray(x), jnp.asarray(codes), jnp.asarray(scale), group=32)
     assert got.shape == (5, 128)
     assert nmse(ref, got) < 1e-8
+
+
+def test_qmatmul4_matches_oracle_and_int8():
+    """4-bit packed kernel vs its oracle and vs the int8 planar path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.ops.qmatmul import (pack_int4, qmatmul4,
+                                              qmatmul4_ref, qmatmul_ref)
+    rng = np.random.default_rng(7)
+    k, n, g = 256, 384, 32
+    # q4_0-class codes in [-8, 7]
+    codes = rng.integers(-8, 8, (k, n)).astype(np.int8)
+    scale = (rng.standard_normal((k // g, n)) * 0.05).astype(np.float32)
+    packed, lut = pack_int4(codes)
+    assert lut is None
+    x = rng.standard_normal((24, k)).astype(np.float32)
+    ref8 = qmatmul_ref(jnp.asarray(x), jnp.asarray(codes), jnp.asarray(scale),
+                       group=g)
+    ref4 = qmatmul4_ref(jnp.asarray(x), jnp.asarray(packed),
+                        jnp.asarray(scale), group=g)
+    np.testing.assert_allclose(np.asarray(ref4), np.asarray(ref8),
+                               rtol=1e-6, atol=1e-6)
+    out = qmatmul4(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+                   group=g, block_m=16, block_n=128, block_k=128,
+                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref4),
+                               rtol=1e-5, atol=1e-5)
+    # LUT path (iq4_nl-style non-linear values)
+    from ik_llama_cpp_tpu.quant import luts
+    vals = luts.KVALUES_IQ4NL.astype(np.int8)
+    codes_l = vals[rng.integers(0, 16, (k, n))]
+    packed_l, lut_l = pack_int4(codes_l)
+    assert lut_l is not None and len(lut_l) == 16
+    ref8 = qmatmul_ref(jnp.asarray(x), jnp.asarray(codes_l),
+                       jnp.asarray(scale), group=g)
+    out = qmatmul4(jnp.asarray(x), jnp.asarray(packed_l), jnp.asarray(scale),
+                   group=g, lut16=lut_l, block_m=16, block_n=128, block_k=128,
+                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref8),
+                               rtol=1e-5, atol=1e-5)
