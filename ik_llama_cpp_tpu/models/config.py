@@ -170,6 +170,11 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
             return tuple(int(x) for x in v), int(max(int(x) for x in v))
         return (), (None if v is None else int(v))
 
+    if arch in ("qwen3vl", "qwen3vlmoe"):
+        # vision deepstack features stack along the feature dim; the text
+        # stream uses the main slice (build_qwen3vl: n_embd_full /
+        # (n_deepstack_layers + 1))
+        n_embd = n_embd // (1 + int(a("n_deepstack_layers", 0)))
     n_head_arr, n_head = _maybe_arr("attention.head_count")
     n_head_kv_arr, n_head_kv = _maybe_arr("attention.head_count_kv", n_head)
     if n_head_kv is None:
@@ -190,7 +195,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     swa_window = int(a("attention.sliding_window", 0))
     f_attn_scale = float(a("attention.scale", 0.0))
     rope_base_swa = 0.0
-    qk_norm = arch in ("qwen3", "qwen3moe", "qwen3next")
+    qk_norm = arch in ("qwen3", "qwen3moe", "qwen3next", "qwen3vl",
+                   "qwen3vlmoe")
     if arch in ("gemma", "gemma2", "gemma3"):
         embd_scale = float(n_embd) ** 0.5
         act = "gelu"
@@ -285,8 +291,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         # build_gpt2/bloom/mpt/jais/refact/starcoder: no rope in the graph
         # (llama_rope_type: ROPE_TYPE_NONE; starcoder uses learned pos embd)
         use_rope = False
-    if arch in ("bloom", "refact"):
-        alibi_bias = 8.0          # llama-hparams.cpp hardcodes 8.0
+    if arch in ("bloom", "refact", "jina-bert-v2"):
+        alibi_bias = 8.0          # llama-hparams.cpp hardcodes 8.0 (:431 jina)
     elif arch == "mpt":
         alibi_bias = float(a("attention.max_alibi_bias", 0.0))
         clamp_kqv = float(a("attention.clamp_kqv", 0.0))
@@ -425,7 +431,8 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
             # builders that hardcode norm_w=true in their moe_ffn call
             "qwen3moe", "hunyuan-moe", "mellum", "mimo2", "dbrx", "grok",
             "arctic", "minimax-m2", "ernie4_5-moe", "granitemoe",
-            "mixtral", "llama"))),  # "llama" = mixtral ggufs (moe-only)
+            "mixtral", "llama",     # "llama" = mixtral ggufs (moe-only)
+            "qwen3vlmoe"))),
         expert_weights_scale=float(a("expert_weights_scale", 1.0)),
         n_lora_q=int(a("attention.q_lora_rank", 0) or 0),
         n_lora_kv=int(a("attention.kv_lora_rank", 0) or 0),
@@ -473,7 +480,13 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                {"full_attn_interval": int(a("full_attention_interval", 4)),
                 # imrope (LLAMA_ROPE_TYPE_IMROPE, llama.cpp:8832) sections
                 "rope_sections": [int(v) for v in a("rope.dimension_sections", [])]}
-               if arch in ("qwen35", "qwen35moe", "qwen3next") else {}),
+               if arch in ("qwen35", "qwen35moe", "qwen3next") else
+               # qwen3vl: imrope sections + deepstack feature stacking (the
+               # metadata n_embd is main*(deepstack+1); text mode uses main)
+               {"rope_sections": [int(v) for v in
+                                  a("rope.dimension_sections", [])],
+                "n_deepstack": int(a("n_deepstack_layers", 0))}
+               if arch in ("qwen3vl", "qwen3vlmoe") else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,

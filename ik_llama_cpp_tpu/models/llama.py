@@ -655,6 +655,13 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                    attn_factor=cfg.rope_attn_factor or 1.0,
                    n_ctx_orig=cfg.rope_orig_ctx or cfg.n_ctx_train)
     cos, sin = L.rope_cache(q_pos, rope_dims, cfg.rope_freq_base, **rope_kw)
+    _sections = (cfg.extra or {}).get("rope_sections") or []
+    if sum(_sections):
+        # qwen3vl imrope: 'extra'-stream pairs carry position 0 for text
+        # (ggml.c:20777; llama.cpp:6238-6257)
+        _m = L.imrope_text_mask(_sections, rope_dims)
+        cos = jnp.where(_m, cos, 1.0)
+        sin = jnp.where(_m, sin, 0.0)
     if cfg.rope_freq_base_swa > 0 and cfg.swa_layer_mask:
         # gemma3: SWA layers rope at their own base, unscaled
         # (build_gemma3.cpp:42 freq_base_l/freq_scale_l)

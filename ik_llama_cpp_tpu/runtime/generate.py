@@ -57,6 +57,7 @@ def _bucket(n: int) -> int:
 
 
 _DENSE_FAMILY = ("llama", "llama4", "granitemoe", "qwen2vl", "step35",
+                 "qwen3vl", "qwen3vlmoe",
                  "qwen2", "qwen3", "mistral", "gemma",
                  "gemma2", "gemma3", "phi3", "qwen2moe", "qwen3moe",
                  "internlm2", "smollm3", "mistral3", "granite",
@@ -77,7 +78,7 @@ FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))
           for a in _DENSE_FAMILY}
-for _a in ("deepseek2", "deepseek4"):
+for _a in ("deepseek2", "deepseek4", "mistral4"):
     FORWARDS[_a] = ds2_mod.forward
     LOADERS[_a] = ds2_mod.load_deepseek2_params
     CACHES[_a] = lambda cfg, b, cap, quant=False: ds2_mod.make_cache(cfg, b, cap)
@@ -94,9 +95,10 @@ for _a in ("qwen3next", "qwen35", "qwen35moe"):
     CACHES[_a] = lambda cfg, b, cap, quant=False: q3n_mod.HybridCache.create(cfg, b, cap)
 
 from ..models import bert as bert_mod  # noqa: E402
-FORWARDS["bert"] = bert_mod.forward
-LOADERS["bert"] = bert_mod.load_bert_params
-CACHES["bert"] = lambda cfg, b, cap, quant=False: bert_mod.NoCache()
+for _bert_arch in ("bert", "nomic-bert", "jina-bert-v2"):
+    FORWARDS[_bert_arch] = bert_mod.forward
+    LOADERS[_bert_arch] = bert_mod.load_bert_params
+    CACHES[_bert_arch] = lambda cfg, b, cap, quant=False: bert_mod.NoCache()
 
 
 @dataclass

@@ -200,6 +200,7 @@ def make_tiny_moe_gguf(
 def make_tiny_deepseek2_gguf(
     path: str | Path,
     *,
+    arch: str = "deepseek2",
     n_layer: int = 2,
     n_embd: int = 64,
     n_head: int = 4,
@@ -220,7 +221,7 @@ def make_tiny_deepseek2_gguf(
     """Tiny deepseek2-architecture GGUF: MLA (q-lora + kv-lora) attention,
     leading dense layer, sigmoid-gated MoE with selection bias + shared expert."""
     path = Path(path)
-    arch = "deepseek2"
+    pass  # arch from parameter
     rng = np.random.default_rng(seed)
     tokens, scores, types = byte_vocab()
     n_vocab = len(tokens)
@@ -657,7 +658,7 @@ def make_tiny_gptoss_gguf(
 def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
                              n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
                              n_ff=128, ffn_norm=True, eps_key="rms",
-                             tied=False, attn_bias=False):
+                             tied=False, attn_bias=False, qk_norm=False):
     """Generic llama-structured fixture with an arbitrary arch name +
     extra metadata (granite, smollm3, ...)."""
     path = Path(path)
@@ -703,6 +704,11 @@ def make_tiny_llamalike_gguf(path, *, arch: str, extra_kv=None, seed=0,
         addw(p + "attn_q.weight", randw(n_embd, n_embd))
         addw(p + "attn_k.weight", randw(kv_dim, n_embd))
         addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        if qk_norm:       # qwen3-style per-head q/k RMS norms
+            w.add_tensor(p + "attn_q_norm.weight",
+                         (1.0 + 0.1 * rng.standard_normal(head_dim)).astype(np.float32))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         (1.0 + 0.1 * rng.standard_normal(head_dim)).astype(np.float32))
         if attn_bias:     # qwen2/qwen2vl-style q/k/v biases
             w.add_tensor(p + "attn_q.bias", randw(n_embd) * 0.5)
             w.add_tensor(p + "attn_k.bias", randw(kv_dim) * 0.5)
@@ -859,10 +865,17 @@ def make_tiny_bert_gguf(
     n_ff: int = 128,
     n_ctx: int = 128,
     seed: int = 0,
+    variant: str = "bert",
 ) -> Path:
-    """Tiny bert-architecture GGUF (WPM vocab, post-LN encoder)."""
+    """Tiny bert-family GGUF (WPM vocab, post-LN encoder).
+
+    variant: "bert" (abs pos + biased attn + gelu-seq FFN),
+    "nomic-bert" (fused wqkv + rope, silu-par FFN, no biases),
+    "jina-bert-v2" (no positions, ALiBi, q/k LNs, attn_norm_2,
+    gelu-par FFN with down bias) — create_bert_tensors /
+    create_jina_bert2_tensors, llama-load-tensors.cpp:919-1018."""
     path = Path(path)
-    arch = "bert"
+    arch = variant
     rng = np.random.default_rng(seed)
     # minimal WPM vocab: specials + ascii word pieces
     tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
@@ -880,7 +893,7 @@ def make_tiny_bert_gguf(
     n_vocab = len(tokens)
 
     w = GGUFWriter(path, arch=arch)
-    w.add("general.name", "tiny-bert")
+    w.add("general.name", f"tiny-{arch}")
     w.add(f"{arch}.block_count", n_layer)
     w.add(f"{arch}.context_length", n_ctx)
     w.add(f"{arch}.embedding_length", n_embd)
@@ -890,6 +903,10 @@ def make_tiny_bert_gguf(
     w.add(f"{arch}.attention.layer_norm_epsilon", 1e-12)
     w.add(f"{arch}.attention.causal", False)
     w.add(f"{arch}.vocab_size", n_vocab)
+    if variant == "nomic-bert":
+        w.add(f"{arch}.rope.freq_base", 1000.0)
+    if variant != "bert":
+        w.add(f"{arch}.pooling_type", 1)  # required key for nomic/jina
     w.add("tokenizer.ggml.token_type_count", 2)
     w.add("tokenizer.ggml.model", "bert")
     w.add("tokenizer.ggml.tokens", tokens)
@@ -898,6 +915,11 @@ def make_tiny_bert_gguf(
     w.add("tokenizer.ggml.unknown_token_id", 1)
     w.add("tokenizer.ggml.cls_token_id", 2)
     w.add("tokenizer.ggml.seperator_token_id", 3)
+    # override WPM defaults (bos=101/sep=102/mask=103/unk=100,
+    # llama-vocab.cpp:1794-1799) that lie outside this tiny vocab
+    w.add("tokenizer.ggml.bos_token_id", 2)
+    w.add("tokenizer.ggml.padding_token_id", 0)
+    w.add("tokenizer.ggml.mask_token_id", 4)
     w.add("tokenizer.ggml.add_bos_token", False)
 
     def randw(*shape, scale=None):
@@ -910,19 +932,42 @@ def make_tiny_bert_gguf(
 
     addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
     w.add_tensor("token_types.weight", randw(2, n_embd).astype(np.float32))
-    w.add_tensor("position_embd.weight", randw(n_ctx, n_embd).astype(np.float32))
+    if variant == "bert":
+        w.add_tensor("position_embd.weight",
+                     randw(n_ctx, n_embd).astype(np.float32))
     w.add_tensor("token_embd_norm.weight", np.ones(n_embd, np.float32))
     w.add_tensor("token_embd_norm.bias", np.zeros(n_embd, np.float32))
+
+    def randn(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
     for i in range(n_layer):
         p = f"blk.{i}."
-        for tn, shp in (("attn_q", (n_embd, n_embd)), ("attn_k", (n_embd, n_embd)),
-                        ("attn_v", (n_embd, n_embd)), ("attn_output", (n_embd, n_embd)),
-                        ("ffn_up", (n_ff, n_embd)), ("ffn_down", (n_embd, n_ff))):
-            addw(p + tn + ".weight", randw(*shp))
-            w.add_tensor(p + tn + ".bias", randw(shp[0]) * 0.02)
+        if variant == "nomic-bert":
+            addw(p + "attn_qkv.weight", randw(3 * n_embd, n_embd))
+            addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        else:
+            for tn in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                addw(p + tn + ".weight", randw(n_embd, n_embd))
+                w.add_tensor(p + tn + ".bias", randw(n_embd) * 0.02)
+        if variant == "bert":
+            for tn, shp in (("ffn_up", (n_ff, n_embd)),
+                            ("ffn_down", (n_embd, n_ff))):
+                addw(p + tn + ".weight", randw(*shp))
+                w.add_tensor(p + tn + ".bias", randw(shp[0]) * 0.02)
+        else:
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+            if variant == "jina-bert-v2":
+                w.add_tensor(p + "ffn_down.bias", randw(n_embd) * 0.02)
+        if variant == "jina-bert-v2":
+            for nn in ("attn_q_norm", "attn_k_norm", "attn_norm_2"):
+                w.add_tensor(p + nn + ".weight", randn(n_embd))
+                w.add_tensor(p + nn + ".bias", randw(n_embd) * 0.02)
         for nn in ("attn_output_norm", "layer_output_norm"):
-            w.add_tensor(p + nn + ".weight", np.ones(n_embd, np.float32))
-            w.add_tensor(p + nn + ".bias", np.zeros(n_embd, np.float32))
+            w.add_tensor(p + nn + ".weight", randn(n_embd))
+            w.add_tensor(p + nn + ".bias", randw(n_embd) * 0.02)
     w.write()
     return path
 

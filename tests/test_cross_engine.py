@@ -468,3 +468,26 @@ def test_step35_logit_parity(tmp_path):
     # near-ties that flip between engines on some seeds)
     model = make_tiny_step35_gguf(tmp_path / "s35.gguf", seed=34)
     _parity_check(model, "Hello world, this is a test", 0.12)
+
+
+@needs_ref
+def test_qwen3vl_text_logit_parity(tmp_path):
+    """qwen3vl text mode: qwen3 graph (qk norms) + interleaved mrope with
+    the 'extra' stream unrotated for text tokens."""
+    from fixtures import make_tiny_llamalike_gguf
+    model = make_tiny_llamalike_gguf(
+        tmp_path / "q3vl.gguf", arch="qwen3vl", seed=41, qk_norm=True,
+        extra_kv={"qwen3vl.rope.dimension_sections":
+                  np.asarray([4, 2, 2, 0], np.int32)})
+    _parity_check(model, "Hello world, this is a test", 0.12)
+
+
+@needs_ref
+def test_mistral4_logit_parity(tmp_path):
+    """mistral4: the deepseek2 MLA graph under another arch name
+    (llama-build-context.cpp:2868)."""
+    from fixtures import make_tiny_deepseek2_gguf
+    # routing-stable seed (sigmoid+bias top-k near-ties flip on some seeds)
+    model = make_tiny_deepseek2_gguf(tmp_path / "m4.gguf", arch="mistral4",
+                                     seed=6)
+    _parity_check(model, "Hello world, this is a test", 0.12, n_gen=4)
