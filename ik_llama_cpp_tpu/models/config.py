@@ -214,6 +214,13 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         rope_base_swa = 10000.0
         f_attn_scale = (1.0 / (n_embd / max(n_head, 1)) ** 0.5 if n_layer == 62
                         else 1.0 / float(head_dim) ** 0.5)
+    elif arch == "gemma4":
+        # gemma-3n style: raw scores (f_attention_scale = 1.0), softcap 30,
+        # SWA pattern from the per-layer KV (llama-hparams.cpp:851-877)
+        qk_norm = True
+        rope_base_swa = 10000.0
+        final_softcap = float(a("final_logit_softcapping", 30.0))
+        f_attn_scale = 1.0
     moe_act = "silu"
     norm_type = "rms"
     residual_scale = 0.0
@@ -486,7 +493,17 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                {"rope_sections": [int(v) for v in
                                   a("rope.dimension_sections", [])],
                 "n_deepstack": int(a("n_deepstack_layers", 0))}
-               if arch in ("qwen3vl", "qwen3vlmoe") else {}),
+               if arch in ("qwen3vl", "qwen3vlmoe") else
+               # gemma4 (llama-hparams.cpp:851-877): trailing shared-KV
+               # layers, per-type head dims, per-layer-input embeddings
+               {"n_kv_layers": n_layer - int(a("attention.shared_kv_layers",
+                                               0)),
+                "head_dim_swa": int(a("attention.key_length_swa", head_dim)),
+                "n_rot_swa": int(a("rope.dimension_count_swa",
+                                   a("rope.dimension_count", head_dim))),
+                "n_embd_per_layer": int(
+                    a("embedding_length_per_layer_input", 0))}
+               if arch == "gemma4" else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,

@@ -124,7 +124,7 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             gating: int = GATING_SOFTMAX, norm_topk: bool = False,
             scale: float = 1.0, selection_bias=None, activation="silu",
             ep_axis: str | None = None, weight_before_ffn: bool = False,
-            act_limit: float = 0.0):
+            act_limit: float = 0.0, expert_out_scale=None):
     """x: (T, E) -> (T, E) f32. Sorted ragged grouped-GEMM dispatch.
 
     With ``ep_axis`` (inside shard_map over an expert-sharded mesh) each
@@ -138,6 +138,11 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
 
     w, idx = route(router_logits, k, gating=gating, norm_topk=norm_topk,
                    scale=scale, selection_bias=selection_bias)
+    if expert_out_scale is not None:
+        # gemma4 ffn_down_exps_s: per-expert scalar folded into the routing
+        # weight of each SELECTED expert (llm_build_moe_ffn,
+        # llama-build-context.cpp:1609-1618)
+        w = w * expert_out_scale.astype(w.dtype)[idx]
 
     if ep_axis is not None:
         offset = jax.lax.axis_index(ep_axis).astype(jnp.int32) * n_expert

@@ -94,6 +94,12 @@ for _a in ("qwen3next", "qwen35", "qwen35moe"):
     LOADERS[_a] = q3n_mod.load_qwen3next_params
     CACHES[_a] = lambda cfg, b, cap, quant=False: q3n_mod.HybridCache.create(cfg, b, cap)
 
+from ..models import gemma4 as gemma4_mod  # noqa: E402
+FORWARDS["gemma4"] = gemma4_mod.forward
+LOADERS["gemma4"] = gemma4_mod.load_gemma4_params
+CACHES["gemma4"] = lambda cfg, b, cap, quant=False: \
+    gemma4_mod.Gemma4Cache.create(cfg, b, cap)
+
 from ..models import bert as bert_mod  # noqa: E402
 for _bert_arch in ("bert", "nomic-bert", "jina-bert-v2"):
     FORWARDS[_bert_arch] = bert_mod.forward

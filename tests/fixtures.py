@@ -1922,3 +1922,131 @@ def make_tiny_step35_gguf(path, *, seed=0, n_layer=4, n_embd=64, n_head=4,
         addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
     w.write()
     return path
+
+
+def make_tiny_gemma4_gguf(
+    path: str | Path,
+    *,
+    n_layer: int = 4,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    # NOTE head_dim 64: gemma4 parity must run the reference WITH flash
+    # attention — its non-FA V-cache store transposes the 3-D (d, Hkv, T)
+    # normed Vcur as if it were 2-D and scrambles the cache
+    # (llm_build_kv_store, llama-build-context.cpp:959); the FA store is
+    # layout-correct, and the CPU FA kernels support head size >= 64
+    head_dim: int = 64,
+    n_ff: int = 96,
+    n_embd_per_layer: int = 16,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 32,
+    seed: int = 0,
+) -> Path:
+    """Tiny gemma4 (gemma-3n-style) GGUF: SWA pattern [1,1,0,1] with the
+    last layer KV-shared, per-layer input embeddings, one MoE layer (fused
+    gate|up experts + down scale), one no-wv layer (V = K), rope_freqs on
+    the global layer (create_gemma4_tensors, llama-load-tensors.cpp:2161)."""
+    path = Path(path)
+    arch = "gemma4"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+
+    swa_pattern = [1, 1, 0, 1][:n_layer]
+    moe_layers = {1}
+    no_wv_layers = {2}
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-gemma4")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.key_length_swa", head_dim)
+    w.add(f"{arch}.attention.value_length_swa", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add(f"{arch}.attention.sliding_window", 8)
+    w.add(f"{arch}.attention.sliding_window_pattern",
+          np.asarray(swa_pattern, np.int32))
+    w.add(f"{arch}.attention.shared_kv_layers", 1)
+    w.add(f"{arch}.rope.freq_base", 1000000.0)
+    w.add(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.embedding_length_per_layer_input", n_embd_per_layer)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.final_logit_softcapping", 30.0)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def randn(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr, GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", randn(n_embd))
+    addw("per_layer_token_embd.weight",
+         randw(n_vocab, n_embd_per_layer * n_layer, scale=0.5))
+    addw("per_layer_model_proj.weight",
+         randw(n_embd_per_layer * n_layer, n_embd))
+    w.add_tensor("per_layer_proj_norm.weight", randn(n_embd_per_layer))
+    w.add_tensor("rope_freqs.weight",
+                 (1.0 + 0.5 * rng.random(head_dim // 2)).astype(np.float32))
+
+    kv_dim = n_head_kv * head_dim
+    q_dim = n_head * head_dim
+    n_kv_layers = n_layer - 1
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", randn(n_embd))
+        addw(p + "attn_q.weight", randw(q_dim, n_embd))
+        w.add_tensor(p + "attn_q_norm.weight", randn(head_dim))
+        if i < n_kv_layers:
+            addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+            w.add_tensor(p + "attn_k_norm.weight", randn(head_dim))
+            if i not in no_wv_layers:
+                addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, q_dim))
+        w.add_tensor(p + "post_attention_norm.weight", randn(n_embd))
+        w.add_tensor(p + "ffn_norm.weight", randn(n_embd))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        w.add_tensor(p + "post_ffw_norm.weight", randn(n_embd))
+        if i in moe_layers:
+            addw(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+            w.add_tensor(p + "ffn_gate_inp.scale", randn(n_embd))
+            w.add_tensor(p + "pre_ffw_norm_2.weight", randn(n_embd))
+            w.add_tensor(p + "post_ffw_norm_1.weight", randn(n_embd))
+            w.add_tensor(p + "post_ffw_norm_2.weight", randn(n_embd))
+            addw(p + "ffn_gate_up_exps.weight",
+                 randw(n_expert, 2 * n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight",
+                 randw(n_expert, n_embd, n_ff_exp))
+            w.add_tensor(p + "ffn_down_exps.scale", randn(n_expert))
+        if i % 2 == 0:
+            w.add_tensor(p + "layer_output_scale.weight",
+                         np.asarray([0.9 + 0.2 * rng.random()], np.float32))
+        w.add_tensor(p + "inp_gate.weight",
+                     randw(n_embd_per_layer, n_embd).astype(np.float32))
+        # f32: the reference's f16 row kernels misread very short rows
+        w.add_tensor(p + "proj.weight",
+                     randw(n_embd, n_embd_per_layer).astype(np.float32))
+        w.add_tensor(p + "post_norm.weight", randn(n_embd))
+    w.write()
+    return path

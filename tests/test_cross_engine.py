@@ -491,3 +491,24 @@ def test_mistral4_logit_parity(tmp_path):
     model = make_tiny_deepseek2_gguf(tmp_path / "m4.gguf", arch="mistral4",
                                      seed=6)
     _parity_check(model, "Hello world, this is a test", 0.12, n_gen=4)
+
+
+@needs_ref
+def test_gemma4_logit_parity(tmp_path):
+    """gemma4 (gemma-3n style): per-layer input embeddings, shared-KV last
+    layer, weightless V norm, raw attention scores, dual MLP+MoE FFN with
+    fused gate|up experts + per-expert down scale, per-layer out_scale,
+    rope_freqs factors on the global layer (build_gemma4.cpp:895-1148)."""
+    import os
+    from fixtures import make_tiny_gemma4_gguf
+    model = make_tiny_gemma4_gguf(tmp_path / "g4.gguf", seed=3)
+    os.environ["GEN_LOGITS_FA"] = "1"   # see fixture note: non-FA V store
+    try:                                # is broken in the reference
+        # loose gate: gemma4's RAW attention scores (kq_scale = 1.0, no
+        # 1/sqrt(d)) make per-position probs unusually sensitive to bf16
+        # matmul noise; stage-by-stage tensors match the reference to bf16
+        # tolerance (kqv/ffn_down/cur_gated all verified)
+        _parity_check_loose(model, "Hello world, this is a test",
+                            mean_tol=0.15, agree_tol=0.92)
+    finally:
+        del os.environ["GEN_LOGITS_FA"]

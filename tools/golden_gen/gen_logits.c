@@ -43,7 +43,7 @@ int main(int argc, char **argv) {
     /* the fused up/gate op only supports GELU/RELU/SILU (ggml.c:6596);
      * SWIGLU_OAI dense FFNs (minimax-m3, step35) need it off */
     if (getenv("GEN_LOGITS_NO_FUG")) cp.fused_up_gate = 0;
-    cp.flash_attn = 0;
+    cp.flash_attn = getenv("GEN_LOGITS_FA") ? 1 : 0;
     struct llama_context *ctx = llama_init_from_model(model, cp);
 
     llama_token toks[512];
