@@ -391,6 +391,15 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
     if arch == "cohere2_moe" and swa_mask:
         # NoPE on the global (non-sliding) layers, like cohere2
         nope_mask = tuple(not m for m in swa_mask)
+    if arch == "laguna":
+        # step35-layout (create_step35_tensors reused,
+        # llama-load-tensors.cpp:5006) + softplus attn gate; sigmoid routing
+        # by default; XS.2 marks SWA layers via differing per-layer head
+        # counts (llama-hparams.cpp:1612-1676)
+        if expert_gating == 0 or not a("expert_gating_func"):
+            expert_gating = 2
+        if swa_window > 0 and not swa_mask and n_head_arr:
+            swa_mask = tuple(h0 != n_head_arr[0] for h0 in n_head_arr)
     if arch == "step35":
         # per-layer SWA pattern + per-layer rope dims (default: full n_rot on
         # SWA layers, half on global) + per-layer clamped-swiglu limits;
@@ -481,6 +490,18 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         attn_temp_floor=attn_temp_floor,
         extra=(_step35_extra(a, n_layer, head_dim, swa_mask)
                if arch == "step35" else
+               # laguna per-layer rope dims (llama-hparams.cpp:1643-1670):
+               # full-attn layers rotate n_rot (default head/2), SWA layers
+               # n_rot_swa (default full head)
+               {"rope_dim_arr":
+                tuple(int(x) for x in a("rope.dimension_count_per_layer"))
+                if a("rope.dimension_count_per_layer") is not None else
+                tuple(
+                   int(a("rope.dimension_count_swa", head_dim))
+                   if (swa_mask and swa_mask[i])
+                   else int(a("rope.dimension_count", head_dim // 2))
+                   for i in range(n_layer))}
+               if arch == "laguna" else
                {"n_rel_attn_bkts": int(a("attention.relative_buckets_count", 32)),
                 "dec_start": int(a("decoder_start_token_id", -1))}
                if arch in ("t5", "t5encoder") else

@@ -598,11 +598,18 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=swa_window, attn_chunk=attn_chunk)
     if "attn_gate" in blk:
-        # step35: attn output gated per head by sigmoid(wqkv_gate @ normed
-        # input) (build_std_attention "attn_gated_3d")
-        gate = blk["attn_gate"](x, interpret=interpret)        # (B, T, H)
-        attn = attn * jax.nn.sigmoid(
-            gate.astype(jnp.float32))[..., None].astype(attn.dtype)
+        # step35: per-head sigmoid gate; laguna: SOFTPLUS gate, per-head
+        # (XS.2) or per-output-element (M.1) — width inferred from the
+        # tensor (build_std_attention "attn_gated_3d",
+        # llama-build-context.cpp:3372-3398)
+        gate = blk["attn_gate"](x, interpret=interpret)  # (B,T,H) | (B,T,H*D)
+        gf32 = gate.astype(jnp.float32)
+        gf32 = (jax.nn.softplus(gf32) if cfg.arch == "laguna"
+                else jax.nn.sigmoid(gf32))
+        if gate.shape[-1] == h:
+            attn = attn * gf32[..., None].astype(attn.dtype)
+        else:
+            attn = attn * gf32.reshape(b, t, h, d).astype(attn.dtype)
     attn = attn.reshape(b, t, h * d)
     if "attn_sub_norm" in blk:   # bitnet inner norm before the out proj
         attn = L.rms_norm(attn, blk["attn_sub_norm"], cfg.rms_eps)

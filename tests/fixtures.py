@@ -2050,3 +2050,88 @@ def make_tiny_gemma4_gguf(
         w.add_tensor(p + "post_norm.weight", randn(n_embd))
     w.write()
     return path
+
+
+def make_tiny_laguna_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
+                          n_head_kv=2, n_ff=96, n_ff_exp=48, n_expert=4,
+                          n_expert_used=2, n_ff_shexp=32, swa=32):
+    """laguna: step35 tensor layout (create_step35_tensors,
+    llama-load-tensors.cpp:5006) with SOFTPLUS attention gates — per-head
+    (XS.2) on even layers, per-output-element (M.1) on odd layers — plus a
+    leading dense block, sigmoid-routed MoE with shared expert, per-layer
+    rope dims (full head on SWA layers, half on global) and q/k norms."""
+    path = Path(path)
+    arch = "laguna"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kv_dim = n_head_kv * head_dim
+    swa_mask = [0, 1, 0][:n_layer] + [0] * max(0, n_layer - 3)
+    w = GGUFWriter(path, arch=arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.freq_base_swa", 50000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim // 2)
+    w.add(f"{arch}.rope.dimension_count_swa", head_dim)
+    w.add(f"{arch}.attention.sliding_window", swa)
+    w.add(f"{arch}.attention.sliding_window_pattern",
+          np.asarray(swa_mask, np.int32))
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+    w.add(f"{arch}.expert_weights_norm", True)
+    w.add(f"{arch}.leading_dense_block_count", 1)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "attn_q_norm.weight", head_dim)
+        ones(p + "attn_k_norm.weight", head_dim)
+        addw(p + "attn_q.weight", randw(n_embd, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, n_embd))
+        gate_w = n_head if i % 2 == 0 else n_embd      # per-head | per-elem
+        addw(p + "attn_gate.weight", randw(gate_w, n_embd))
+        ones(p + "ffn_norm.weight", n_embd)
+        if i == 0:      # leading dense block
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        else:
+            addw(p + "ffn_gate_inp.weight",
+                 randw(n_expert, n_embd, scale=3.0 / np.sqrt(n_embd)))
+            w.add_tensor(p + "exp_probs_b.bias",
+                         (0.1 * rng.standard_normal(n_expert)).astype(np.float32))
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_shexp, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_shexp, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
+    w.write()
+    return path

@@ -512,3 +512,13 @@ def test_gemma4_logit_parity(tmp_path):
                             mean_tol=0.15, agree_tol=0.92)
     finally:
         del os.environ["GEN_LOGITS_FA"]
+
+
+@needs_ref
+def test_laguna_logit_parity(tmp_path):
+    """laguna: step35 layout with softplus attention gates (per-head XS.2 /
+    per-element M.1), leading dense block, sigmoid MoE + shared expert,
+    per-layer rope dims (build_laguna.cpp; llama-hparams.cpp:1612-1676)."""
+    from fixtures import make_tiny_laguna_gguf
+    model = make_tiny_laguna_gguf(tmp_path / "lg.gguf", seed=5)
+    _parity_check(model, "Hello world, this is a test", 0.12)
