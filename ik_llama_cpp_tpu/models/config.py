@@ -524,7 +524,18 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                                    a("rope.dimension_count", head_dim))),
                 "n_embd_per_layer": int(
                     a("embedding_length_per_layer_input", 0))}
-               if arch == "gemma4" else {}),
+               if arch == "gemma4" else
+               # dflash draft metadata (llama-hparams.cpp:905-927)
+               {"block_size": int(a("dflash.block_size", 8)),
+                "mask_token_id": int(a("dflash.mask_token_id", 0)),
+                "n_target_features": int(a("dflash.n_target_features", 0)),
+                "target_layer_ids": [int(v) for v in
+                                     a("dflash.target_layer_ids", [])],
+                "backbone_rotary_base": float(
+                    a("dflash.backbone_rotary_base", 0.0)),
+                "attn_v_scale": float(a("attention.value_scale", 1.0)),
+                "laguna": bool(a("dflash.laguna", False))}
+               if arch == "dflash-draft" else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,

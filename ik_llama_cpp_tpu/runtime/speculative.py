@@ -130,6 +130,64 @@ class NgramMapDraft:
         return out
 
 
+class DFlashDraft:
+    """DFlash block-diffusion drafting (the reference's dflash stage,
+    common/speculative-dflash-impl.h + src/llama-dflash.cpp).
+
+    Captures the TARGET's layer hiddens at dflash.target_layer_ids, builds
+    the draft's cross-context KV from them, and proposes a whole block of
+    tokens in ONE bidirectional draft pass: batch = [id_last at the last
+    context position, mask_id x n] (speculative-dflash-impl.h:282-300).
+
+    This correctness-first version recomputes the feature window from
+    scratch each round via Runtime.layer_hiddens; an incremental
+    capture-on-decode path is the planned optimization."""
+
+    def __init__(self, draft_path, target: Runtime):
+        from .generate import Runtime as _R
+        from ..gguf.reader import load_gguf
+        from ..models.config import config_from_gguf
+        from ..models import dflash as _df
+        import jax
+        gg = load_gguf(draft_path)
+        self.cfg = config_from_gguf(gg.metadata)
+        assert self.cfg.arch == "dflash-draft", self.cfg.arch
+        self.params = _df.load_dflash_params(gg, self.cfg)
+        self.target = target
+        ex = self.cfg.extra
+        self.mask_id = int(ex["mask_token_id"])
+        self.block_size = int(ex["block_size"])
+        self.layer_ids = [int(i) for i in ex["target_layer_ids"]]
+        self._df = _df
+        self._jit_kv = jax.jit(lambda f, p: _df.build_cross_kv(
+            self.params, self.cfg, f, p))
+        self._cached = (None, None, 0)          # (ck, cv, n_rows)
+
+    def _features(self, ctx_tokens):
+        import numpy as np
+        hs = self.target.layer_hiddens(ctx_tokens)      # (L, T, E)
+        return np.concatenate([hs[i] for i in self.layer_ids], axis=-1)
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        import jax.numpy as jnp
+        import numpy as np
+        if len(tokens) < 2:
+            return []
+        n_draft = min(n_draft, self.block_size - 1)
+        ctx, id_last = tokens[:-1], tokens[-1]
+        feats = self._features(ctx)
+        rows = feats.shape[0]
+        ck, cv = self._jit_kv(jnp.asarray(feats),
+                              jnp.arange(rows, dtype=jnp.int32))
+        toks = jnp.asarray([id_last] + [self.mask_id] * n_draft, jnp.int32)
+        pos = jnp.asarray([rows - 1] + list(range(rows, rows + n_draft)),
+                          jnp.int32)
+        lg = self._df.draft_block(self.params, self.cfg, toks, pos, ck, cv,
+                                  jnp.ones(rows, bool),
+                                  interpret=self.target.interpret)
+        return [int(i) for i in np.asarray(lg).argmax(-1)[1:]]
+
+
 def autotune_n_draft(target: Runtime, prompt, *, candidates=(4, 8, 16),
                      n_tokens: int = 32, draft: Optional[Runtime] = None,
                      seed: int = 0):
@@ -174,8 +232,11 @@ def generate_speculative(
 
     kv = target.new_cache(1, capacity)
     logits, kv, n_past = target.eval_tokens(ids, kv, 0)
-    ngram = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
-             "ngram": NgramDraft}.get(stage, NgramDraft)()
+    if isinstance(stage, DFlashDraft):
+        ngram = stage
+    else:
+        ngram = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
+                 "ngram": NgramDraft}.get(stage, NgramDraft)()
 
     d_kv = d_n_past = None
     if draft is not None:

@@ -615,7 +615,7 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--parallel", type=int, default=4)
-    ap.add_argument("--spec", choices=["ngram", "suffix"],
+    ap.add_argument("--spec",   # ngram | suffix | dflash:<draft.gguf>
                     help="self-speculation stage for the decode loop "
                          "(drafts verified in the shared batched step)")
     ap.add_argument("--spec-n", type=int, default=8,

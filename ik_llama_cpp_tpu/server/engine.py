@@ -107,6 +107,9 @@ class BatchEngine:
         if self.spec == "suffix":
             from ..runtime.speculative import SuffixDraft
             return SuffixDraft()
+        if self.spec and self.spec.startswith("dflash:"):
+            from ..runtime.speculative import DFlashDraft
+            return DFlashDraft(self.spec.split(":", 1)[1], self.rt)
         return None
 
     # ---------------------------------------------------------------- jits

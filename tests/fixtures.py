@@ -2135,3 +2135,73 @@ def make_tiny_laguna_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
             addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_shexp))
     w.write()
     return path
+
+
+def make_tiny_dflash_gguf(path, *, seed=0, n_layer=2, n_embd=64, n_head=2,
+                          n_head_kv=1, head_dim=64, n_ff=96,
+                          n_target_layers=2, block_size=8,
+                          mask_token_id=3):
+    """dflash-draft: block-diffusion draft head (create_dflash_tensors,
+    llama-load-tensors.cpp:2330; build_dflash.cpp). head_dim 64 because the
+    draft graph always runs flash attention (build_dflash.cpp:376) and the
+    reference's CPU FA kernels support head size >= 64."""
+    path = Path(path)
+    arch = "dflash-draft"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    n_feat = n_target_layers * n_embd
+    q_dim = n_head * head_dim
+    kv_dim = n_head_kv * head_dim
+    w = GGUFWriter(path, arch=arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 256)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.dflash.block_size", block_size)
+    w.add(f"{arch}.dflash.mask_token_id", mask_token_id)
+    w.add(f"{arch}.dflash.n_target_features", n_feat)
+    w.add(f"{arch}.dflash.target_layer_ids",
+          np.asarray(list(range(n_target_layers)), np.int32))
+    w.add(f"{arch}.dflash.backbone_rotary_base", 50000.0)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr, GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    ones("output_norm.weight", n_embd)
+    addw("dflash_fc.weight", randw(n_embd, n_feat))
+    ones("dflash_hidden_norm.weight", n_embd)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "post_attention_norm.weight", n_embd)
+        ones(p + "attn_q_norm.weight", head_dim)
+        ones(p + "attn_k_norm.weight", head_dim)
+        addw(p + "attn_q.weight", randw(q_dim, n_embd))
+        addw(p + "attn_k.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_v.weight", randw(kv_dim, n_embd))
+        addw(p + "attn_output.weight", randw(n_embd, q_dim))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+    w.write()
+    return path
