@@ -535,7 +535,19 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                     a("dflash.backbone_rotary_base", 0.0)),
                 "attn_v_scale": float(a("attention.value_scale", 1.0)),
                 "laguna": bool(a("dflash.laguna", False))}
-               if arch == "dflash-draft" else {}),
+               if arch == "dflash-draft" else
+               # GLM-DSA lightning indexer (llama-hparams.cpp:1790-1860):
+               # IndexShare full-layer rule (il<=1 or il%4==2); dsa_enabled
+               # turns the sparse top-k path on by default whenever the
+               # indexer tensors exist (the reference gates it behind --dsa)
+               {"indexer_n_head": int(a("attention.indexer.head_count", 0)),
+                "indexer_head_size": int(a("attention.indexer.key_length",
+                                           0)),
+                "indexer_top_k": int(a("attention.indexer.top_k", 2048)),
+                "indexer_is_full": tuple(
+                    (il <= 1) or (il % 4 == 2) for il in range(n_layer)),
+                "dsa_enabled": True}
+               if arch == "glm-dsa" else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,

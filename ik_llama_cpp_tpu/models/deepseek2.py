@@ -59,13 +59,36 @@ def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = 
             "attn_norm": load_dense(t[p + "attn_norm.weight"]),
             "wkv_a_mqa": load_linear(t[p + "attn_kv_a_mqa.weight"], use_quant=use_quant),
             "kv_a_norm": load_dense(t[p + "attn_kv_a_norm.weight"]),
-            "wkv_b": load_linear(t[p + "attn_kv_b.weight"], use_quant=use_quant),
             "wo": load_linear(t[p + "attn_output.weight"], use_quant=use_quant),
             "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
         }
-        if mla:
+        presplit = p + "attn_k_b.weight" in t   # glm-dsa converters pre-split
+        if not presplit:
+            blk["wkv_b"] = load_linear(t[p + "attn_kv_b.weight"],
+                                       use_quant=use_quant)
+        d_nope, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+        if presplit:
+            # create_glm_dsa_tensors (llama-load-tensors.cpp:3035-3058):
+            # attn_k_b ne {d_nope, kv_lora, h}, attn_v_b ne {kv_lora, dv, h}
+            kb = dequant_tensor(t[p + "attn_k_b.weight"]).reshape(
+                cfg.n_head, cfg.n_lora_kv, d_nope)
+            vb = dequant_tensor(t[p + "attn_v_b.weight"]).reshape(
+                cfg.n_head, dv, cfg.n_lora_kv)
+            blk["wk_b"] = jnp.asarray(
+                np.ascontiguousarray(kb.transpose(0, 2, 1)), jnp.bfloat16)
+            blk["wv_b"] = jnp.asarray(
+                np.ascontiguousarray(vb.transpose(0, 2, 1)), jnp.bfloat16)
+            if not mla:
+                # reconstitute the fused wkv_b for the full-KV path
+                kv_w = np.concatenate(
+                    [kb.transpose(0, 2, 1), vb], axis=1)     # (h, nope+dv, l)
+                from .weights import DenseLinear
+                blk["wkv_b"] = DenseLinear(jnp.asarray(
+                    np.ascontiguousarray(
+                        kv_w.reshape(cfg.n_head * (d_nope + dv),
+                                     cfg.n_lora_kv).T), jnp.bfloat16))
+        elif mla:
             # derive per-head absorb projections from wkv_b (llm_prepare_mla)
-            d_nope, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
             kvb_w = dequant_tensor(t[p + "attn_kv_b.weight"])  # (h*(nope+dv), lora_kv)
             kvb_w = kvb_w.reshape(cfg.n_head, d_nope + dv, cfg.n_lora_kv)
             blk["wk_b"] = jnp.asarray(
@@ -80,6 +103,20 @@ def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = 
             blk["wq_b"] = load_linear(t[p + "attn_q_b.weight"], use_quant=use_quant)
         else:  # lite
             blk["wq"] = load_linear(t[p + "attn_q.weight"], use_quant=use_quant)
+        if p + "indexer.attn_q_b.weight" in t:
+            # DSA lightning indexer (build_deepseek2_dsa_indexer,
+            # build_deepseek2.cpp:367-611): q from the q_a latent, MQA key
+            # with (non-RMS) LayerNorm, per-head relu-score weights
+            # router-class precision: top-k selection is a discrete
+            # decision — int8 weight noise flips rank boundaries
+            blk["idx_q_b"] = load_linear(t[p + "indexer.attn_q_b.weight"],
+                                         use_quant=False)
+            blk["idx_k"] = load_linear(t[p + "indexer.attn_k.weight"],
+                                       use_quant=False)
+            blk["idx_k_norm"] = load_dense(t[p + "indexer.k_norm.weight"])
+            blk["idx_k_norm_b"] = load_dense(t[p + "indexer.k_norm.bias"])
+            blk["idx_proj"] = load_linear(t[p + "indexer.proj.weight"],
+                                          use_quant=False)
         if p + "ffn_gate_inp.weight" in t:
             blk["ffn_gate_inp"] = load_linear(t[p + "ffn_gate_inp.weight"], use_quant=False)
             blk["experts"] = _load_experts(t, p, use_quant=use_quant)
@@ -98,8 +135,67 @@ def load_deepseek2_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = 
     return params
 
 
+def _dsa_topk_mask(blk, hcur, q_latent, cfg: ModelConfig, kr_cache, npv,
+                   q_pos, cos, sin, *, interpret=False):
+    """Lightning-indexer top-k key selection (build_deepseek2_dsa_indexer).
+
+    Returns (allow_mask (B, T, S) bool, updated kr_cache (B, S, 1, HS)).
+    score[j, i] = sum_h w[h, j] * relu(iq[h, j] . kr[i]) with the causal
+    mask folded in; each sequence's FIRST key gets a +1e20 sink boost so it
+    always survives selection (build_deepseek2.cpp:563-589). The reference's
+    optional Walsh-Hadamard rotation is an F16-cache precision trick and is
+    score-preserving — the bf16 TPU cache skips it (DSA_HADAMARD_DISABLE
+    parity mode)."""
+    ex = cfg.extra or {}
+    b, t, _ = hcur.shape
+    nh = int(ex["indexer_n_head"])
+    hs = int(ex["indexer_head_size"])
+    top_k = int(ex.get("dsa_top_k", 0)) or int(ex["indexer_top_k"])
+    d_rope = cfg.qk_rope_head_dim
+
+    iq = blk["idx_q_b"](q_latent, interpret=interpret)       # (B,T,nh*hs)
+    iq = iq.reshape(b, t, nh, hs)
+    iq_pe = L.apply_rope(iq[..., :d_rope], cos, sin, cfg.rope_type)
+    iq = jnp.concatenate([iq_pe, iq[..., d_rope:]], axis=-1)
+
+    ik = blk["idx_k"](hcur, interpret=interpret)             # (B,T,hs)
+    ik = L.layer_norm(ik, blk["idx_k_norm"], blk["idx_k_norm_b"],
+                      cfg.rms_eps)
+    ik = ik.reshape(b, t, 1, hs)
+    ik_pe = L.apply_rope(ik[..., :d_rope], cos, sin, cfg.rope_type)
+    ik = jnp.concatenate([ik_pe, ik[..., d_rope:]], axis=-1)
+
+    upd = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
+        c, new, (st, jnp.int32(0), jnp.int32(0))))
+    kr_cache = upd(kr_cache, ik.astype(kr_cache.dtype), npv)
+
+    w = blk["idx_proj"](hcur, interpret=interpret)           # (B,T,nh)
+    w = w.astype(jnp.float32) / math.sqrt(float(hs * nh))
+
+    kr = kr_cache[:, :, 0, :].astype(jnp.float32)            # (B,S,HS)
+    kq = jnp.einsum("bthd,bsd->bhts", iq.astype(jnp.float32), kr)
+    score = jnp.einsum("bth,bhts->bts", w, jax.nn.relu(kq))  # (B,T,S)
+
+    s_cap = kr_cache.shape[1]
+    key_pos = jnp.arange(s_cap, dtype=jnp.int32)[None, None, :]
+    kv_len = npv + t
+    causal = (key_pos <= q_pos[:, :, None]) &         (key_pos < kv_len[:, None, None])
+    score = jnp.where(causal, score, -jnp.inf)
+    # sink boost: the sequence's first present key (cell 0 for this
+    # runtime's from-zero caches) always survives top-k
+    score = score + jnp.where(key_pos == 0, 1e20, 0.0)
+
+    k_eff = min(top_k, s_cap)
+    _, idx = jax.lax.top_k(score, k_eff)                     # (B,T,k)
+    allow = jnp.zeros((b, t, s_cap), bool)
+    allow = jnp.put_along_axis(allow, idx, True, axis=-1,
+                               inplace=False)
+    return allow & causal, kr_cache
+
+
 def _mla_absorb_attention(blk, x, cfg: ModelConfig, kv_lat_cache, npv, q_pos,
-                          cos, sin, kq_scale, interpret=False, tp_axis=None):
+                          cos, sin, kq_scale, interpret=False, tp_axis=None,
+                          allow_mask=None):
     """Latent-cache attention (FlashMLA-3 absorb): cache rows are
     [latent(lora_kv) | roped k_pe(d_rope)] shared across heads (MQA); query
     nope parts are absorbed through wk_b so scores form directly against the
@@ -140,7 +236,10 @@ def _mla_absorb_attention(blk, x, cfg: ModelConfig, kv_lat_cache, npv, q_pos,
     kv_len = npv + t
     v_view = kv_lat_cache[..., :lora_kv]     # values = the latents themselves
     qb = q_full.astype(jnp.bfloat16)
-    if _use_pallas():
+    if allow_mask is not None:
+        attn = attend(qb, kv_lat_cache, v_view, q_pos=q_pos,
+                      kv_len=kv_len, scale=kq_scale, allow_mask=allow_mask)
+    elif _use_pallas():
         attn = flash_attention(qb, kv_lat_cache, v_view, npv, kv_len,
                                scale=kq_scale)
     else:
@@ -262,14 +361,33 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         n_ctx_orig=cfg.rope_orig_ctx or cfg.n_ctx_train)
 
     absorb = "wk_b" in params["blocks"][0]
+    # DSA sparse attention: any layer carrying indexer tensors enables the
+    # top-k path; IndexShare layers without their own indexer reuse the
+    # last full layer's selection (build_deepseek2.cpp:796-815)
+    dsa_on = (absorb and (cfg.extra or {}).get("dsa_enabled", True)
+              and any("idx_q_b" in b for b in params["blocks"]))
+    last_allow = None
     new_k, new_v = [], []
     for i, blk in enumerate(params["blocks"]):
         hcur = L.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         if absorb:
+            allow = None
+            kr_i = kv.v[i]
+            if dsa_on:
+                if "idx_q_b" in blk:
+                    q_lat = L.rms_norm(
+                        blk["wq_a"](hcur, interpret=interpret),
+                        blk["q_a_norm"], cfg.rms_eps)
+                    allow, kr_i = _dsa_topk_mask(
+                        blk, hcur, q_lat, cfg, kv.v[i], npv, q_pos,
+                        cos, sin, interpret=interpret)
+                    last_allow = allow
+                else:
+                    allow = last_allow
             attn_out, k_i = _mla_absorb_attention(
                 blk, hcur, cfg, kv.k[i], npv, q_pos, cos, sin, kq_scale,
-                interpret, tp_axis)
-            v_i = kv.v[i]       # unused placeholder (latent-only cache)
+                interpret, tp_axis, allow_mask=allow)
+            v_i = kr_i          # indexer-key cache (or placeholder)
         else:
             attn_out, k_i, v_i = _mla_attention(
                 blk, hcur, cfg, kv.k[i], kv.v[i], npv, q_pos, cos, sin,
@@ -300,11 +418,14 @@ def make_cache(cfg: ModelConfig, batch: int, capacity: int,
                dtype=jnp.bfloat16, *, mla: bool = True) -> KVCache:
     if mla:
         # latent-only cache: [kv_lora_rank | rope] per token, one shared
-        # "head" (the reference's mla>=2 compressed cache)
+        # "head" (the reference's mla>=2 compressed cache). For DSA models
+        # the v slot holds the indexer-key cache (kr_l, llama.cpp kv_self)
         kshape = (cfg.n_layer, batch, capacity, 1,
                   cfg.n_lora_kv + cfg.qk_rope_head_dim)
-        return KVCache(jnp.zeros(kshape, dtype),
-                       jnp.zeros((cfg.n_layer, 1, 1, 1, 1), dtype))
+        idx_hs = int((cfg.extra or {}).get("indexer_head_size", 0))
+        vshape = ((cfg.n_layer, batch, capacity, 1, idx_hs) if idx_hs
+                  else (cfg.n_layer, 1, 1, 1, 1))
+        return KVCache(jnp.zeros(kshape, dtype), jnp.zeros(vshape, dtype))
     dk = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
     kshape = (cfg.n_layer, batch, capacity, cfg.n_head, dk)
     vshape = (cfg.n_layer, batch, capacity, cfg.n_head, cfg.v_head_dim)

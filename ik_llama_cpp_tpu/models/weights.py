@@ -161,9 +161,12 @@ class LoraLinear:
 
 _FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
 
-# default OFF until the Mosaic compile of qmatmul4 is verified on real
-# hardware (the remote-compile service was down when the int32-unpack fix
-# landed); interpret-mode + oracle coverage is green
+# 4-bit weight packing: verified bit-accurate on TPU v5e, but measured
+# SLOWER for decode than the int8 planar path (41 vs 58 t/s on the 8B
+# bench): dequant is VPU-throughput-bound (~300G weights/s on v5e for any
+# per-weight unpack chain — see PERF_NOTES.md), so halving HBM bytes does
+# not help while the extra nibble unpacking costs VPU cycles. Prefill
+# gains (+36%) don't outweigh the decode loss; OFF by default.
 _PACK_INT4 = False
 
 

@@ -27,7 +27,8 @@ def alibi_slopes(n_head: int, max_bias: float):
 
 
 def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
-           swa_window: int = 0, sinks=None, alibi=None, attn_chunk: int = 0):
+           swa_window: int = 0, sinks=None, alibi=None, attn_chunk: int = 0,
+           allow_mask=None):
     """Masked attention over a fixed-size KV buffer.
 
     q: (B, T, H, Dk); k: (B, S, Hkv, Dk); v: (B, S, Hkv, Dv) — S is capacity.
@@ -64,6 +65,10 @@ def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
         # llama4 chunked attention: keys within the query's chunk only
         # (llama.cpp:5334 pos_chunk_start)
         mask &= key_pos >= (qp // attn_chunk) * attn_chunk
+    if allow_mask is not None:
+        # DSA sparse attention: per-(query, key) top-k allow set from the
+        # lightning indexer (build_deepseek2_dsa_sparse_mask)
+        mask &= allow_mask
     if alibi is not None:
         dist = jnp.abs(key_pos - qp).astype(jnp.float32)             # (B,T,S)
         scores = scores - (jnp.asarray(alibi, jnp.float32)[None, :, None, None]

@@ -78,7 +78,7 @@ FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))
           for a in _DENSE_FAMILY}
-for _a in ("deepseek2", "deepseek4", "mistral4"):
+for _a in ("deepseek2", "deepseek4", "mistral4", "glm-dsa"):
     FORWARDS[_a] = ds2_mod.forward
     LOADERS[_a] = ds2_mod.load_deepseek2_params
     CACHES[_a] = lambda cfg, b, cap, quant=False: ds2_mod.make_cache(cfg, b, cap)
@@ -268,7 +268,7 @@ class Runtime:
         return (np.concatenate(out_l), np.concatenate(out_h), kv, n_past)
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
-        if self.cfg.arch in ("deepseek2", "deepseek4"):
+        if self.cfg.arch in ("deepseek2", "deepseek4", "glm-dsa"):
             absorb = "wk_b" in self.params["blocks"][0]
             return ds2_mod.make_cache(self.cfg, batch, capacity, mla=absorb)
         return CACHES[self.cfg.arch](self.cfg, batch, capacity, quant=self.kv_quant)

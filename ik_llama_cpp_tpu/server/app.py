@@ -75,6 +75,17 @@ class Server:
         self.rt = engine.rt
         self.model_name = model_name
         self.api_key = api_key
+        # template auto-parser (chat-auto-parser-generator.cpp analogue):
+        # differential analysis of the model's jinja template, reused for
+        # batch + streaming reasoning/tool-call extraction
+        self.chat_analysis = None
+        tmpl = getattr(self.rt.tokenizer, "chat_template", None)
+        if tmpl and ("{{" in tmpl or "{%" in tmpl):
+            try:
+                from ..runtime.chat_autoparser import analyze_template
+                self.chat_analysis = analyze_template(tmpl)
+            except Exception:
+                self.chat_analysis = None
 
         @web.middleware
         async def auth(request, handler):
@@ -446,8 +457,17 @@ class Server:
             await resp.write_eof()
             return resp
         toks, text = await self._run(ids, body, False)
-        reasoning, content = split_reasoning(text)
-        content, calls = parse_tool_calls(content)
+        if self.chat_analysis is not None and (
+                self.chat_analysis.has_tools()
+                or self.chat_analysis.reasoning_open):
+            from ..runtime.chat_autoparser import parse_auto
+            reasoning, content, calls = parse_auto(text, self.chat_analysis)
+            if not calls and not reasoning:   # fall back to named parsers
+                reasoning, content = split_reasoning(text)
+                content, calls = parse_tool_calls(content)
+        else:
+            reasoning, content = split_reasoning(text)
+            content, calls = parse_tool_calls(content)
         message = {"role": "assistant", "content": content or None}
         if reasoning:
             message["reasoning_content"] = reasoning
