@@ -2205,3 +2205,105 @@ def make_tiny_dflash_gguf(path, *, seed=0, n_layer=2, n_embd=64, n_head=2,
         addw(p + "ffn_down.weight", randw(n_embd, n_ff))
     w.write()
     return path
+
+
+def make_tiny_glmdsa_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
+                          d_nope=32, d_rope=16, d_v=32, q_lora=24, kv_lora=32,
+                          n_expert=4, n_expert_used=2, n_ff=96, n_ff_exp=48,
+                          dense_lead=1, idx_n_head=4, idx_head_size=32,
+                          idx_top_k=6):
+    """glm-dsa: deepseek2 MLA + sigmoid MoE + DSA lightning indexer
+    (create_glm_dsa_tensors, llama-load-tensors.cpp:2979; indexer graph
+    build_deepseek2.cpp:367-611). Converters pre-split attn_k_b/attn_v_b;
+    IndexShare full layers are il<=1 or il%4==2 (llama-hparams.cpp:1852)."""
+    path = Path(path)
+    arch = "glm-dsa"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    dk = d_nope + d_rope
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-glm-dsa")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.key_length", dk)
+    w.add(f"{arch}.attention.value_length", d_v)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", d_rope)
+    w.add(f"{arch}.attention.q_lora_rank", q_lora)
+    w.add(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add(f"{arch}.leading_dense_block_count", dense_lead)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_shared_count", 1)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.expert_weights_scale", 1.5)
+    w.add(f"{arch}.expert_weights_norm", True)
+    w.add(f"{arch}.expert_gating_func", 2)
+    w.add(f"{arch}.attention.indexer.head_count", idx_n_head)
+    w.add(f"{arch}.attention.indexer.key_length", idx_head_size)
+    w.add(f"{arch}.attention.indexer.top_k", idx_top_k)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        is_full = (i <= 1) or (i % 4 == 2)
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32))
+        addw(p + "attn_q_a.weight", randw(q_lora, n_embd))
+        w.add_tensor(p + "attn_q_a_norm.weight", np.ones(q_lora, np.float32))
+        addw(p + "attn_q_b.weight", randw(n_head * dk, q_lora))
+        addw(p + "attn_kv_a_mqa.weight", randw(kv_lora + d_rope, n_embd))
+        w.add_tensor(p + "attn_kv_a_norm.weight", np.ones(kv_lora, np.float32))
+        # pre-split absorb projections: k_b ne {d_nope, kv_lora, h},
+        # v_b ne {kv_lora, d_v, h}
+        w.add_tensor(p + "attn_k_b.weight",
+                     randw(n_head, kv_lora, d_nope))
+        w.add_tensor(p + "attn_v_b.weight",
+                     randw(n_head, d_v, kv_lora))
+        addw(p + "attn_output.weight", randw(n_embd, n_head * d_v))
+        if is_full:
+            addw(p + "indexer.attn_q_b.weight",
+                 randw(idx_n_head * idx_head_size, q_lora))
+            addw(p + "indexer.attn_k.weight", randw(idx_head_size, n_embd))
+            w.add_tensor(p + "indexer.k_norm.weight",
+                         (1.0 + 0.1 * rng.standard_normal(idx_head_size)
+                          ).astype(np.float32))
+            w.add_tensor(p + "indexer.k_norm.bias",
+                         (0.05 * rng.standard_normal(idx_head_size)
+                          ).astype(np.float32))
+            addw(p + "indexer.proj.weight", randw(idx_n_head, n_embd))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32))
+        if i < dense_lead:
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        else:
+            w.add_tensor(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+            w.add_tensor(p + "exp_probs_b.bias",
+                         (rng.standard_normal(n_expert) * 0.1).astype(np.float32))
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
+    w.write()
+    return path

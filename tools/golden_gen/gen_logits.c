@@ -44,6 +44,10 @@ int main(int argc, char **argv) {
      * SWIGLU_OAI dense FFNs (minimax-m3, step35) need it off */
     if (getenv("GEN_LOGITS_NO_FUG")) cp.fused_up_gate = 0;
     cp.flash_attn = getenv("GEN_LOGITS_FA") ? 1 : 0;
+    /* GLM-DSA sparse attention opt-in (cparams.dsa, llama.h:496). The
+     * indexer key cache kr_l only allocates under an MLA latent cache
+     * (llama.cpp:1380-1396), so force mla_attn=1 (works without FA). */
+    if (getenv("GEN_LOGITS_DSA")) { cp.dsa = 1; cp.mla_attn = 1; }
     struct llama_context *ctx = llama_init_from_model(model, cp);
 
     llama_token toks[512];
