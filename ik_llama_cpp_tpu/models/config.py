@@ -387,6 +387,19 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
             swa_mask = tuple(bool(int(x)) for x in _pat)
         else:
             swa_mask = tuple((il + 1) % int(_pat) != 0 for il in range(n_layer))
+    if arch == "openpangu":
+        # DSA/SWA schedule: swa_layers ids + per-entry windows
+        # (llama-hparams.cpp:1178-1204); absent keys = dense fallback
+        _ids = a("swa_layers")
+        _wins = a("sliding_window_list")
+        if _ids is not None and _wins is not None and \
+                len(_ids) == len(_wins):
+            _m = [False] * n_layer
+            for _il, _w in zip(_ids, _wins):
+                if int(_il) < n_layer and int(_w) > 0:
+                    _m[int(_il)] = True
+                    swa_window = int(_w)
+            swa_mask = tuple(_m)
     rope_base_swa = float(a("rope.freq_base_swa", rope_base_swa or 0.0))
     if arch == "cohere2_moe" and swa_mask:
         # NoPE on the global (non-sliding) layers, like cohere2
@@ -547,7 +560,17 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                 "indexer_is_full": tuple(
                     (il <= 1) or (il % 4 == 2) for il in range(n_layer)),
                 "dsa_enabled": True}
-               if arch == "glm-dsa" else {}),
+               if arch == "glm-dsa" else
+               # openPangu (llama-hparams.cpp:1144-1226): mHC streams,
+               # Sinkhorn iters, learned param sinks, optional DSA indexer
+               {"mhc_num_stream": int(a("mhc_num_stream", 4)),
+                "mhc_recur_norm": int(a("mhc_recur_norm", 20)),
+                "param_sink_number": int(a("param_sink_number", 0)),
+                "indexer_n_head": int(a("attention.indexer.head_count", 0)),
+                "indexer_head_size": int(a("attention.indexer.key_length",
+                                           0)),
+                "indexer_top_k": int(a("attention.indexer.top_k", 0))}
+               if arch == "openpangu" else {}),
         use_rope=use_rope,
         alibi_max_bias=alibi_bias,
         clamp_kqv=clamp_kqv,

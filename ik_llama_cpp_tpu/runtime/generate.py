@@ -100,6 +100,12 @@ LOADERS["gemma4"] = gemma4_mod.load_gemma4_params
 CACHES["gemma4"] = lambda cfg, b, cap, quant=False: \
     gemma4_mod.Gemma4Cache.create(cfg, b, cap)
 
+from ..models import openpangu as opg_mod  # noqa: E402
+FORWARDS["openpangu"] = opg_mod.forward
+LOADERS["openpangu"] = opg_mod.load_openpangu_params
+CACHES["openpangu"] = lambda cfg, b, cap, quant=False: \
+    opg_mod.PanguCache.create(cfg, b, cap)
+
 from ..models import bert as bert_mod  # noqa: E402
 for _bert_arch in ("bert", "nomic-bert", "jina-bert-v2"):
     FORWARDS[_bert_arch] = bert_mod.forward

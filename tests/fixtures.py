@@ -2307,3 +2307,145 @@ def make_tiny_glmdsa_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
             addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
     w.write()
     return path
+
+
+def make_tiny_openpangu_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
+                             d_nope=32, d_rope=16, d_v=32, q_lora=24,
+                             kv_lora=32, n_expert=4, n_expert_used=2,
+                             n_ff=96, n_ff_exp=48, dense_lead=1,
+                             # n_sink >= 16: the reference's iqk f32 GEMM
+                             # misreads contraction rows shorter than the
+                             # SIMD width (observed: sink-value mul_mat at
+                             # NS=8 returns ~2x the true dot product)
+                             n_sink=32,
+                             mhc_s=4, sink_iters=20, idx_n_head=4,
+                             idx_head_size=32, idx_top_k=6,
+                             swa_schedule=True, swa_window=8):
+    """openPangu-2.0-Flash: absorbed MLA + sigmoid MoE + mHC 4-stream
+    residuals + MoME causal convs + learned param sinks + DSA/SWA schedule
+    (create_openpangu_tensors, llama-load-tensors.cpp:3140;
+    build_openpangu.cpp). Layer schedule here: 0 dense-FFN + SWA,
+    1 MoE + DSA indexer, 2 MoE + SWA."""
+    path = Path(path)
+    arch = "openpangu"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    dk = d_nope + d_rope
+    SH = mhc_s * n_embd
+    phi_out = (mhc_s + 2) * mhc_s
+
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-openpangu")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.key_length", dk)
+    w.add(f"{arch}.attention.value_length", d_v)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", d_rope)
+    w.add(f"{arch}.attention.q_lora_rank", q_lora)
+    w.add(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add(f"{arch}.leading_dense_block_count", dense_lead)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_shared_count", 1)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.expert_weights_scale", 1.5)
+    w.add(f"{arch}.expert_weights_norm", True)
+    w.add(f"{arch}.expert_gating_func", 2)
+    w.add(f"{arch}.mhc_num_stream", mhc_s)
+    w.add(f"{arch}.mhc_recur_norm", sink_iters)
+    w.add(f"{arch}.param_sink_number", n_sink)
+    w.add(f"{arch}.attention.indexer.head_count", idx_n_head)
+    w.add(f"{arch}.attention.indexer.key_length", idx_head_size)
+    w.add(f"{arch}.attention.indexer.top_k", idx_top_k)
+    if swa_schedule:
+        w.add(f"{arch}.swa_layers", np.asarray([0, 2], np.int32))
+        w.add(f"{arch}.sliding_window_list",
+              np.asarray([swa_window, swa_window], np.int32))
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr.reshape(-1, arr.shape[-1]), GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    def ones(name, n):
+        w.add_tensor(name, (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    ones("output_norm.weight", n_embd)
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("merge_mhc_phi.weight", randw(mhc_s, SH))
+    w.add_tensor("merge_mhc_alpha", np.asarray([1.0], np.float32))
+    w.add_tensor("merge_mhc_beta",
+                 (0.1 * rng.standard_normal(mhc_s)).astype(np.float32))
+    ones("merge_mhc_gamma", SH)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        is_dsa = i == 1
+        ones(p + "attn_norm.weight", n_embd)
+        ones(p + "post_attention_norm.weight", n_embd)
+        ones(p + "attn_q_a_norm.weight", q_lora)
+        ones(p + "attn_kv_a_norm.weight", kv_lora)
+        addw(p + "attn_q_a.weight", randw(q_lora, n_embd))
+        addw(p + "attn_q_b.weight", randw(n_head * dk, q_lora))
+        addw(p + "attn_kv_a_mqa.weight", randw(kv_lora + d_rope, n_embd))
+        # converter-split 2D layout: {d_nope, H*kv_lora} / {kv_lora, H*d_v}
+        # head-major rows (create_openpangu_tensors)
+        w.add_tensor(p + "attn_k_b.weight",
+                     randw(n_head * kv_lora, d_nope))
+        w.add_tensor(p + "attn_v_b.weight", randw(n_head * d_v, kv_lora))
+        addw(p + "attn_output.weight", randw(n_embd, n_head * d_v))
+        # MoME convs: small taps so the residual conv is a perturbation
+        for nm, c in (("attn_qa_conv", q_lora), ("attn_compresskv_conv", kv_lora),
+                      ("attn_o_conv", n_head * d_v)):
+            w.add_tensor(p + nm + ".weight",
+                         (0.1 * rng.standard_normal((c, 3))).astype(np.float32))
+        w.add_tensor(p + "attn_param_sink_kv", randw(n_sink, kv_lora))
+        w.add_tensor(p + "attn_param_sink_k_pe", randw(n_sink, d_rope))
+        if is_dsa:
+            addw(p + "attn_indexer_q_b.weight",
+                 randw(idx_n_head * idx_head_size, q_lora))
+            addw(p + "attn_indexer_k.weight", randw(idx_head_size, n_embd))
+            ones(p + "attn_indexer_k_norm.weight", idx_head_size)
+            addw(p + "attn_indexer_weights_proj.weight",
+                 randw(idx_n_head, n_embd))
+        for pre in ("attn_mhc", "mlp_mhc"):
+            nm = p + pre.replace("_mhc", "_mhc")
+            w.add_tensor(p + pre + "_phi.weight", randw(phi_out, SH))
+            w.add_tensor(p + pre + "_alpha",
+                         np.asarray([1.0, 1.0, 1.0], np.float32))
+            w.add_tensor(p + pre + "_beta",
+                         (0.1 * rng.standard_normal(2 * mhc_s + mhc_s * mhc_s)
+                          ).astype(np.float32))
+            ones(p + pre + "_gamma", SH)
+        if i == 2:
+            ones(p + "block_post_norm.weight", SH)
+        ones(p + "ffn_norm.weight", n_embd)
+        ones(p + "post_ffw_norm.weight", n_embd)
+        if i < dense_lead:
+            addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+            addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        else:
+            w.add_tensor(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+            w.add_tensor(p + "exp_probs_b.bias",
+                         (rng.standard_normal(n_expert) * 0.1).astype(np.float32))
+            addw(p + "ffn_gate_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight", randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight", randw(n_expert, n_embd, n_ff_exp))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
+    w.write()
+    return path

@@ -636,3 +636,47 @@ def test_glm_dsa_sparse_engages(tmp_path):
     # early positions (within top_k+1 keys) are identical; later differ
     assert np.abs(sparse[2] - dense[2]).max() < 2e-2
     assert np.abs(sparse[-1] - dense[-1]).max() > 1e-3
+
+
+@needs_ref
+def test_openpangu_logit_parity(tmp_path):
+    """openPangu-2.0-Flash: mHC 4-stream hyper-connections (Sinkhorn mix),
+    MoME causal convs (state chained across decode chunks), learned param
+    sinks, absorbed MLA, sigmoid MoE + shared expert, SWA schedule
+    (build_openpangu.cpp; reference runs with mla_attn=1 which its latent
+    cache requires). idx_top_k=64 keeps the DSA selection inert (it never
+    prunes at this length), so the comparison is fully numeric; discrete
+    top-k boundary flips are covered by the prefill test below."""
+    import os
+    from fixtures import make_tiny_openpangu_gguf
+    # routing-stable seed (sigmoid+bias top-k near-ties flip on some seeds)
+    model = make_tiny_openpangu_gguf(tmp_path / "opg.gguf", seed=4,
+                                     idx_top_k=64)
+    os.environ["GEN_LOGITS_MLA"] = "1"
+    try:
+        _parity_check(model, "Hello world, this is a test", 0.12, n_gen=4)
+    finally:
+        del os.environ["GEN_LOGITS_MLA"]
+
+
+@needs_ref
+def test_openpangu_dsa_prefill_parity(tmp_path):
+    """With the real top_k=6 the DSA layer actively prunes during prefill;
+    prompt logits must still match (the selections agree when computed in
+    one pass — decode-time rank-boundary flips are the same bf16-vs-f32
+    knife-edge documented for glm-dsa)."""
+    import os
+    from fixtures import make_tiny_openpangu_gguf
+    model = make_tiny_openpangu_gguf(tmp_path / "opgd.gguf", seed=9)
+    os.environ["GEN_LOGITS_MLA"] = "1"
+    try:
+        p_ids, g_ids, ref = ref_logits(model, "Hello world, this is a test",
+                                       n_gen=0)
+    finally:
+        del os.environ["GEN_LOGITS_MLA"]
+    rt = Runtime.from_gguf(model)
+    got = rt.all_position_logits(list(p_ids))
+    n = len(p_ids)
+    ps, pr = _softmax_np(got[:n]), _softmax_np(ref[:n])
+    l1 = np.abs(ps - pr).sum(axis=-1)
+    assert l1.max() < 0.15, f"max L1 {l1.max():.4f}"

@@ -48,6 +48,8 @@ int main(int argc, char **argv) {
      * indexer key cache kr_l only allocates under an MLA latent cache
      * (llama.cpp:1380-1396), so force mla_attn=1 (works without FA). */
     if (getenv("GEN_LOGITS_DSA")) { cp.dsa = 1; cp.mla_attn = 1; }
+    /* openpangu et al: MLA latent cache requires mla_attn != 0 */
+    if (getenv("GEN_LOGITS_MLA")) cp.mla_attn = 1;
     struct llama_context *ctx = llama_init_from_model(model, cp);
 
     llama_token toks[512];
