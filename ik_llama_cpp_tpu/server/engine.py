@@ -416,19 +416,35 @@ class BatchEngine:
                 pos += 1
 
     def _context_shift(self, slot: Slot):
-        """Out of cache: keep the prompt head + recent half of the context,
-        re-prefill, and continue — the functional equivalent of the
-        reference's K-shift context shift (llama.cpp:7166 + server
-        context-shift), done TPU-style by re-prefilling into the shape-
-        bucketed graph instead of re-roping cached K in place."""
+        """Out of cache: keep the prompt head, discard the oldest half of
+        the rest, continue. Shiftable models K-SHIFT in place (cache rows
+        moved + roped dims delta-rotated — build_k_shift,
+        llama-build-context.cpp:153); others fall back to a re-prefill."""
+        from ..runtime.kshift import can_shift, k_shift
+        import jax.numpy as jnp
         n_keep = min(slot.n_prompt, self.capacity // 4)
-        tail = slot.tokens[n_keep:]
-        kept = slot.tokens[:n_keep] + tail[len(tail) // 2:]
+        n_rest = slot.n_past - n_keep
+        n_discard = n_rest // 2
+        kept = (slot.tokens[:n_keep]
+                + slot.tokens[n_keep + n_discard:])
+        slot.n_shifts += 1
+        if can_shift(self.rt.cfg) and n_discard > 0 and not self.rt.kv_quant:
+            # per-slot in-place K-shift on the shared batch cache
+            from ..models.llama import KVCache
+            b = slot.idx
+            row = KVCache(self.kv.k[:, b:b + 1], self.kv.v[:, b:b + 1])
+            row, new_past = k_shift(row, self.rt.cfg, n_keep, n_discard,
+                                    jnp.int32(slot.n_past))
+            self.kv.k = self.kv.k.at[:, b:b + 1].set(row.k)
+            self.kv.v = self.kv.v.at[:, b:b + 1].set(row.v)
+            slot.tokens = kept
+            slot.cache_tokens = kept[:int(new_past)]
+            slot.n_past = int(new_past)
+            return
         slot.tokens = kept
         slot.n_prompt = len(kept)       # everything kept is "prompt" now
         slot.cache_tokens = []
         slot.n_past = 0
-        slot.n_shifts += 1
         slot.state = SlotState.PREFILL
 
     # ------------------------------------------------------- slot state IO
