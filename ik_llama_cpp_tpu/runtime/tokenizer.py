@@ -315,7 +315,73 @@ class Tokenizer:
             return self._encode_wpm(text)
         if self.model == "t5":
             return self._encode_ugm(text)
+        if self.model == "rwkv":
+            return self._encode_rwkv(text)
         return self._encode_bpe(text)
+
+    # ----------------------------------------------------------------- RWKV
+    def _rwkv_bytes(self):
+        r"""Unescaped byte strings per token (llama_unescape_rwkv_token,
+        llama-vocab.cpp:1189: \t \n \r \xHH and \\ escapes)."""
+        if not hasattr(self, "_rwkv_tok_bytes"):
+            def unescape(t: str) -> bytes:
+                out = bytearray()
+                i = 0
+                while i < len(t):
+                    c = t[i]
+                    if c == "\\" and i + 1 < len(t):
+                        n = t[i + 1]
+                        if n == "t":
+                            out.append(9)
+                        elif n == "n":
+                            out.append(10)
+                        elif n == "r":
+                            out.append(13)
+                        elif n == "x" and i + 3 < len(t):
+                            out.append(int(t[i + 2:i + 4], 16))
+                            i += 4
+                            continue
+                        else:
+                            out.append(ord(n))
+                        i += 2
+                    else:
+                        out.extend(c.encode("utf-8"))
+                        i += 1
+                return bytes(out)
+            toks = [unescape(t) for t in self.tokens]
+            # prefix map byte->candidate ids sorted by length desc
+            by_first: dict[int, list[int]] = {}
+            for tid, b in enumerate(toks):
+                if b:
+                    by_first.setdefault(b[0], []).append(tid)
+            for k in by_first:
+                by_first[k].sort(key=lambda tid: -len(toks[tid]))
+            self._rwkv_tok_bytes = toks
+            self._rwkv_by_first = by_first
+        return self._rwkv_tok_bytes, self._rwkv_by_first
+
+    def _encode_rwkv(self, text: str) -> list[int]:
+        r"""Greedy longest-match over raw bytes (llm_tokenizer_rwkv trie,
+        llama-vocab.cpp:1243-1290); unmatched byte -> unk."""
+        toks, by_first = self._rwkv_bytes()
+        data = text.encode("utf-8")
+        out: list[int] = []
+        pos = 0
+        n = len(data)
+        while pos < n:
+            best = -1
+            for tid in by_first.get(data[pos], ()):
+                tb = toks[tid]
+                if data[pos:pos + len(tb)] == tb:
+                    best = tid
+                    break          # candidates sorted longest-first
+            if best < 0:
+                out.append(self.unk_id if self.unk_id >= 0 else 0)
+                pos += 1
+            else:
+                out.append(best)
+                pos += len(toks[best])
+        return out
 
     # ------------------------------------------------------------------ WPM
     def _encode_wpm(self, text: str) -> list[int]:
@@ -556,6 +622,11 @@ class Tokenizer:
         a multibyte character may span tokens (the server buffers bytes until
         they form valid UTF-8, like the reference's partial-UTF8 handling)."""
         buf = bytearray()
+        if self.model == "rwkv":
+            toks, _ = self._rwkv_bytes()
+            for i in ids:
+                buf.extend(toks[i])
+            return bytes(buf)
         if self.model in ("llama", "t5"):
             for i in ids:
                 tt = self.token_types[i] if self.token_types is not None else TT_NORMAL
@@ -575,6 +646,8 @@ class Tokenizer:
         return bytes(buf)
 
     def decode(self, ids: Iterable[int]) -> str:
+        if self.model == "rwkv":
+            return self.decode_bytes(ids).decode("utf-8", errors="replace")
         if self.model in ("llama", "t5"):
             buf = bytearray()
             for i in ids:

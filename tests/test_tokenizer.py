@@ -54,3 +54,24 @@ def test_spm_decode_roundtrip():
         # llama.cpp detokenize of spm strips the leading space it added
         dec = tok.decode(ids)
         assert dec.lstrip(" ") == text.lstrip(" ") or dec == " " + text
+
+
+def test_rwkv_tokenizer():
+    """RWKV world tokenizer (llm_tokenizer_rwkv, llama-vocab.cpp:1243):
+    escaped byte vocab + greedy longest trie match over raw bytes."""
+    from ik_llama_cpp_tpu.runtime.tokenizer import Tokenizer
+    toks = ["\\x00", "a", "b", "ab", "abc", "\\n", "hel", "hello", " ",
+            "\\x41\\x42", "\\t", "wor", "world"]
+    t = Tokenizer(model="rwkv", tokens=toks, scores=None, token_types=None,
+                  merges=None, add_bos=False)
+    ids = t.encode("hello world", add_bos=False)
+    assert ids == [toks.index("hello"), toks.index(" "),
+                   toks.index("world")]
+    assert t.decode(ids) == "hello world"
+    # longest match wins over shorter prefixes
+    assert t.encode("abc", add_bos=False) == [toks.index("abc")]
+    # hex escapes decode to raw bytes
+    assert t.decode(t.encode("AB\t\n", add_bos=False)) == "AB\t\n"
+    # unknown byte -> unk id (0 fallback) and single-byte advance
+    ids = t.encode("a#b", add_bos=False)
+    assert ids[0] == toks.index("a") and ids[-1] == toks.index("b")
