@@ -269,6 +269,12 @@ def generate_speculative(
 
         # ---- verify: evaluate [cur] + proposal in ONE chunk
         block = [cur] + proposal
+        # recurrent-state checkpoint: SSM/hybrid caches cannot rewind by
+        # pointer, so keep the pre-verify state (jax arrays are immutable
+        # -> a reference IS a checkpoint) and replay the accepted prefix
+        # on partial acceptance — the analogue of the reference's
+        # recurrent state checkpoint ring for speculative decode
+        kv_ckpt, np_ckpt = (kv, n_past) if target.recurrent else (None, None)
         logits_all, kv, n_past = target.eval_tokens(block, kv, n_past,
                                                     all_logits=True)
         # position j of logits_all predicts block[j+1]
@@ -299,7 +305,13 @@ def generate_speculative(
         # rewind target cache past the rejected tail: keep n_past at the
         # position after the last ACCEPTED token
         consumed = 1 + n_acc  # cur + accepted
-        n_past = n_past - (len(block) - consumed)
+        if target.recurrent and consumed != len(block):
+            # rebuild the recurrent state from the checkpoint over the
+            # accepted prefix only (positional rewind is not enough)
+            _, kv, n_past = target.eval_tokens(block[:consumed], kv_ckpt,
+                                               np_ckpt)
+        else:
+            n_past = n_past - (len(block) - consumed)
         if draft is not None:
             # rewind draft cache likewise (it advanced len(proposal)+1)
             d_n_past = d_n_past - (len(proposal) - n_acc)

@@ -354,7 +354,10 @@ class BatchEngine:
                 time.sleep(0.002)
                 continue
             drafts = {}
-            if self.spec is not None:
+            # recurrent models: the batched verify cannot roll back SSM
+            # state after a rejected draft (no per-slot checkpoint in the
+            # shared batch cache yet) -> plain decode
+            if self.spec is not None and not self.rt.recurrent:
                 for s in gen:
                     if s.drafter is None:
                         s.drafter = self._new_drafter()

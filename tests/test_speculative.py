@@ -106,3 +106,21 @@ def test_mtp_stage_matches_plain_greedy(tmp_path):
                                           n_draft=3, stop_at_eos=False)
     assert spec == plain, (spec, plain)
     assert stats.n_draft > 0
+
+
+def test_speculative_recurrent_state_checkpoint(tmp_path):
+    """SSM models cannot positionally rewind their recurrent state after a
+    rejected draft; the verify loop must restore the pre-verify checkpoint
+    and replay the accepted prefix. Greedy spec output must match plain
+    greedy generation exactly."""
+    from fixtures import make_tiny_mamba_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
+    p = make_tiny_mamba_gguf(tmp_path / "m.gguf", seed=5)
+    rt = Runtime.from_gguf(p)
+    assert rt.recurrent
+    prompt = [5, 9, 12, 30, 41]
+    _, plain = rt.generate(prompt, max_new_tokens=16)
+    _, spec, stats = generate_speculative(rt, prompt, 16, stage="ngram",
+                                          n_draft=4, stop_at_eos=False)
+    assert spec[:len(plain)] == plain[:len(spec)]
