@@ -292,9 +292,16 @@ def bench_moe(tm, on_tpu):
     tg_once(0)
     times = [tg_once(i + 1) for i in range(2)]
     t_tg = max(min(times) - tm.floor, 1e-9) / N_TG
+    full_depth = 48 if on_tpu else NL
     return {
         "moe_pp_tps": round(T / t_pp, 1),
         "moe_tg_tps": round(1.0 / t_tg, 2),
+        # depth-normalized: times scale linearly in layer count, so the
+        # L48-equivalent number is the one comparable to BASELINE.md's
+        # Qwen3-30B-A3B rows (CPU 26.35 t/s, RTX-4080 68.68 t/s)
+        "moe_tg_tps_l48_equiv": round(1.0 / t_tg * NL / full_depth, 2),
+        "moe_tg_vs_cpu_baseline": round(
+            (1.0 / t_tg * NL / full_depth) / 26.35, 2),
         "moe_config": f"L{NL}/48 E2048 experts128 top8 ffexp768 int8-planar",
     }
 

@@ -151,6 +151,44 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
         idx = jnp.where(owned, local, 0)
         w = jnp.where(owned, w, 0.0)
 
+    quant = isinstance(experts, QuantExpertWeights)
+    if (quant and t <= 8 and experts.gate_group == experts.up_group):
+        # decode / small spec-verify batch: scalar-prefetched active-expert
+        # kernels (ops/moe_decode.py) — the iqk_moe_fused_up_gate TG path /
+        # -ooae analogue.  No sorting, static grid, exactly P expert slabs
+        # streamed from HBM.
+        from .moe_decode import (moe_decode_down, moe_decode_gate_up,
+                                 moe_decode_ref)
+        if jax.default_backend() == "cpu":
+            out = moe_decode_ref(x, w, idx, experts, activation=activation,
+                                 act_limit=act_limit,
+                                 weight_before_ffn=weight_before_ffn)
+        else:
+            ids = idx.reshape(-1)
+            xp = jnp.repeat(x.astype(jnp.bfloat16), k, axis=0)
+            if weight_before_ffn:
+                xp = xp * w.reshape(-1)[:, None].astype(jnp.bfloat16)
+            h = moe_decode_gate_up(
+                xp, ids, experts.gate, experts.gate_s, experts.up,
+                experts.up_s, gate_b=experts.gate_b, up_b=experts.up_b,
+                group=experts.gate_group, activation=activation,
+                act_limit=act_limit)
+            if not weight_before_ffn:
+                h = (h.astype(jnp.float32)
+                     * w.reshape(-1)[:, None]).astype(jnp.bfloat16)
+            out = moe_decode_down(h, ids, experts.down, experts.down_s,
+                                  top_k=k, group=experts.down_group)
+            if experts.down_b is not None:
+                db = experts.down_b[ids].reshape(t, k, -1).astype(
+                    jnp.float32)
+                if weight_before_ffn:
+                    out = out + jnp.sum(db, axis=1)
+                else:
+                    out = out + jnp.sum(db * w[:, :, None], axis=1)
+        if ep_axis is not None:
+            out = jax.lax.psum(out, ep_axis)
+        return out
+
     flat_ids = idx.reshape(-1)                       # (T*k,)
     order = jnp.argsort(flat_ids)                    # stable
     inv_order = jnp.argsort(order)
@@ -164,7 +202,6 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
     group_sizes = jnp.bincount(flat_ids, length=n_expert).astype(jnp.int32)
 
     sorted_ids = flat_ids[order]
-    quant = isinstance(experts, QuantExpertWeights)
     if quant:
         xs = xs.astype(jnp.bfloat16)
         g = _ragged_qmm(xs, experts.gate, experts.gate_s, group_sizes,

@@ -1,0 +1,149 @@
+"""Differential tests for the decode-specialized fused MoE kernels
+(ops/moe_decode.py) — kernel (interpret mode) vs jnp oracle, plus
+moe_ffn-level equivalence between the decode path and the ragged PP path.
+
+The reference analogue is the iqk_moe_fused_up_gate TG path (ggml.c:18593)
+compared against the generic mul_mat_id path in test-backend-ops."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ik_llama_cpp_tpu.ops.moe import (GATING_SIGMOID, GATING_SOFTMAX,
+                                      QuantExpertWeights, moe_ffn)
+from ik_llama_cpp_tpu.ops.moe_decode import (moe_decode_down,
+                                             moe_decode_gate_up,
+                                             moe_decode_ref)
+
+
+def _mk_experts(g, k, f, group=32, seed=0, bias=False):
+    rng = np.random.default_rng(seed)
+
+    def q(shape_k, shape_n):
+        codes = rng.integers(-127, 128, size=(g, shape_k, shape_n),
+                             dtype=np.int8)
+        scale = (rng.standard_normal((g, shape_k // group, shape_n))
+                 * 0.02).astype(np.float32)
+        return jnp.asarray(codes), jnp.asarray(scale)
+
+    gc, gs = q(k, f)
+    uc, us = q(k, f)
+    dc, ds = q(f, k)
+    kw = {}
+    if bias:
+        kw = dict(
+            gate_b=jnp.asarray(rng.standard_normal((g, f)), jnp.float32),
+            up_b=jnp.asarray(rng.standard_normal((g, f)), jnp.float32),
+            down_b=jnp.asarray(rng.standard_normal((g, k)), jnp.float32),
+        )
+    return QuantExpertWeights(gc, gs, uc, us, dc, ds, gate_group=group,
+                              up_group=group, down_group=group, **kw)
+
+
+@pytest.mark.parametrize("t,topk,g,k,f,group", [
+    (1, 4, 8, 128, 96, 32),       # single-token decode
+    (4, 2, 8, 96, 64, 32),        # small spec-verify batch
+    (2, 3, 5, 320, 160, 32),      # unaligned dims, odd top_k
+])
+def test_gate_up_matches_oracle(t, topk, g, k, f, group):
+    rng = np.random.default_rng(1)
+    ew = _mk_experts(g, k, f, group)
+    x = jnp.asarray(rng.standard_normal((t, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, g, (t, topk)), jnp.int32)
+    ids = idx.reshape(-1)
+    xp = jnp.repeat(x.astype(jnp.bfloat16), topk, axis=0)
+    h = moe_decode_gate_up(xp, ids, ew.gate, ew.gate_s, ew.up, ew.up_s,
+                           group=group, block_k=64, block_f=128,
+                           interpret=True)
+
+    def dq(codes, scale):
+        s = jnp.repeat(scale, group, axis=1).astype(jnp.bfloat16)
+        return codes.astype(jnp.bfloat16) * s
+
+    gate = dq(ew.gate[ids], ew.gate_s[ids])
+    up = dq(ew.up[ids], ew.up_s[ids])
+    gg = jnp.einsum("pk,pkf->pf", xp, gate,
+                    preferred_element_type=jnp.float32)
+    uu = jnp.einsum("pk,pkf->pf", xp, up,
+                    preferred_element_type=jnp.float32)
+    ref = ((gg * jax.nn.sigmoid(gg)) * uu).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(h, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t,topk,g,f,e,group", [
+    (1, 4, 8, 96, 128, 32),
+    (3, 2, 6, 320, 192, 32),
+])
+def test_down_matches_oracle(t, topk, g, f, e, group):
+    rng = np.random.default_rng(2)
+    codes = jnp.asarray(rng.integers(-127, 128, (g, f, e), np.int8))
+    scale = jnp.asarray(rng.standard_normal((g, f // group, e)) * 0.02,
+                        jnp.float32)
+    hw = jnp.asarray(rng.standard_normal((t * topk, f)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, g, t * topk), jnp.int32)
+    out = moe_decode_down(hw, ids, codes, scale, top_k=topk, group=group,
+                          block_f=64, block_e=128, interpret=True)
+    s = jnp.repeat(scale, group, axis=1).astype(jnp.bfloat16)
+    w = (codes.astype(jnp.bfloat16) * s)[ids]
+    y = jnp.einsum("pf,pfe->pe", hw, w, preferred_element_type=jnp.float32)
+    ref = y.reshape(t, topk, e).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("gating,bias,wbf", [
+    (GATING_SOFTMAX, False, False),
+    (GATING_SIGMOID, True, False),    # gpt-oss-style expert biases
+    (GATING_SIGMOID, False, True),    # llama4 weight_before_ffn
+])
+def test_moe_ffn_decode_path_matches_ragged(gating, bias, wbf):
+    """moe_ffn at t<=8 (decode kernel path / CPU oracle) must agree with the
+    ragged PP path on the same inputs."""
+    t, g, k, f, topk, group = 2, 8, 128, 96, 3, 32
+    rng = np.random.default_rng(5)
+    ew = _mk_experts(g, k, f, group, bias=bias)
+    x = jnp.asarray(rng.standard_normal((t, k)) * 0.3, jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((t, g)), jnp.float32)
+    act = "swiglu_oai" if bias else "silu"
+    kw = dict(gating=gating, activation=act, weight_before_ffn=wbf)
+    out_decode = moe_ffn(x, logits, ew, topk, **kw)
+
+    # ragged path: replicate tokens past the decode threshold
+    reps = 5
+    xr = jnp.tile(x, (reps, 1))
+    lr = jnp.tile(logits, (reps, 1))
+    out_ragged = moe_ffn(xr, lr, ew, topk, **kw)[:t]
+    # the two paths use different accumulation orders (bf16 h pre-weighting
+    # vs f32 output weighting) — compare by normalized error like the
+    # reference's ggml_backend_compare_graph_backend NMSE check
+    a, b = np.asarray(out_decode, np.float64), np.asarray(out_ragged,
+                                                          np.float64)
+    nmse = np.sum((a - b) ** 2) / max(np.sum(b ** 2), 1e-12)
+    assert nmse < 1e-4, nmse
+
+
+def test_decode_ref_matches_kernels_end_to_end():
+    """oracle (moe_decode_ref) vs the two kernels chained, silu path."""
+    t, topk, g, k, f, group = 2, 3, 6, 128, 96, 32
+    rng = np.random.default_rng(7)
+    ew = _mk_experts(g, k, f, group)
+    x = jnp.asarray(rng.standard_normal((t, k)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.random((t, topk)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, g, (t, topk)), jnp.int32)
+
+    ref = moe_decode_ref(x, w, idx, ew)
+
+    ids = idx.reshape(-1)
+    xp = jnp.repeat(x.astype(jnp.bfloat16), topk, axis=0)
+    h = moe_decode_gate_up(xp, ids, ew.gate, ew.gate_s, ew.up, ew.up_s,
+                           group=group, block_k=64, block_f=128,
+                           interpret=True)
+    hw = (h.astype(jnp.float32) * w.reshape(-1)[:, None]).astype(
+        jnp.bfloat16)
+    out = moe_decode_down(hw, ids, ew.down, ew.down_s, top_k=topk,
+                          group=group, block_f=64, block_e=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
