@@ -209,7 +209,9 @@ def build_moe_device_params(cfg, key):
         return jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
 
     def scales(k, shape):
-        return (jax.random.normal(k, shape) * 0.008).astype(jnp.float32)
+        # bf16 like the loader (models/weights.py): kernels round scales to
+        # bf16 in-register, so bf16 HBM storage is numerically identical
+        return (jax.random.normal(k, shape) * 0.008).astype(jnp.bfloat16)
 
     def qlin(kin, kout):
         k1, k2 = jax.random.split(next(ks))

@@ -318,7 +318,9 @@ def _planar_stacked(info):
         codes.reshape(n_expert, n, k).transpose(0, 2, 1))       # (G, K, N)
     scale = np.ascontiguousarray(
         scale.reshape(n_expert, n, k // group).transpose(0, 2, 1))
-    return jnp.asarray(codes), jnp.asarray(scale), group
+    # bf16 scale storage: numerically identical (kernels round scales to
+    # bf16 in-register), half the scale HBM traffic
+    return jnp.asarray(codes), jnp.asarray(scale, jnp.bfloat16), group
 
 
 def _load_experts(t, prefix: str, *, use_quant: bool = True):

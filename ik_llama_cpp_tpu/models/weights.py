@@ -218,8 +218,14 @@ def load_linear(info: GGUFTensorInfo, *, use_quant: bool = True) -> QLinear | De
             pw = planar_decode(info.data, info.ggml_type, k)
             codes_np, scale_np, bias_np, group = pw.codes, pw.scale, pw.bias, pw.group
         codes_t = np.ascontiguousarray(codes_np.T)                     # (K, N)
-        scale = jnp.asarray(np.ascontiguousarray(scale_np.T))          # (K//G, N)
-        bias = None if bias_np is None else jnp.asarray(np.ascontiguousarray(bias_np.T))
+        # scales/biases stored bf16 in HBM: the matmul kernels round them to
+        # bf16 in-register anyway (qmatmul_ref contract), so this is
+        # numerically identical while cutting scale traffic in half —
+        # 12.5% (G=32) / 25% (G=16) of code bytes down to 6.25% / 12.5%
+        scale = jnp.asarray(np.ascontiguousarray(scale_np.T),
+                            jnp.bfloat16)                              # (K//G, N)
+        bias = None if bias_np is None else jnp.asarray(
+            np.ascontiguousarray(bias_np.T), jnp.bfloat16)
         p4 = pack_int4(codes_t) if _PACK_INT4 else None
         if p4 is not None:
             packed, lut = p4
@@ -241,16 +247,19 @@ def scale_linear(lin, s):
     1-D (N,) array broadcast over output channels."""
     import numpy as _np
     s = jnp.asarray(s, jnp.float32).reshape(-1)   # () or (N,)
+
+    def _mul(a):
+        # multiply in f32, store back in the array's dtype (bf16 scales)
+        if a is None:
+            return None
+        out = a.astype(jnp.float32) * (s[None, :] if s.size > 1 else s[0])
+        return out.astype(a.dtype)
+
     if isinstance(lin, QLinearI4):
-        scale = lin.scale * s[None, :] if s.size > 1 else lin.scale * s[0]
-        bias = None if lin.bias is None else (
-            lin.bias * s[None, :] if s.size > 1 else lin.bias * s[0])
-        return QLinearI4(lin.packed, scale, bias, lin.group, lin.lut16)
+        return QLinearI4(lin.packed, _mul(lin.scale), _mul(lin.bias),
+                         lin.group, lin.lut16)
     if isinstance(lin, QLinear):
-        scale = lin.scale * s[None, :] if s.size > 1 else lin.scale * s[0]
-        bias = None if lin.bias is None else (
-            lin.bias * s[None, :] if s.size > 1 else lin.bias * s[0])
-        return QLinear(lin.codes, scale, bias, lin.group)
+        return QLinear(lin.codes, _mul(lin.scale), _mul(lin.bias), lin.group)
     w = lin.w.astype(jnp.float32) * (s[None, :] if s.size > 1 else s[0])
     return DenseLinear(w.astype(lin.w.dtype))
 

@@ -29,6 +29,30 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _make_tile_clamp(ts: int, tq: int, h: int, swa: int, attn_chunk: int):
+    """KV-tile index clamp for the BlockSpec index maps.
+
+    Dead tiles (beyond the cache fill / after the causal frontier / entirely
+    before the SWA window or llama4 chunk) are mapped to the nearest live
+    tile: Pallas skips the DMA when consecutive grid steps resolve to the
+    same block index, so attention HBM traffic scales with the FILLED cache
+    (bounded by the window), not its capacity — the fix for TG throughput
+    degrading with context (reference sweep-bench behaviour)."""
+    def clamp(bh, i, j, qpos, kvlen):
+        batch = bh // h
+        q_lo = qpos[batch] + i * tq
+        last = jnp.minimum((kvlen[batch] - 1) // ts,
+                           (q_lo + tq - 1) // ts)
+        first = jnp.int32(0)
+        if swa > 0:
+            first = jnp.maximum(first, (q_lo - swa + 1) // ts)
+        if attn_chunk > 0:
+            first = jnp.maximum(first, (q_lo // attn_chunk)
+                                * attn_chunk // ts)
+        return jnp.clip(j, jnp.maximum(first, 0), jnp.maximum(last, 0))
+    return clamp
+
+
 def _fa_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts, d,
                dv, h, has_sinks=False, attn_chunk=0):
     if has_sinks:
@@ -69,8 +93,14 @@ def _fa_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts, d,
         mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
 
     # skip fully-masked tiles: first key of tile > last query position, or
-    # tile beyond cache fill
+    # tile beyond cache fill, or tile entirely before the SWA window /
+    # llama4 chunk of every query row in this q-tile
     tile_live = (j * ts <= q_pos0 + i * tq + tq - 1) & (j * ts < kv_len)
+    if swa > 0:
+        tile_live &= j * ts + ts - 1 > q_pos0 + i * tq - swa
+    if attn_chunk > 0:
+        tile_live &= (j * ts + ts - 1
+                      >= ((q_pos0 + i * tq) // attn_chunk) * attn_chunk)
 
     @pl.when(tile_live)
     def _():
@@ -122,7 +152,9 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
     rep = h // hkv
 
     tq = min(block_q, max(8, 1 << (t - 1).bit_length()))
-    ts = min(block_kv, s)
+    # decode shapes: small KV tiles so traffic overshoots the cache fill by
+    # at most one tile (the tile clamp skips dead-tile DMAs entirely)
+    ts = min(block_kv if t > 16 else 512, s)
     dp = -(-max(d, 128) // 128) * 128    # pad head dims to lane width
     dvp = -(-max(dv, 128) // 128) * 128
 
@@ -138,42 +170,49 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
     grid = (b * h, tpad // tq, spad // ts)
 
-    in_prefix = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos0 (B,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_len (B,)
-    ]
+    clamp = _make_tile_clamp(ts, tq, h, swa_window, attn_chunk)
+
+    def q_map(bh, i, j, qpos, kvlen):
+        return bh, i, 0
+
+    def kv_map(bh, i, j, qpos, kvlen, _rep=rep, _h=h, _hkv=hkv):
+        return ((bh // _h) * _hkv + (bh % _h) // _rep,
+                clamp(bh, i, j, qpos, kvlen), 0)
+
+    def o_map(bh, i, j, qpos, kvlen):
+        return bh, i, 0
+
     args_prefix = [
         jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
         jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
     ]
+    in_specs = []
     if sinks is not None:
-        in_prefix.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # sinks (H,)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # sinks (H,)
         args_prefix.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+    in_specs += [
+        pl.BlockSpec((1, tq, dp), q_map),
+        pl.BlockSpec((1, ts, dp), kv_map),
+        pl.BlockSpec((1, ts, dvp), kv_map),
+    ]
 
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, softcap=softcap,
                           swa=swa_window, attn_chunk=attn_chunk,
                           tq=tq, ts=ts, d=dp, dv=dvp, h=h,
                           has_sinks=sinks is not None),
-        grid=grid,
-        in_specs=in_prefix + [
-            pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, dp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
-                         ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, dvp), lambda bh, i, j, _rep=rep, _h=h, _hkv=hkv:
-                         ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tq, dvp), lambda bh, i, j: (bh, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, tq, dvp), o_map),
+            scratch_shapes=[
+                pltpu.VMEM((tq, dvp), jnp.float32),
+                pltpu.VMEM((tq, 128), jnp.float32),
+                pltpu.VMEM((tq, 128), jnp.float32),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, tpad, dvp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tq, dvp), jnp.float32),
-            pltpu.VMEM((tq, 128), jnp.float32),
-            pltpu.VMEM((tq, 128), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -211,6 +250,11 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         # llama4 chunked attention (llama.cpp:5334 pos_chunk_start)
         mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
     tile_live = (j * ts <= q_pos0 + i * tq + tq - 1) & (j * ts < kv_len)
+    if swa > 0:
+        tile_live &= j * ts + ts - 1 > q_pos0 + i * tq - swa
+    if attn_chunk > 0:
+        tile_live &= (j * ts + ts - 1
+                      >= ((q_pos0 + i * tq) // attn_chunk) * attn_chunk)
 
     @pl.when(tile_live)
     def _():
@@ -259,7 +303,7 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
     rep = h // hkv
 
     tq = min(block_q, max(8, 1 << (t - 1).bit_length()))
-    ts = min(block_kv, s)
+    ts = min(block_kv if t > 16 else 512, s)
     assert ts % 128 == 0 or interpret, "q8 KV needs block_kv multiple of 128"
     dp = -(-max(d, 128) // 128) * 128
     dvp = -(-max(dv, 128) // 128) * 128
@@ -278,35 +322,44 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
     spad = kr.shape[1]
     grid = (b * h, tpad // tq, spad // ts)
 
-    def kv_map(bh, i, j, _rep=rep, _h=h, _hkv=hkv):
-        return ((bh // _h) * _hkv + (bh % _h) // _rep, j, 0)
+    clamp = _make_tile_clamp(ts, tq, h, swa_window, attn_chunk)
 
-    def kvs_map(bh, i, j, _rep=rep, _h=h, _hkv=hkv):
-        return ((bh // _h) * _hkv + (bh % _h) // _rep, j)
+    def q_map(bh, i, j, qpos, kvlen):
+        return bh, i, 0
+
+    def kv_map(bh, i, j, qpos, kvlen, _rep=rep, _h=h, _hkv=hkv):
+        return ((bh // _h) * _hkv + (bh % _h) // _rep,
+                clamp(bh, i, j, qpos, kvlen), 0)
+
+    def kvs_map(bh, i, j, qpos, kvlen, _rep=rep, _h=h, _hkv=hkv):
+        return ((bh // _h) * _hkv + (bh % _h) // _rep,
+                clamp(bh, i, j, qpos, kvlen))
+
+    def o_map(bh, i, j, qpos, kvlen):
+        return bh, i, 0
 
     out = pl.pallas_call(
         functools.partial(_fa_q8_kernel, scale=scale, softcap=softcap,
                           attn_chunk=attn_chunk,
                           swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tq, dp), lambda bh, i, j: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, dp), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), kvs_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, dvp), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), kvs_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tq, dvp), lambda bh, i, j: (bh, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tq, dp), q_map),
+                pl.BlockSpec((1, ts, dp), kv_map),
+                pl.BlockSpec((1, ts), kvs_map),
+                pl.BlockSpec((1, ts, dvp), kv_map),
+                pl.BlockSpec((1, ts), kvs_map),
+            ],
+            out_specs=pl.BlockSpec((1, tq, dvp), o_map),
+            scratch_shapes=[
+                pltpu.VMEM((tq, dvp), jnp.float32),
+                pltpu.VMEM((tq, 128), jnp.float32),
+                pltpu.VMEM((tq, 128), jnp.float32),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, tpad, dvp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tq, dvp), jnp.float32),
-            pltpu.VMEM((tq, 128), jnp.float32),
-            pltpu.VMEM((tq, 128), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -44,9 +44,12 @@ def _pair_kernel(group: int):
             acc_h[...] = jnp.zeros_like(acc_h)
 
         tk, tn = w_ref.shape
-        w16 = w_ref[...]
-        lo = ((w16 << 8) >> 8).astype(jnp.bfloat16)   # sign-extended low byte
-        hi = (w16 >> 8).astype(jnp.bfloat16)          # arithmetic high byte
+        # Mosaic cannot legalize 16-bit shifts (arith.shli on i16); do the
+        # byte split in i32 — the experiment then only tests whether 16-bit
+        # HBM/VMEM loads beat int8 loads, not 16-bit ALU density.
+        w16 = w_ref[...].astype(jnp.int32)
+        lo = ((w16 << 24) >> 24).astype(jnp.bfloat16)  # sign-extended low byte
+        hi = ((w16 << 16) >> 24).astype(jnp.bfloat16)  # sign-extended high byte
         sl = sl_ref[...].astype(jnp.bfloat16)[:, None, :]
         sh = sh_ref[...].astype(jnp.bfloat16)[:, None, :]
         wl = (lo.reshape(tk // group, group, tn) * sl).reshape(tk, tn)
@@ -110,22 +113,48 @@ def pack_pairs(codes: np.ndarray) -> np.ndarray:
     return (lo | (hi << 8)).astype(np.uint16).view(np.int16)
 
 
-def _time_scan(step, x, ws, iters=3):
-    @jax.jit
-    def run(x, ws):
-        def body(c, w):
-            y = step(c, w)
-            return (c + y[:, : c.shape[1]] * 1e-12).astype(c.dtype), ()
-        c, _ = lax.scan(body, x, ws)
-        return c
+def _fetch_floor():
+    """Axon tunnel round-trip floor (dispatch + tiny fetch).
 
-    run(x, ws).block_until_ready()
+    NOTE: under the axon tunnel, block_until_ready() resolves lazily — only
+    a D2H fetch (np.asarray) actually forces execution, so all timing here
+    is fetch-to-fetch."""
+    z = jnp.zeros((4,), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    np.asarray(f(z))
     best = 1e9
-    for _ in range(iters):
+    for i in range(5):
         t0 = time.perf_counter()
-        run(x, ws).block_until_ready()
+        np.asarray(f(z + np.float32(i)))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _time_scan(step, x, ws, iters=3, repeats=8):
+    L = jax.tree_util.tree_leaves(ws)[0].shape[0]
+
+    @jax.jit
+    def run(x, ws):
+        def outer(c, _):
+            def body(c, w):
+                y = step(c, w)
+                return (c + y[:, : c.shape[1]] * 1e-12).astype(c.dtype), ()
+            c, _ = lax.scan(body, c, ws)
+            return c, ()
+        c, _ = lax.scan(outer, x, None, length=repeats)
+        return c[:1, :4]
+
+    np.asarray(run(x, ws))       # compile + warmup (forced by the fetch)
+    floor = _fetch_floor()
+    best = 1e9
+    for i in range(iters):
+        # fresh input each run: the axon tunnel content-dedups identical
+        # executions, so a repeated identical call would return cached
+        xi = x + np.float32(i + 1) * 1e-3
+        t0 = time.perf_counter()
+        np.asarray(run(xi, ws))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - floor, 1e-9) / (L * repeats)
 
 
 def main():
@@ -165,7 +194,7 @@ def main():
                                         preferred_element_type=jnp.float32)
         else:
             raise SystemExit(f"unknown variant {variant}")
-        t = _time_scan(step, x, ws) / L
+        t = _time_scan(step, x, ws)
         bytes_streamed = gb if variant != "xla-bf16" else 2 * gb
         results[variant] = (t * 1e6, bytes_streamed / t)
         print(f"{variant:12s}  {t*1e6:8.1f} us/matmul   "
