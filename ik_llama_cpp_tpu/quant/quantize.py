@@ -401,11 +401,13 @@ def quantize_f32(x: np.ndarray, imatrix=None) -> np.ndarray:
 from .quantize_iqk import IQK_QUANTIZE_FNS  # noqa: E402  (cycle-free)
 from .quantize_kt import KT_QUANTIZE_FNS  # noqa: E402
 from .quantize_extra import EXTRA_QUANTIZE_FNS  # noqa: E402
+from .quantize_iquants import IQUANT_QUANTIZE_FNS  # noqa: E402
 
 QUANTIZE_FNS = {
     **IQK_QUANTIZE_FNS,
     **KT_QUANTIZE_FNS,
     **EXTRA_QUANTIZE_FNS,
+    **IQUANT_QUANTIZE_FNS,
     GGMLType.F32: quantize_f32,
     GGMLType.F16: quantize_f16,
     GGMLType.BF16: quantize_bf16,
