@@ -221,6 +221,12 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
         rope_base_swa = 10000.0
         final_softcap = float(a("final_logit_softcapping", 30.0))
         f_attn_scale = 1.0
+    elif arch in ("gemma4_mtp", "gemma4-assistant"):
+        # gemma4 MTP/assistant draft tier (llama-hparams.cpp:878-905):
+        # raw scores, no softcap, SWA pattern + eps read normally
+        qk_norm = True
+        rope_base_swa = 10000.0
+        f_attn_scale = 1.0
     moe_act = "silu"
     norm_type = "rms"
     residual_scale = 0.0
@@ -538,6 +544,18 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                 "n_embd_per_layer": int(
                     a("embedding_length_per_layer_input", 0))}
                if arch == "gemma4" else
+               # gemma4 MTP / assistant draft (llama-hparams.cpp:878-905);
+               # the assistant spells its keys gemma4-assistant.*_out /
+               # n_centroids — a() prefixes the arch either way
+               {"mtp_backbone_n_embd": int(
+                   a("backbone_embedding_length",
+                     a("embedding_length_out", 0))),
+                "mtp_num_centroids": int(a("centroid_count",
+                                           a("n_centroids", 0))),
+                "mtp_centroid_top_k": int(a("centroid_top_k", 0)),
+                "mtp_use_ordered_embeddings": bool(
+                    a("use_ordered_embeddings", False))}
+               if arch in ("gemma4_mtp", "gemma4-assistant") else
                # dflash draft metadata (llama-hparams.cpp:905-927)
                {"block_size": int(a("dflash.block_size", 8)),
                 "mask_token_id": int(a("dflash.mask_token_id", 0)),

@@ -308,3 +308,168 @@ def forward(params, cfg: ModelConfig, tokens, kv: Gemma4Cache, n_past,
     if cfg.final_softcap > 0:
         logits = L.softcap(logits, cfg.final_softcap)
     return logits, kv
+
+
+# ---------------------------------------------------------------------------
+# Gemma4 MTP / assistant draft model (build_gemma4_mtp,
+# src/graphs/build_gemma4.cpp:533-905): a small Q-only transformer that
+# attends INTO the target gemma4 model's KV cache (frozen — the draft never
+# appends KV) and maps target hidden states to next-token logits.
+#   input:  concat(target_tok_embd[ids] * sqrt(n_backbone), target_hidden)
+#           @ mtp_pre_proj
+#   layer i: rms/Q-proj/q-norm/rope(Q at the TARGET's freq base), FA over
+#           the target cache layer matched by SWA-ness
+#           (gemma4_mtp_target_kv_layer, build_gemma4.cpp:5-22), raw scores
+#           (f_attention_scale = 1.0), gemma gelu-par dense FFN, out_scale
+#   output: norm -> mtp_post_proj (hidden export for chained drafting) and
+#           tied-embedding logits (centroid tensors optional & unused —
+#           build_gemma4.cpp:886-889)
+# gemma4-assistant is the same graph with `nextn.*` tensor names
+# (llama-load-tensors.cpp:2290-2297).
+# ---------------------------------------------------------------------------
+
+def load_gemma4_mtp_params(gg: GGUFModel, cfg: ModelConfig, *,
+                           use_quant: bool = True):
+    t = gg.tensors
+    assistant = cfg.arch == "gemma4-assistant"
+
+    def tn(mtp_name, nextn_name):
+        return nextn_name if assistant else mtp_name
+
+    params: dict[str, Any] = {
+        "tok_embd": jnp.asarray(np.ascontiguousarray(
+            dequant_tensor(t["token_embd.weight"])), jnp.bfloat16),
+        "output_norm": load_dense(t["output_norm.weight"]),
+        "mtp_pre_proj": load_linear(
+            t[tn("mtp_pre_proj.weight", "nextn.pre_projection.weight")],
+            use_quant=use_quant),
+        "mtp_post_proj": load_linear(
+            t[tn("mtp_post_proj.weight", "nextn.post_projection.weight")],
+            use_quant=use_quant),
+    }
+    if "rope_freqs.weight" in t:
+        params["rope_freqs"] = load_dense(t["rope_freqs.weight"])
+    # kept-for-future-use tensors (not needed for inference)
+    for key, nm in (("mtp_centroids",
+                     tn("mtp_centroids.weight", "mtp.centroids.weight")),
+                    ("mtp_token_ordering",
+                     tn("mtp_token_ordering.weight",
+                        "mtp.token_ordering.weight"))):
+        if nm in t:
+            params[key] = load_dense(t[nm])
+    blocks = []
+    for i in range(cfg.n_layer):
+        p = f"blk.{i}."
+        blk = {
+            "attn_norm": load_dense(t[p + "attn_norm.weight"]),
+            "wq": load_linear(t[p + "attn_q.weight"], use_quant=use_quant),
+            "wo": load_linear(t[p + "attn_output.weight"],
+                              use_quant=use_quant),
+            "attn_q_norm": load_dense(t[p + "attn_q_norm.weight"]),
+            "attn_post_norm": load_dense(t[p + "post_attention_norm.weight"]),
+            "ffn_norm": load_dense(t[p + "ffn_norm.weight"]),
+            "ffn_gate": load_linear(t[p + "ffn_gate.weight"],
+                                    use_quant=use_quant),
+            "ffn_up": load_linear(t[p + "ffn_up.weight"],
+                                  use_quant=use_quant),
+            "ffn_down": load_linear(t[p + "ffn_down.weight"],
+                                    use_quant=use_quant),
+            "ffn_post_norm": load_dense(t[p + "post_ffw_norm.weight"]),
+        }
+        if p + "layer_output_scale.weight" in t:
+            blk["out_scale"] = load_dense(t[p + "layer_output_scale.weight"])
+        blocks.append(blk)
+    params["blocks"] = blocks
+    return params
+
+
+def gemma4_mtp_target_kv_layer(cfg: ModelConfig, target_cfg: ModelConfig,
+                               il: int) -> int:
+    """Last target KV layer whose SWA-ness matches draft layer il
+    (build_gemma4.cpp:5-22)."""
+    is_sliding = cfg.layer_is_swa(il)
+    n_kv = int((target_cfg.extra or {}).get("n_kv_layers",
+                                            target_cfg.n_layer))
+    for tl in reversed(range(n_kv)):
+        if target_cfg.layer_is_swa(tl) == is_sliding:
+            return tl
+    raise ValueError("no matching target KV layer for gemma4 MTP")
+
+
+def gemma4_mtp_forward(params, cfg: ModelConfig, tokens, hidden,
+                       target_kv: Gemma4Cache, n_past, target_kv_len,
+                       target_cfg: ModelConfig, *, target_tok_embd=None,
+                       interpret: bool = False):
+    """tokens (B, T) i32 draft tokens at positions n_past..n_past+T-1;
+    hidden (B, T, n_backbone) f32 target hidden states per token;
+    target_tok_embd: the TARGET model's embedding table (n_vocab,
+    n_backbone) — the pre-projection input embeds through the target's
+    table, not the draft's (build_gemma4.cpp:577 target_model.tok_embd).
+    Returns (logits (B, T, V) f32, mtp_embd (B, T, n_backbone) f32)."""
+    b, t = tokens.shape
+    eps = cfg.rms_eps
+    nb = int((cfg.extra or {}).get("mtp_backbone_n_embd", cfg.n_embd))
+    d = cfg.head_dim
+    h_n = cfg.n_head
+
+    tte = params["tok_embd"] if target_tok_embd is None else target_tok_embd
+    emb = tte[tokens].astype(jnp.float32) * math.sqrt(nb)
+    x = jnp.concatenate([emb, hidden.astype(jnp.float32)], axis=-1)
+    x = params["mtp_pre_proj"](x.astype(jnp.bfloat16),
+                               interpret=interpret).astype(jnp.float32)
+
+    npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
+    q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    kv_len = jnp.broadcast_to(jnp.asarray(target_kv_len,
+                                          jnp.int32).reshape(-1), (b,))
+
+    # rope at the TARGET's frequencies (build_gemma4.cpp:797-800)
+    rope_dims = cfg.rope_dim or d
+    ff = params.get("rope_freqs")
+    pos_f = q_pos.astype(jnp.float32)[..., None]
+    half = rope_dims // 2
+    dims = jnp.arange(0, half, dtype=jnp.float32)
+    theta = pos_f / (target_cfg.rope_freq_base ** (dims / half))
+    if ff is not None:
+        theta = theta / ff.astype(jnp.float32)[:half]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    base_swa = target_cfg.rope_freq_base_swa or 10000.0
+    cos_swa, sin_swa = L.rope_cache(q_pos, rope_dims, base_swa)
+
+    for i, blk in enumerate(params["blocks"]):
+        is_swa = cfg.layer_is_swa(i)
+        window = (target_cfg.swa_window if is_swa else 0)
+        c_l, s_l = (cos_swa, sin_swa) if is_swa else (cos, sin)
+        tl = gemma4_mtp_target_kv_layer(cfg, target_cfg, i)
+
+        h = L.rms_norm(x, blk["attn_norm"], eps)
+        q = _lin(blk, "wq", h, interpret).reshape(b, t, h_n, d)
+        q = L.rms_norm(q, blk["attn_q_norm"], eps)
+        q = L.apply_rope(q, c_l, s_l, L.ROPE_TYPE_NEOX)
+        kc = target_kv.k[tl][..., :d]
+        vc = target_kv.v[tl][..., :d]
+        attn = attend(q, kc, vc, q_pos=q_pos, kv_len=kv_len,
+                      scale=1.0, swa_window=window)
+        out = _lin(blk, "wo", attn.reshape(b, t, h_n * d), interpret)
+        out = L.rms_norm(out.astype(jnp.float32), blk["attn_post_norm"], eps)
+        attn_out = x + out
+
+        h2 = L.rms_norm(attn_out, blk["ffn_norm"], eps)
+        gate = _lin(blk, "ffn_gate", h2, interpret)
+        up = _lin(blk, "ffn_up", h2, interpret)
+        ffo = _lin(blk, "ffn_down",
+                   L.glu(gate.astype(jnp.float32),
+                         up.astype(jnp.float32), "gelu"), interpret)
+        cur = attn_out + L.rms_norm(ffo.astype(jnp.float32),
+                                    blk["ffn_post_norm"], eps)
+        if "out_scale" in blk:
+            cur = cur * blk["out_scale"].astype(jnp.float32)
+        x = cur
+
+    x = L.rms_norm(x, params["output_norm"], eps)
+    mtp_embd = params["mtp_post_proj"](x.astype(jnp.bfloat16),
+                                       interpret=interpret).astype(
+                                           jnp.float32)
+    logits = jnp.dot(x.astype(jnp.bfloat16), params["tok_embd"].T,
+                     preferred_element_type=jnp.float32)
+    return logits, mtp_embd

@@ -100,6 +100,34 @@ LOADERS["gemma4"] = gemma4_mod.load_gemma4_params
 CACHES["gemma4"] = lambda cfg, b, cap, quant=False: \
     gemma4_mod.Gemma4Cache.create(cfg, b, cap)
 
+
+def _gemma4_mtp_standalone(*args, **kwargs):
+    raise RuntimeError(
+        "gemma4_mtp / gemma4-assistant are draft models that attend into a "
+        "TARGET gemma4 context — drive them through "
+        "models.gemma4.gemma4_mtp_forward (or the server's MTP spec stage), "
+        "not Runtime.eval_tokens (reference: llama_set_mtp_target_context, "
+        "src/llama.cpp:12937)")
+
+
+for _a in ("gemma4_mtp", "gemma4-assistant"):
+    FORWARDS[_a] = _gemma4_mtp_standalone
+    LOADERS[_a] = gemma4_mod.load_gemma4_mtp_params
+    CACHES[_a] = lambda cfg, b, cap, quant=False: None  # uses the target's KV
+
+
+def _gptj_unsupported(*args, **kwargs):
+    raise NotImplementedError(
+        "gptj is vestigial in the reference too: its tensor map holds only "
+        "token_embd and there is no graph builder (llama-model.cpp:171, no "
+        "build_gptj in src/graphs/) — every attempt to load a GPT-J GGUF "
+        "fails there as well. Registered for 84/84 arch-name parity only.")
+
+
+FORWARDS["gptj"] = _gptj_unsupported
+LOADERS["gptj"] = _gptj_unsupported
+CACHES["gptj"] = _gptj_unsupported
+
 from ..models import openpangu as opg_mod  # noqa: E402
 FORWARDS["openpangu"] = opg_mod.forward
 LOADERS["openpangu"] = opg_mod.load_openpangu_params

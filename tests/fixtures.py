@@ -2449,3 +2449,79 @@ def make_tiny_openpangu_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
             addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
     w.write()
     return path
+
+
+def make_tiny_gemma4_mtp_gguf(path, *, assistant=False, seed=1, n_layer=2,
+                              n_embd=48, n_backbone=64, n_head=4,
+                              head_dim=64, n_ff=80):
+    """Tiny gemma4 MTP / assistant draft GGUF. Pairs with
+    make_tiny_gemma4_gguf (n_embd=64 -> n_backbone): Q-only layers whose
+    head_dim matches the TARGET's KV cache, SWA pattern [1, 0]
+    (create_tensors llama-load-tensors.cpp:2284-2297)."""
+    path = Path(path)
+    arch = "gemma4-assistant" if assistant else "gemma4_mtp"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", f"tiny-{arch}")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", 2)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add(f"{arch}.attention.sliding_window", 8)
+    w.add(f"{arch}.attention.sliding_window_pattern",
+          np.asarray([1, 0][:n_layer], np.int32))
+    w.add(f"{arch}.rope.freq_base", 1000000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    if assistant:
+        w.add(f"{arch}.embedding_length_out", n_backbone)
+        w.add(f"{arch}.n_centroids", 0)
+    else:
+        w.add(f"{arch}.backbone_embedding_length", n_backbone)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def randn(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr, GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    pre = "nextn.pre_projection.weight" if assistant else "mtp_pre_proj.weight"
+    post = ("nextn.post_projection.weight" if assistant
+            else "mtp_post_proj.weight")
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", randn(n_embd))
+    addw(pre, randw(n_embd, 2 * n_backbone))
+    addw(post, randw(n_backbone, n_embd))
+    w.add_tensor("rope_freqs.weight",
+                 (1.0 + 0.5 * rng.random(head_dim // 2)).astype(np.float32))
+    q_dim = n_head * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", randn(n_embd))
+        addw(p + "attn_q.weight", randw(q_dim, n_embd))
+        w.add_tensor(p + "attn_q_norm.weight", randn(head_dim))
+        addw(p + "attn_output.weight", randw(n_embd, q_dim))
+        w.add_tensor(p + "post_attention_norm.weight", randn(n_embd))
+        w.add_tensor(p + "ffn_norm.weight", randn(n_embd))
+        addw(p + "ffn_gate.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_up.weight", randw(n_ff, n_embd))
+        addw(p + "ffn_down.weight", randw(n_embd, n_ff))
+        w.add_tensor(p + "post_ffw_norm.weight", randn(n_embd))
+        if i == 0:
+            w.add_tensor(p + "layer_output_scale.weight",
+                         np.asarray([0.95], np.float32))
+    w.write()
+    return path
