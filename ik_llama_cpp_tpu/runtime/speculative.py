@@ -130,6 +130,199 @@ class NgramMapDraft:
         return out
 
 
+class NgramModDraft:
+    """Fixed-size modular-hash n-gram table — the reference's ngram_mod
+    stage (common/ngram-mod.cpp + speculative.cpp
+    common_speculative_state_ngram_mod): a single open-addressed array
+    indexed by the 6364136223846793005 multiplicative hash of the last n
+    tokens, storing the following token.  Includes the reference's
+    occupancy reset (>25% after prompt feed) and low-acceptance streak
+    reset (3 rounds under 50%)."""
+
+    EMPTY = -1
+    MUL = 6364136223846793005
+
+    def __init__(self, n: int = 4, size: int = 1 << 16, n_min: int = 1):
+        self.n = n
+        self.n_min = n_min
+        self.entries = [self.EMPTY] * size
+        self.used = 0
+        self._i_last = 0
+        self._n_draft_last = 0
+        self._n_low = 0
+
+    def _idx(self, toks) -> int:
+        res = 0
+        for t in toks:
+            res = (res * self.MUL + t) & 0xFFFFFFFFFFFFFFFF
+        return res % len(self.entries)
+
+    def _add(self, window):
+        i = self._idx(window[:self.n])
+        if self.entries[i] == self.EMPTY:
+            self.used += 1
+        self.entries[i] = window[self.n]
+
+    def reset(self):
+        self.entries = [self.EMPTY] * len(self.entries)
+        self.used = 0
+        self._i_last = 0
+        self._n_low = 0
+
+    def begin(self, prompt: list[int]):
+        self._i_last = 0
+        self._n_draft_last = 0
+        self._n_low = 0
+        if len(prompt) < self.n:
+            return
+        for i in range(len(prompt) - self.n):
+            self._add(prompt[i:i + self.n + 1])
+        self._i_last = len(prompt) - self.n
+        if self.used > 0.25 * len(self.entries):
+            self.reset()
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        self._n_draft_last = 0
+        cur_len = len(tokens)
+        if cur_len < self.n:
+            return []
+        # add new ngrams in chunks of >= 32 (speculative.cpp:815-821)
+        if self._i_last + 32 < cur_len:
+            for i in range(self._i_last, cur_len - self.n):
+                self._add(tokens[i:i + self.n + 1])
+            self._i_last = cur_len - self.n
+        seq = list(tokens[-self.n:])
+        out: list[int] = []
+        for i in range(n_draft):
+            t = self.entries[self._idx(seq[-self.n:])]
+            if t == self.EMPTY:
+                if i < self.n_min:
+                    return []
+                break
+            out.append(t)
+            seq.append(t)
+        self._n_draft_last = len(out)
+        return out
+
+    def accept(self, n_accepted: int):
+        if self._n_draft_last > 0:
+            if n_accepted < 0.5 * self._n_draft_last:
+                self._n_low += 1
+                if self._n_low >= 3:
+                    self.reset()
+            else:
+                self._n_low = 0
+
+
+class NgramCacheDraft:
+    """3-tier validated n-gram cache — the reference's ngram_cache stage
+    (common/ngram-cache.cpp common_ngram_cache_draft): a context cache
+    built from the live sequence, an optional dynamic cache persisted
+    across requests, and an optional static corpus cache.  Context drafts
+    use strict sample-size/percent thresholds validated against the static
+    part; dynamic drafts use the lax thresholds; static-only fallback
+    drafts the majority token."""
+
+    NGRAM_MIN, NGRAM_MAX, NGRAM_STATIC = 1, 4, 2
+    MIN_SIZE_LAX = [2, 2, 1, 1]
+    MIN_PCT_LAX = [66, 50, 50, 50]
+    MIN_SIZE_STRICT = [4, 3, 2, 2]
+    MIN_PCT_STRICT = [75, 66, 66, 66]
+
+    def __init__(self, static_cache=None, dynamic_cache=None):
+        self.ctx: dict[tuple, dict[int, int]] = {}
+        self.dyn: dict[tuple, dict[int, int]] = dynamic_cache or {}
+        self.static: dict[tuple, dict[int, int]] = static_cache or {}
+        self._fed = 0
+
+    @staticmethod
+    def update_cache(cache, tokens, ngram_min, ngram_max, nnew):
+        size = len(tokens)
+        for ng in range(ngram_min, ngram_max + 1):
+            for i in range(max(size - nnew, ng), size):
+                key = tuple(tokens[i - ng:i])
+                part = cache.setdefault(key, {})
+                part[tokens[i]] = part.get(tokens[i], 0) + 1
+
+    def _try_static(self, ngram):
+        part = self.static.get(ngram)
+        if not part:
+            return None
+        tot = sum(part.values())
+        tok, cnt = max(part.items(), key=lambda kv: kv[1])
+        if tot < self.MIN_SIZE_LAX[self.NGRAM_STATIC - 1]:
+            return None
+        if 100 * cnt < self.MIN_PCT_LAX[self.NGRAM_STATIC - 1] * tot:
+            return None
+        return tok
+
+    def _try_primary(self, cache, ngrams, part_static, min_size, min_pct):
+        for i in reversed(range(len(ngrams))):
+            part = cache.get(ngrams[i])
+            if not part:
+                continue
+            best_tok, best_p, best_s, total = None, 0, 0, 0
+            for tok, cp in part.items():
+                cs = 100 * part_static.get(tok, 0) or 1
+                if cp * cs > best_p * best_s:
+                    best_tok, best_p, best_s = tok, cp, cs
+                total += cp
+            if total < min_size[i]:
+                continue
+            if 100 * best_p < min_pct[i] * total:
+                continue
+            return best_tok
+        return None
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        self.update_cache(self.ctx, tokens, self.NGRAM_MIN, self.NGRAM_MAX,
+                          len(tokens) - self._fed)
+        self._fed = len(tokens)
+        if len(tokens) < self.NGRAM_STATIC:
+            return []
+        seq = list(tokens)
+        out: list[int] = []
+        while len(out) < n_draft:
+            ng_static = tuple(seq[-self.NGRAM_STATIC:])
+            part_static = self.static.get(ng_static, {})
+            ngrams = [tuple(seq[-n:]) for n in
+                      range(self.NGRAM_MIN, self.NGRAM_MAX + 1)
+                      if len(seq) >= n]
+            tok = self._try_primary(self.ctx, ngrams, part_static,
+                                    self.MIN_SIZE_STRICT,
+                                    self.MIN_PCT_STRICT)
+            if tok is None:
+                tok = self._try_primary(self.dyn, ngrams, part_static,
+                                        self.MIN_SIZE_LAX, self.MIN_PCT_LAX)
+            if tok is None:
+                tok = self._try_static(ng_static)
+            if tok is None:
+                break
+            out.append(tok)
+            seq.append(tok)
+        return out
+
+    def accept(self, n_accepted: int):
+        """Round feedback hook (uniform drafter protocol); the dynamic
+        cache persists via feed_dynamic, mirroring the reference server's
+        common_ngram_cache_update-on-accept path."""
+
+    def feed_dynamic(self, accepted_tokens: list[int]):
+        """Fold an accepted continuation into the dynamic cache."""
+        self.update_cache(self.dyn, accepted_tokens, self.NGRAM_MIN,
+                          self.NGRAM_MAX, len(accepted_tokens))
+
+
+class Eagle3Draft:
+    """EAGLE3 stage placeholder — faithful to the reference, whose
+    common_speculative_state_eagle3::draft is literally `// TODO:
+    implement` (common/speculative.cpp:668-692): the stage is selectable
+    and never proposes tokens."""
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        return []
+
+
 class DFlashDraft:
     """DFlash block-diffusion drafting (the reference's dflash stage,
     common/speculative-dflash-impl.h + src/llama-dflash.cpp).
@@ -236,6 +429,8 @@ def generate_speculative(
         ngram = stage
     else:
         ngram = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
+                 "ngram-mod": NgramModDraft, "ngram-cache": NgramCacheDraft,
+                 "eagle3": Eagle3Draft,
                  "ngram": NgramDraft}.get(stage, NgramDraft)()
 
     d_kv = d_n_past = None
@@ -301,6 +496,9 @@ def generate_speculative(
                 out.append(pred)
                 cur = pred
         stats.n_accept += n_acc
+        if hasattr(ngram, "accept"):
+            # acceptance feedback (ngram_mod low-acceptance reset etc.)
+            ngram.accept(n_acc)
 
         # rewind target cache past the rejected tail: keep n_past at the
         # position after the last ACCEPTED token

@@ -92,6 +92,7 @@ class BatchEngine:
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
         self._spec_decode_fn = None
+        self._jits: dict[Any, Any] = {}
         # metrics
         self.n_prompt_tokens_processed = 0
         self.n_prompt_tokens_cached = 0
@@ -107,6 +108,15 @@ class BatchEngine:
         if self.spec == "suffix":
             from ..runtime.speculative import SuffixDraft
             return SuffixDraft()
+        if self.spec == "ngram-mod":
+            from ..runtime.speculative import NgramModDraft
+            return NgramModDraft()
+        if self.spec == "ngram-cache":
+            from ..runtime.speculative import NgramCacheDraft
+            return NgramCacheDraft()
+        if self.spec == "eagle3":
+            from ..runtime.speculative import Eagle3Draft
+            return Eagle3Draft()
         if self.spec and self.spec.startswith("dflash:"):
             from ..runtime.speculative import DFlashDraft
             return DFlashDraft(self.spec.split(":", 1)[1], self.rt)
@@ -124,19 +134,15 @@ class BatchEngine:
 
             @jax.jit
             def prefill_rows(params, tokens, kv, slot_idx, n_past):
-                # gather the slots' cache rows -> (L, n_rows, S, H, D)
-                kv_rows = KVCache(
-                    jnp.take(kv.k, slot_idx, axis=1),
-                    jnp.take(kv.v, slot_idx, axis=1),
-                    None if kv.k_scale is None else jnp.take(kv.k_scale, slot_idx, axis=1),
-                    None if kv.v_scale is None else jnp.take(kv.v_scale, slot_idx, axis=1))
+                # gather the slots' cache rows (batch axis 1 on every cache
+                # leaf — KV, quant scales, SSM conv/state alike)
+                kv_rows = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, slot_idx, axis=1), kv)
                 logits, kv_rows = fwd(params, cfg, tokens, kv_rows, n_past,
                                       logits_last_only=False)
-                kv2 = KVCache(
-                    kv.k.at[:, slot_idx].set(kv_rows.k),
-                    kv.v.at[:, slot_idx].set(kv_rows.v),
-                    None if kv.k_scale is None else kv.k_scale.at[:, slot_idx].set(kv_rows.k_scale),
-                    None if kv.v_scale is None else kv.v_scale.at[:, slot_idx].set(kv_rows.v_scale))
+                kv2 = jax.tree_util.tree_map(
+                    lambda a, r: a.at[:, slot_idx].set(r.astype(a.dtype)),
+                    kv, kv_rows)
                 return logits, kv2
 
             self._prefill_fns[key] = prefill_rows
@@ -149,14 +155,14 @@ class BatchEngine:
 
             @jax.jit
             def prefill_slot(params, tokens, kv, slot_idx, n_past):
-                kv_row = KVCache(
-                    jax.lax.dynamic_slice_in_dim(kv.k, slot_idx, 1, axis=1),
-                    jax.lax.dynamic_slice_in_dim(kv.v, slot_idx, 1, axis=1))
+                kv_row = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, slot_idx, 1,
+                                                           axis=1), kv)
                 logits, kv_row = fwd(params, cfg, tokens, kv_row, n_past,
                                      logits_last_only=False)
-                kv2 = KVCache(
-                    jax.lax.dynamic_update_slice_in_dim(kv.k, kv_row.k, slot_idx, axis=1),
-                    jax.lax.dynamic_update_slice_in_dim(kv.v, kv_row.v, slot_idx, axis=1))
+                kv2 = jax.tree_util.tree_map(
+                    lambda a, r: jax.lax.dynamic_update_slice_in_dim(
+                        a, r.astype(a.dtype), slot_idx, axis=1), kv, kv_row)
                 return logits, kv2
 
             self._prefill_fns[bucket] = prefill_slot
@@ -354,10 +360,7 @@ class BatchEngine:
                 time.sleep(0.002)
                 continue
             drafts = {}
-            # recurrent models: the batched verify cannot roll back SSM
-            # state after a rejected draft (no per-slot checkpoint in the
-            # shared batch cache yet) -> plain decode
-            if self.spec is not None and not self.rt.recurrent:
+            if self.spec is not None:
                 for s in gen:
                     if s.drafter is None:
                         s.drafter = self._new_drafter()
@@ -387,8 +390,17 @@ class BatchEngine:
         """Verify drafts inside ONE batched decode: each generating row
         carries [last_token | draft...]; the sampled token at position j is
         accepted while it equals draft[j] (server-context.cpp:3564-3599).
-        Rejected cache rows need no rollback — n_past simply does not
-        advance past them and they are overwritten by the next step."""
+        Rejected attention-cache rows need no rollback — n_past simply does
+        not advance past them and they are overwritten by the next step.
+
+        Recurrent/hybrid models additionally need their SSM state rolled
+        back on partial acceptance (the analogue of the reference's
+        recurrent per-step checkpoints, speculative.h:27-35): jax arrays
+        are immutable, so the pre-verify cache reference IS the checkpoint;
+        fully-accepting rows keep the verify's advanced state, and
+        partially-accepting rows are replayed from the checkpoint over
+        their accepted prefix only (grouped by consumed length) and merged
+        back row-wise."""
         k = self.spec_n
         toks = np.zeros((self.n_slots, 1 + k), np.int32)
         n_past = np.zeros((self.n_slots,), np.int32)
@@ -397,14 +409,17 @@ class BatchEngine:
             toks[s.idx, 0] = s.tokens[-1]
             toks[s.idx, 1:1 + len(d)] = d
             n_past[s.idx] = s.n_past
+        kv_before = self.kv if self.rt.recurrent else None
         fn = self._spec_decode()
         logits, self.kv = fn(self.rt.params, jnp.asarray(toks), self.kv,
                              jnp.asarray(n_past))
         logits_np = np.asarray(logits)
+        consumed: dict[int, int] = {}
         for s in gen:
             d = drafts.get(s.idx, [])
             self.n_draft_proposed += len(d)
             pos = 0
+            acc = 0
             while s.state == SlotState.GENERATING:
                 prev_len = len(s.tokens)
                 self._emit_token(s, logits_np[s.idx, pos])
@@ -416,7 +431,61 @@ class BatchEngine:
                 if pos >= len(d) or tok != d[pos]:
                     break
                 self.n_draft_accepted += 1
+                acc += 1
                 pos += 1
+            if hasattr(s.drafter, "accept"):
+                s.drafter.accept(acc)
+            consumed[s.idx] = 1 + acc
+        if self.rt.recurrent:
+            self._fix_recurrent_state(kv_before, toks, n_past, consumed, k)
+
+    def _fix_recurrent_state(self, kv_before, toks, n_past, consumed, k):
+        """Replay partially-accepting rows' accepted prefixes from the
+        pre-verify checkpoint and merge them into the current cache."""
+        partial: dict[int, list[int]] = {}
+        for idx, c in consumed.items():
+            if c < 1 + k:
+                partial.setdefault(c, []).append(idx)
+        for c, rows in sorted(partial.items()):
+            replayed = self._replay(c)(self.rt.params,
+                                       jnp.asarray(toks[:, :c]), kv_before,
+                                       jnp.asarray(n_past))
+            mask = np.zeros((self.n_slots,), bool)
+            mask[rows] = True
+            self.kv = self._merge_rows()(replayed, self.kv,
+                                         jnp.asarray(mask))
+
+    def _replay(self, width: int):
+        """Jitted state-only re-decode of ``width`` tokens (logits unused)."""
+        key = ("replay", width)
+        if key not in self._jits:
+            from ..runtime.generate import FORWARDS
+            fwd = FORWARDS[self.rt.cfg.arch]
+            cfg = self.rt.cfg
+
+            @jax.jit
+            def replay(params, tokens, kv, n_past):
+                _, kv2 = fwd(params, cfg, tokens, kv, n_past,
+                             logits_last_only=True)
+                return kv2
+
+            self._jits[key] = replay
+        return self._jits[key]
+
+    def _merge_rows(self):
+        """Jitted per-row cache merge: rows where mask -> a, else b (batch
+        axis is axis 1 on every cache leaf)."""
+        key = ("merge_rows",)
+        if key not in self._jits:
+            @jax.jit
+            def merge(a, b, mask):
+                def sel(x, y):
+                    m = mask.reshape((1, -1) + (1,) * (x.ndim - 2))
+                    return jnp.where(m, x, y)
+                return jax.tree_util.tree_map(sel, a, b)
+
+            self._jits[key] = merge
+        return self._jits[key]
 
     def _context_shift(self, slot: Slot):
         """Out of cache: keep the prompt head, discard the oldest half of

@@ -290,3 +290,60 @@ def test_engine_speculative_matches_plain(tmp_path):
     assert spec == plain, (spec, plain)
     assert eng.n_draft_proposed > 0
     assert eng.n_draft_accepted > 0, "repetitive text must accept drafts"
+
+
+def test_engine_speculative_recurrent_matches_plain(tmp_path):
+    """BatchEngine speculative decoding on a RECURRENT (SSM) model: partial
+    draft rejections must roll the per-slot recurrent state back via the
+    checkpoint-replay path (_fix_recurrent_state) — greedy output must
+    equal the plain decode loop exactly (the analogue of the reference's
+    recurrent per-step checkpoints, speculative.h:27-35). Deterministic
+    drafters force both the all-rejected and all-accepted branches."""
+    import queue as _q
+    from fixtures import make_tiny_mamba_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.runtime.sampling import SamplerParams
+    from ik_llama_cpp_tpu.server.engine import BatchEngine, Request
+
+    model = make_tiny_mamba_gguf(tmp_path / "specm.gguf", seed=5)
+    rt = Runtime.from_gguf(model)
+    assert rt.recurrent
+    ids = [5, 9, 12, 5, 9, 12, 5, 9, 12, 5, 9]
+
+    def run(drafter_factory, spec):
+        eng = BatchEngine(rt, n_slots=2, capacity=256, spec=spec, spec_n=4)
+        if drafter_factory is not None:
+            eng._new_drafter = drafter_factory
+        out_q = _q.Queue()
+        eng.submit(Request(prompt_ids=list(ids), n_predict=20,
+                           sampler=SamplerParams(temp=0.0),
+                           stream_queue=out_q))
+        eng.start()
+        toks = []
+        while True:
+            tok, piece, done = out_q.get(timeout=180)
+            toks.append(tok)
+            if done:
+                break
+        eng.stop()
+        return toks, eng
+
+    plain, _ = run(None, None)
+
+    class BadDraft:   # every draft rejected -> replay path every round
+        def propose(self, tokens, n):
+            return [0] * n
+
+    class OracleDraft:  # drafts the true continuation -> full acceptance
+        def propose(self, tokens, n):
+            gen = len(tokens) - len(ids)
+            return list(plain[gen:gen + n])
+
+    rejected, eng_r = run(lambda: BadDraft(), "ngram")
+    assert rejected == plain, (rejected, plain)
+    assert eng_r.n_draft_proposed > 0
+    assert eng_r.n_draft_accepted == 0 or rejected == plain
+
+    accepted, eng_a = run(lambda: OracleDraft(), "ngram")
+    assert accepted == plain, (accepted, plain)
+    assert eng_a.n_draft_accepted > 0

@@ -124,3 +124,69 @@ def test_speculative_recurrent_state_checkpoint(tmp_path):
     _, spec, stats = generate_speculative(rt, prompt, 16, stage="ngram",
                                           n_draft=4, stop_at_eos=False)
     assert spec[:len(plain)] == plain[:len(spec)]
+
+
+def test_ngram_mod_draft_semantics():
+    """ngram_mod (common/ngram-mod.cpp): modular-hash table proposes the
+    recorded continuation; unseen contexts under n_min yield nothing."""
+    from ik_llama_cpp_tpu.runtime.speculative import NgramModDraft
+    d = NgramModDraft(n=2, size=256, n_min=1)
+    seq = [1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2]
+    d.begin(seq)
+    out = d.propose(seq, 4)
+    assert out[:2] == [3, 1]
+    # low-acceptance streak resets the table (speculative.cpp:860-868)
+    for _ in range(3):
+        d.propose(seq, 4)
+        d.accept(0)
+    assert d.used == 0
+    assert d.propose(seq, 4) == []  # table empty and i_last reset
+
+
+def test_ngram_mod_occupancy_reset():
+    from ik_llama_cpp_tpu.runtime.speculative import NgramModDraft
+    d = NgramModDraft(n=2, size=8)
+    d.begin(list(range(40)))    # fills >25% of 8 entries -> reset
+    assert d.used == 0
+
+
+def test_ngram_cache_draft_tiers():
+    """ngram_cache: context cache drafts under strict thresholds; the
+    static cache validates and falls back (ngram-cache.cpp:60-140)."""
+    from ik_llama_cpp_tpu.runtime.speculative import NgramCacheDraft
+    # strong repetition -> context cache proposes
+    d = NgramCacheDraft()
+    seq = [7, 8, 9] * 8
+    out = d.propose(seq, 3)
+    assert out == [7, 8, 9] or out[:1] == [7]
+    # static-only fallback: majority continuation of the last 2-gram
+    static = {(5, 6): {11: 10}}
+    d2 = NgramCacheDraft(static_cache=static)
+    out2 = d2.propose([1, 2, 5, 6], 1)
+    assert out2 == [11]
+
+
+def test_eagle3_stage_is_reference_faithful_stub():
+    """The reference's eagle3 draft() is literally 'TODO: implement'
+    (common/speculative.cpp:680): stage selectable, no proposals."""
+    from ik_llama_cpp_tpu.runtime.speculative import Eagle3Draft
+    assert Eagle3Draft().propose([1, 2, 3], 8) == []
+
+
+def test_ngram_mod_stage_end_to_end(rt):
+    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
+    prompt = "the cat sat on the mat the cat sat on the"
+    _, plain = rt.generate(prompt, max_new_tokens=12)
+    _, spec, stats = generate_speculative(rt, prompt, 12, stage="ngram-mod",
+                                          n_draft=4, stop_at_eos=False)
+    assert spec[:len(plain)] == plain[:len(spec)]
+
+
+def test_ngram_cache_stage_end_to_end(rt):
+    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
+    prompt = "the cat sat on the mat the cat sat on the"
+    _, plain = rt.generate(prompt, max_new_tokens=12)
+    _, spec, stats = generate_speculative(rt, prompt, 12,
+                                          stage="ngram-cache",
+                                          n_draft=4, stop_at_eos=False)
+    assert spec[:len(plain)] == plain[:len(spec)]
