@@ -7,6 +7,8 @@ the reference reads.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+
+import numpy as np
 from typing import Any
 
 
@@ -135,6 +137,16 @@ _NORM_ROPE_ARCHS = {
     "cohere2", "smollm3", "mistral3", "glm-dsa", "mistral4",
     "ernie4_5", "ernie4_5-moe", "cohere2_moe",
 }
+
+
+def _as_arr(v, n: int):
+    """get_key_or_arr semantics: scalar broadcasts to n entries; an empty
+    value stays empty; arrays pass through."""
+    if v is None or (isinstance(v, (list, tuple)) and len(v) == 0):
+        return []
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return list(v)
+    return [v] * n
 
 
 def _step35_extra(a, n_layer, n_rot, swa_mask):
@@ -567,6 +579,32 @@ def config_from_gguf(md: dict[str, Any]) -> ModelConfig:
                 "attn_v_scale": float(a("attention.value_scale", 1.0)),
                 "laguna": bool(a("dflash.laguna", False))}
                if arch == "dflash-draft" else
+               # DeepSeek-V4 (llama-hparams.cpp LLM_ARCH_DEEPSEEK4 case):
+               # hyper-connections, CSA/HCA compressor ratios, LID indexer,
+               # per-layer swiglu clamps
+               {"hc_mult": int(a("hyper_connection.count", 1) or 1),
+                "hc_sinkhorn_iters": int(
+                    a("hyper_connection.sinkhorn_iterations", 3)),
+                "hc_eps": float(a("hyper_connection.epsilon",
+                                  a("attention.layer_norm_rms_epsilon",
+                                    1e-5))),
+                "compress_ratios": [int(v) for v in _as_arr(
+                    a("attention.compress_ratios", []), n_layer)],
+                "compress_rope_base": float(
+                    a("attention.compress_rope_freq_base",
+                      a("rope.freq_base_swa", a("rope.freq_base", 1e4)))),
+                "indexer_n_head": int(a("attention.indexer.head_count", 0)),
+                "indexer_head_size": int(a("attention.indexer.key_length",
+                                           0)),
+                "indexer_top_k": int(a("attention.indexer.top_k", 0)),
+                "swiglu_limits": [float(v) for v in _as_arr(
+                    a("swiglu_clamp_exp", []), n_layer)],
+                "swiglu_limits_shared": [float(v) for v in _as_arr(
+                    a("swiglu_clamp_shexp", a("swiglu_clamp_exp", [])),
+                    n_layer)],
+                "hash_layer_count": int(a("hash_layer_count", 0)),
+                "nextn_predict_layers": int(a("nextn_predict_layers", 0))}
+               if arch == "deepseek4" else
                # GLM-DSA lightning indexer (llama-hparams.cpp:1790-1860):
                # IndexShare full-layer rule (il<=1 or il%4==2); dsa_enabled
                # turns the sparse top-k path on by default whenever the

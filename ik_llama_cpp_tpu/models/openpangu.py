@@ -181,22 +181,25 @@ def load_openpangu_params(gg: GGUFModel, cfg: ModelConfig, *,
     return params
 
 
-def _sinkhorn_mix(mixes, alpha, beta, s: int, iters: int):
-    """ggml_compute_forward_hc_pre_f32 (ggml.c:24166), eps=0.
+def _sinkhorn_mix(mixes, alpha, beta, s: int, iters: int, eps: float = 0.0):
+    """ggml_compute_forward_hc_pre_f32 (ggml.c:24166).
 
     mixes: (B, T, S*S + 2S) f32 -> (h_pre (B,T,S), h_post (B,T,S),
-    comb (B,T,S,S) row=src? comb[r, c]: Sinkhorn of x_comb reshaped (S, S))."""
+    comb (B,T,S,S) row=src? comb[r, c]: Sinkhorn of x_comb reshaped (S, S)).
+    eps: DSv4 dsv4_hc_eps regularizer — added to the sigmoid pre gate, the
+    row softmax, and every Sinkhorn normalization denominator (openPangu
+    uses eps = 0)."""
     a = alpha.astype(jnp.float32)
     b = beta.astype(jnp.float32)
-    h_pre = jax.nn.sigmoid(mixes[..., :s] * a[0] + b[:s])
+    h_pre = jax.nn.sigmoid(mixes[..., :s] * a[0] + b[:s]) + eps
     h_post = 2.0 * jax.nn.sigmoid(mixes[..., s:2 * s] * a[1] + b[s:2 * s])
     m = mixes[..., 2 * s:] * a[2] + b[2 * s:]
     m = m.reshape(mixes.shape[:-1] + (s, s))
-    m = jax.nn.softmax(m, axis=-1)                      # row softmax
-    m = m / jnp.sum(m, axis=-2, keepdims=True)          # col normalize
+    m = jax.nn.softmax(m, axis=-1) + eps                # row softmax
+    m = m / (jnp.sum(m, axis=-2, keepdims=True) + eps)  # col normalize
     for _ in range(iters - 1):
-        m = m / jnp.sum(m, axis=-1, keepdims=True)
-        m = m / jnp.sum(m, axis=-2, keepdims=True)
+        m = m / (jnp.sum(m, axis=-1, keepdims=True) + eps)
+        m = m / (jnp.sum(m, axis=-2, keepdims=True) + eps)
     return h_pre, h_post, m
 
 

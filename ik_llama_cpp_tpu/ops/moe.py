@@ -21,6 +21,7 @@ import jax.numpy as jnp
 GATING_SOFTMAX = 1
 GATING_SIGMOID = 2
 GATING_SOFTMAX_WEIGHT = 3   # softmax over the selected top-k only
+GATING_SQRT_SOFTPLUS = 4    # deepseek4: sqrt(softplus(x)) (ggml.c:3329)
 
 
 def _ragged_qmm(xs, codes, scale, group_sizes, group):
@@ -45,6 +46,8 @@ def route(router_logits, n_expert_used: int, *, gating: int = GATING_SOFTMAX,
         probs = jax.nn.softmax(logits, axis=-1)
     elif gating == GATING_SIGMOID:
         probs = jax.nn.sigmoid(logits)
+    elif gating == GATING_SQRT_SOFTPLUS:
+        probs = jnp.sqrt(jax.nn.softplus(logits))
     else:
         probs = logits
     sel = probs if selection_bias is None else probs + selection_bias

@@ -78,10 +78,16 @@ FORWARDS = {a: llama_mod.forward for a in _DENSE_FAMILY}
 LOADERS = {a: llama_mod.load_llama_params for a in _DENSE_FAMILY}
 CACHES = {a: (lambda cfg, b, cap, quant=False: KVCache.create(cfg, b, cap, quant=quant))
           for a in _DENSE_FAMILY}
-for _a in ("deepseek2", "deepseek4", "mistral4", "glm-dsa"):
+for _a in ("deepseek2", "mistral4", "glm-dsa"):
     FORWARDS[_a] = ds2_mod.forward
     LOADERS[_a] = ds2_mod.load_deepseek2_params
     CACHES[_a] = lambda cfg, b, cap, quant=False: ds2_mod.make_cache(cfg, b, cap)
+
+from ..models import deepseek4 as ds4_mod  # noqa: E402
+FORWARDS["deepseek4"] = ds4_mod.forward
+LOADERS["deepseek4"] = ds4_mod.load_deepseek4_params
+CACHES["deepseek4"] = lambda cfg, b, cap, quant=False: \
+    ds4_mod.DS4Cache.create(cfg, b, cap)
 
 from ..models import mamba as mamba_mod  # noqa: E402
 FORWARDS["mamba"] = mamba_mod.forward
@@ -302,7 +308,7 @@ class Runtime:
         return (np.concatenate(out_l), np.concatenate(out_h), kv, n_past)
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
-        if self.cfg.arch in ("deepseek2", "deepseek4", "glm-dsa"):
+        if self.cfg.arch in ("deepseek2", "glm-dsa"):
             absorb = "wk_b" in self.params["blocks"][0]
             return ds2_mod.make_cache(self.cfg, batch, capacity, mla=absorb)
         return CACHES[self.cfg.arch](self.cfg, batch, capacity, quant=self.kv_quant)

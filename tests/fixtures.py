@@ -2088,7 +2088,7 @@ def make_tiny_laguna_gguf(path, *, seed=0, n_layer=3, n_embd=64, n_head=4,
     w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
     w.add(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
     w.add(f"{arch}.expert_weights_norm", True)
-    w.add(f"{arch}.leading_dense_block_count", 1)
+    w.add(f"{arch}.leading_dense_block_count", 0)
     w.add(f"{arch}.vocab_size", n_vocab)
     _std_vocab_kv(w, tokens, scores, types)
 
@@ -2523,5 +2523,154 @@ def make_tiny_gemma4_mtp_gguf(path, *, assistant=False, seed=1, n_layer=2,
         if i == 0:
             w.add_tensor(p + "layer_output_scale.weight",
                          np.asarray([0.95], np.float32))
+    w.write()
+    return path
+
+
+def make_tiny_deepseek4_gguf(path, *, seed=0, n_layer=3, n_embd=64,
+                             n_head=4, head_dim=64, n_rot=32, q_lora=64,
+                             hc=2, n_expert=4, n_expert_used=2, n_ff=96,
+                             n_ff_exp=48, n_groups=2, o_lora=8,
+                             compress=False, idx_head=64, idx_nh=2,
+                             top_k=2, swa=8):
+    # NOTE head_dim 64: the reference's DSv4 CPU attention kernels segfault
+    # below head size 64 (same floor as its FA kernels)
+    """Tiny DeepSeek-V4 GGUF (create_deepseek4_tensors,
+    llama-load-tensors.cpp:4956+): hyper-connections (hc streams), k-only
+    latent attention with grouped low-rank output, sinks, 1 dense lead +
+    MoE layers with shared expert. With ``compress=True`` layer 1 gets the
+    CSA compressor + LID indexer tensors (ratio 4) and layer 2 the HCA
+    compressor (ratio 128 -> clipped by capacity in tests)."""
+    path = Path(path)
+    arch = "deepseek4"
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    w = GGUFWriter(path, arch=arch)
+    w.add("general.name", "tiny-deepseek4")
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", 1)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add(f"{arch}.rope.dimension_count", n_rot)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.attention.q_lora_rank", q_lora)
+    w.add(f"{arch}.attention.kv_lora_rank", head_dim)
+    w.add(f"{arch}.expert_count", n_expert)
+    w.add(f"{arch}.expert_used_count", n_expert_used)
+    w.add(f"{arch}.expert_shared_count", 1)
+    w.add(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add(f"{arch}.leading_dense_block_count", 0)
+    w.add(f"{arch}.expert_weights_scale", 1.5)
+    w.add(f"{arch}.expert_weights_norm", True)
+    w.add(f"{arch}.expert_gating_func", 4)  # sqrtsoftplus (required)
+    w.add(f"{arch}.swiglu_clamp_exp", np.zeros(n_layer, np.float32))
+    w.add(f"{arch}.swiglu_clamp_shexp", np.zeros(n_layer, np.float32))
+    w.add(f"{arch}.hyper_connection.count", hc)
+    w.add(f"{arch}.hyper_connection.sinkhorn_iterations", 3)
+    w.add(f"{arch}.hyper_connection.epsilon", 1e-6)
+    w.add(f"{arch}.attention.indexer.head_count", idx_nh)
+    w.add(f"{arch}.attention.indexer.key_length", idx_head)
+    w.add(f"{arch}.attention.indexer.top_k", top_k)
+    w.add(f"{arch}.attention.output_group_count", n_groups)
+    w.add(f"{arch}.attention.output_lora_rank", o_lora)
+    if compress:
+        ratios = [0] * n_layer
+        if n_layer >= 2:
+            ratios[1] = 4          # CSA + LID
+        if n_layer >= 3:
+            ratios[2] = 128        # HCA
+        w.add(f"{arch}.attention.compress_ratios",
+              np.asarray(ratios, np.int32))
+        w.add(f"{arch}.attention.sliding_window", swa)
+        w.add(f"{arch}.attention.compress_rope_freq_base", 10000.0)
+    w.add(f"{arch}.vocab_size", n_vocab)
+    _std_vocab_kv(w, tokens, scores, types)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def randn(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def addw(name, arr):
+        w.add_tensor(name, quantize(arr, GGMLType.F16),
+                     shape=tuple(reversed(arr.shape)), ggml_type=GGMLType.F16)
+
+    addw("token_embd.weight", randw(n_vocab, n_embd, scale=0.5))
+    addw("output.weight", randw(n_vocab, n_embd, scale=0.5))
+    w.add_tensor("output_norm.weight", randn(n_embd))
+    addw("hc_head_fn.weight", randw(hc, n_embd * hc))
+    w.add_tensor("hc_head_scale.weight", np.asarray([0.8], np.float32))
+    w.add_tensor("hc_head_base.weight",
+                 (0.1 * rng.standard_normal(hc)).astype(np.float32))
+
+    q_dim = n_head * head_dim
+    mix = hc * hc + 2 * hc
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", randn(n_embd))
+        addw(p + "attn_q_a.weight", randw(q_lora, n_embd))
+        w.add_tensor(p + "attn_q_a_norm.weight", randn(q_lora))
+        addw(p + "attn_q_b.weight", randw(q_dim, q_lora))
+        addw(p + "attn_kv.weight", randw(head_dim, n_embd))
+        w.add_tensor(p + "attn_kv_a_norm.weight", randn(head_dim))
+        addw(p + "attn_output_a.weight",
+             randw(o_lora * n_groups, q_dim // n_groups))
+        addw(p + "attn_output_b.weight", randw(n_embd, o_lora * n_groups))
+        w.add_tensor(p + "attn_sinks.weight",
+                     (0.2 * rng.standard_normal(n_head)).astype(np.float32))
+        for stem in ("hc_attn", "hc_ffn"):
+            addw(p + stem + "_fn.weight", randw(mix, n_embd * hc))
+            w.add_tensor(p + stem + "_scale.weight",
+                         (0.5 + 0.2 * rng.random(3)).astype(np.float32))
+            w.add_tensor(p + stem + "_base.weight",
+                         (0.1 * rng.standard_normal(mix)).astype(np.float32))
+        if compress and i == 1:
+            addw(p + "attn_compress_kv.weight",
+                 randw(2 * head_dim, n_embd))
+            addw(p + "attn_compress_gate.weight",
+                 randw(2 * head_dim, n_embd))
+            w.add_tensor(p + "attn_compress_ape.weight",
+                         randw(4, 2 * head_dim).astype(np.float32))
+            w.add_tensor(p + "attn_compress_norm.weight", randn(head_dim))
+            addw(p + "indexer.compress_kv.weight",
+                 randw(2 * idx_head, n_embd))
+            addw(p + "indexer.compress_gate.weight",
+                 randw(2 * idx_head, n_embd))
+            w.add_tensor(p + "indexer.compress_ape.weight",
+                         randw(4, 2 * idx_head).astype(np.float32))
+            w.add_tensor(p + "indexer.compress_norm.weight", randn(idx_head))
+            addw(p + "indexer.attn_q_b.weight",
+                 randw(idx_nh * idx_head, q_lora))
+            addw(p + "indexer.proj.weight", randw(idx_nh, n_embd))
+            w.add_tensor(p + "indexer.k_norm.weight", randn(idx_head))
+        if compress and i == 2:    # HCA layer (type1: D-wide states)
+            addw(p + "attn_compress_kv.weight", randw(head_dim, n_embd))
+            addw(p + "attn_compress_gate.weight", randw(head_dim, n_embd))
+            w.add_tensor(p + "attn_compress_ape.weight",
+                         randw(128, head_dim).astype(np.float32))
+            w.add_tensor(p + "attn_compress_norm.weight", randn(head_dim))
+        w.add_tensor(p + "ffn_norm.weight", randn(n_embd))
+        if True:       # create_deepseek4_tensors requires MoE on EVERY layer
+            addw(p + "ffn_gate_inp.weight", randw(n_expert, n_embd))
+            w.add_tensor(p + "exp_probs_b.bias",
+                         (0.1 * rng.standard_normal(n_expert)).astype(
+                             np.float32))
+            addw(p + "ffn_gate_exps.weight",
+                 randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_up_exps.weight",
+                 randw(n_expert, n_ff_exp, n_embd))
+            addw(p + "ffn_down_exps.weight",
+                 randw(n_expert, n_embd, n_ff_exp))
+            addw(p + "ffn_gate_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_up_shexp.weight", randw(n_ff_exp, n_embd))
+            addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
     w.write()
     return path
