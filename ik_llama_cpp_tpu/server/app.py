@@ -25,6 +25,33 @@ from ..runtime.sampling import SamplerParams
 from .engine import BatchEngine, Request, SlotState
 
 
+def decode_wav(data: bytes):
+    """Base64-decoded WAV bytes -> mono float32 16 kHz samples (the
+    input_audio path; reference: miniaudio decode in mtmd-helper). Accepts
+    PCM16 WAV; raw f32 little-endian blobs pass through unchanged."""
+    import io
+    import wave
+
+    import numpy as np
+    if data[:4] != b"RIFF":
+        return np.frombuffer(data, np.float32).copy()
+    with wave.open(io.BytesIO(data)) as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"only PCM16 WAV supported, got sample width {width}")
+    samples = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    if rate != 16000:
+        # linear resample to the whisper preprocessor's fixed 16 kHz
+        n_out = int(round(len(samples) * 16000 / rate))
+        x_old = np.linspace(0.0, 1.0, len(samples), endpoint=False)
+        x_new = np.linspace(0.0, 1.0, n_out, endpoint=False)
+        samples = np.interp(x_new, x_old, samples).astype(np.float32)
+    return samples
+
+
 def _sampler_from(body: dict) -> SamplerParams:
     bias = {}
     lb = body.get("logit_bias")
@@ -129,6 +156,7 @@ class Server:
         r.add_post("/slots/{id}", self.slot_action)
         self.loras: list = []
         self.clip = None            # ClipEncoder when --mmproj given
+        self.audio = None           # AudioEncoder when the mmproj has one
         self._mm_lock = asyncio.Lock()
         self.slot_save_path = "/tmp"
 
@@ -400,12 +428,14 @@ class Server:
         })
 
     def _extract_images(self, messages: list[dict]):
-        """Replace image_url content parts with <__image__> markers; returns
-        (messages, decoded images). Accepts base64 data URLs (the server's
-        /v1/chat/completions image_url path, examples/mtmd)."""
+        """Replace image_url / input_audio content parts with <__image__> /
+        <__audio__> markers; returns (messages, decoded media in marker
+        order). Accepts base64 data URLs for images and base64 WAV (16 kHz
+        mono PCM16, OpenAI input_audio format) for audio
+        (/v1/chat/completions, examples/mtmd)."""
         import base64
         import io
-        images = []
+        media = []
         out_msgs = []
         for m in messages:
             c = m.get("content")
@@ -422,19 +452,24 @@ class Server:
                     if isinstance(url, str) and url.startswith("data:"):
                         b64 = url.split(",", 1)[1]
                         from PIL import Image
-                        images.append(Image.open(io.BytesIO(
+                        media.append(Image.open(io.BytesIO(
                             base64.b64decode(b64))))
                         text_parts.append("<__image__>")
+                elif part.get("type") == "input_audio":
+                    spec = part.get("input_audio", {})
+                    data = base64.b64decode(spec.get("data", ""))
+                    media.append(decode_wav(data))
+                    text_parts.append("<__audio__>")
                 else:
                     text_parts.append(part.get("text", ""))
             out_msgs.append({**m, "content": "".join(text_parts)})
-        return out_msgs, images
+        return out_msgs, media
 
     async def oai_chat(self, request):
         body = await request.json()
         messages = body.get("messages", [])
         images = []
-        if self.clip is not None:
+        if self.clip is not None or self.audio is not None:
             messages, images = self._extract_images(messages)
         if images:
             return await self._chat_multimodal(body, messages, images)
@@ -497,6 +532,7 @@ class Server:
             n_prompt, out = await loop.run_in_executor(
                 None, lambda: generate_mm(
                     self.rt, prompt, images, self.clip,
+                    audio_encoder=self.audio,
                     max_new_tokens=n_predict, sampler=sampler,
                     seed=int(body.get("seed", 0)),
                     capacity=self.engine.capacity))
@@ -696,8 +732,13 @@ def main(argv=None):
     srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
     srv.loras = loras
     if args.mmproj:
-        from ..models.clip import ClipEncoder
-        srv.clip = ClipEncoder(args.mmproj)
+        from ..gguf.reader import load_gguf
+        from ..models.clip import AudioEncoder, ClipEncoder
+        mm_md = load_gguf(args.mmproj).metadata
+        if mm_md.get("clip.has_vision_encoder"):
+            srv.clip = ClipEncoder(args.mmproj)
+        if mm_md.get("clip.has_audio_encoder"):
+            srv.audio = AudioEncoder(args.mmproj)
     web.run_app(srv.app, host=args.host, port=args.port)
 
 

@@ -2674,3 +2674,87 @@ def make_tiny_deepseek4_gguf(path, *, seed=0, n_layer=3, n_embd=64,
             addw(p + "ffn_down_shexp.weight", randw(n_embd, n_ff_exp))
     w.write()
     return path
+
+
+def make_tiny_audio_mmproj_gguf(
+    path: str | Path,
+    *,
+    n_embd_text: int = 64,
+    n_embd: int = 32,
+    n_head: int = 4,
+    n_ff: int = 64,
+    n_layer: int = 2,
+    n_mel: int = 128,
+    projector: str = "qwen2a",
+    stack_factor: int = 4,
+    seed: int = 0,
+) -> Path:
+    """Tiny whisper-style audio mmproj GGUF (clip.cpp build_whisper_enc:
+    conv1d x2, ViT with q/v bias and NO k bias, post_ln, then the qwen2a fc /
+    ultravox swiglu-mlp / voxtral gelu-mlp projector). 128 mel bins: the
+    reference's precalculated filterbank (and its ultravox assert) is
+    128-bin only."""
+    path = Path(path)
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, arch="clip")
+    w.add("clip.has_audio_encoder", True)
+    w.add("clip.projector_type", projector)
+    w.add("clip.use_gelu", True)
+    w.add("clip.audio.num_mel_bins", n_mel)
+    w.add("clip.audio.embedding_length", n_embd)
+    w.add("clip.audio.feed_forward_length", n_ff)
+    w.add("clip.audio.block_count", n_layer)
+    w.add("clip.audio.attention.head_count", n_head)
+    w.add("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    w.add("clip.audio.projection_dim", n_embd_text)
+    if projector in ("ultravox", "voxtral"):
+        w.add("clip.audio.projector.stack_factor", stack_factor)
+
+    def randw(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    # conv1d: ggml ne (kernel, in, out) -> numpy writes reversed (out, in, k)
+    w.add_tensor("a.conv1d.1.weight", randw(n_embd, n_mel, 3, scale=0.1))
+    # conv bias ggml ne (1, out) -> numpy (out, 1): ggml_add repeats over
+    # the frame axis (build_whisper_enc)
+    w.add_tensor("a.conv1d.1.bias", randw(n_embd, scale=0.1).reshape(-1, 1))
+    w.add_tensor("a.conv1d.2.weight", randw(n_embd, n_embd, 3, scale=0.1))
+    w.add_tensor("a.conv1d.2.bias", randw(n_embd, scale=0.1).reshape(-1, 1))
+    w.add_tensor("a.position_embd.weight", randw(1500, n_embd))
+    w.add_tensor("a.post_ln.weight", np.ones(n_embd, np.float32))
+    w.add_tensor("a.post_ln.bias", np.zeros(n_embd, np.float32))
+    for i in range(n_layer):
+        p = f"a.blk.{i}."
+        for tn, shape, bias in (
+                ("attn_q", (n_embd, n_embd), True),
+                ("attn_k", (n_embd, n_embd), False),   # whisper: no k bias
+                ("attn_v", (n_embd, n_embd), True),
+                ("attn_out", (n_embd, n_embd), True),
+                ("ffn_up", (n_ff, n_embd), True),
+                ("ffn_down", (n_embd, n_ff), True)):
+            w.add_tensor(p + tn + ".weight", randw(*shape))
+            if bias:
+                w.add_tensor(p + tn + ".bias", randw(shape[0], scale=0.05))
+        for ln in ("ln1", "ln2"):
+            w.add_tensor(p + ln + ".weight",
+                         (1.0 + 0.1 * rng.standard_normal(n_embd)).astype(
+                             np.float32))
+            w.add_tensor(p + ln + ".bias", randw(n_embd, scale=0.05))
+    if projector == "qwen2a":
+        w.add_tensor("mm.a.fc.weight", randw(n_embd_text, n_embd))
+        w.add_tensor("mm.a.fc.bias", randw(n_embd_text, scale=0.05))
+    elif projector == "ultravox":
+        stride = n_embd * stack_factor
+        w.add_tensor("mm.a.norm_pre.weight", np.ones(stride, np.float32))
+        w.add_tensor("mm.a.norm_mid.weight", np.ones(2 * n_ff, np.float32))
+        w.add_tensor("mm.a.mlp.1.weight", randw(4 * n_ff, stride))
+        w.add_tensor("mm.a.mlp.2.weight", randw(n_embd_text, 2 * n_ff))
+    elif projector == "voxtral":
+        stride = n_embd * stack_factor
+        w.add_tensor("mm.a.mlp.1.weight", randw(n_ff, stride))
+        w.add_tensor("mm.a.mlp.2.weight", randw(n_embd_text, n_ff))
+    else:
+        raise ValueError(projector)
+    w.write()
+    return path
