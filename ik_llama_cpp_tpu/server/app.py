@@ -704,11 +704,10 @@ def main(argv=None):
         if len(parts) > 2:
             kw["process_id"] = int(parts[2])
         jax.distributed.initialize(**kw)
-        if jax.process_index() != 0:
-            raise SystemExit(
-                "multi-host follower processes are not yet driven by the "
-                "serving loop; run the server on host 0 only (single-host "
-                "multi-chip -tp/-ep is fully supported)")
+        if not args.tensor_parallel:
+            # default: TP over every chip of every host
+            args.tensor_parallel = jax.device_count() // max(
+                1, args.expert_parallel)
 
     # per-projection LoRA requires unfused q/k/v linears
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
@@ -726,8 +725,23 @@ def main(argv=None):
             adapter = load_lora_gguf(spec)
         apply_lora(rt.params, adapter)
         loras.append(adapter)
-    engine = BatchEngine(rt, n_slots=args.parallel, capacity=args.ctx_size,
-                         spec=args.spec, spec_n=args.spec_n)
+    if args.distributed:
+        # every process builds the identical engine over the global mesh;
+        # host 0 drives it (slot loop + HTTP), followers replay each
+        # broadcast step descriptor in lockstep (server/multihost.py)
+        import jax
+        from .multihost import DistributedEngine, StepChannel, worker_loop
+        chan = StepChannel(args.parallel, spec_n=args.spec_n)
+        engine = DistributedEngine(rt, chan, n_slots=args.parallel,
+                                   capacity=args.ctx_size,
+                                   spec=args.spec, spec_n=args.spec_n)
+        if jax.process_index() != 0:
+            worker_loop(engine)
+            return
+    else:
+        engine = BatchEngine(rt, n_slots=args.parallel,
+                             capacity=args.ctx_size,
+                             spec=args.spec, spec_n=args.spec_n)
     engine.start()
     srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
     srv.loras = loras
@@ -739,7 +753,12 @@ def main(argv=None):
             srv.clip = ClipEncoder(args.mmproj)
         if mm_md.get("clip.has_audio_encoder"):
             srv.audio = AudioEncoder(args.mmproj)
-    web.run_app(srv.app, host=args.host, port=args.port)
+    try:
+        web.run_app(srv.app, host=args.host, port=args.port)
+    finally:
+        # graceful distributed shutdown: broadcast OP_SHUTDOWN so follower
+        # processes exit their worker loops cleanly
+        engine.stop()
 
 
 if __name__ == "__main__":

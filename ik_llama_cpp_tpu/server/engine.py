@@ -123,17 +123,42 @@ class BatchEngine:
         return None
 
     # ---------------------------------------------------------------- jits
+    def _engine_fwd(self):
+        """Forward used inside the engine's jits: the plain single-chip
+        forward, or the shard_map tensor-parallel forward when the runtime
+        carries a mesh (pallas kernels cannot be auto-partitioned by GSPMD,
+        so TP serving must route through parallel/tp.py exactly like
+        Runtime._step does). The TP path also leaves logits replicated over
+        the model axis, so host 0 can fetch them in multi-host serving."""
+        if self.rt.mesh is None:
+            return FORWARDS[self.cfg.arch]
+        if self.rt.kv_quant:
+            raise NotImplementedError(
+                "tensor-parallel serving with a quantized KV cache is not "
+                "supported yet (shard_map cache specs are bf16-only)")
+        if getattr(self, "_tp_fwd", None) is None:
+            from ..parallel.tp import make_tp_forward
+            tp = make_tp_forward(self.cfg, self.rt.mesh, self.rt.params,
+                                 fwd=FORWARDS[self.cfg.arch],
+                                 logits_last_only=False)
+            def fwd(params, cfg, tokens, kv, n_past, logits_last_only=False):
+                return tp(params, tokens, kv, n_past)
+            self._tp_fwd = fwd
+        return self._tp_fwd
+
     def _prefill_many(self, n_rows: int, bucket: int):
         """Batched prefill: n_rows slots' chunks (same bucket) in ONE forward
         — the analogue of update_slots packing all prompt chunks into a
-        single llama_batch (server-context.cpp:4131-4206)."""
+        single llama_batch (server-context.cpp:4131-4206). Returns only each
+        row's last-valid-position logits (last_ix), so the host transfer is
+        (rows, vocab) instead of (rows, bucket, vocab)."""
         key = ("many", n_rows, bucket)
         if key not in self._prefill_fns:
             cfg = self.cfg
-            fwd = FORWARDS[cfg.arch]
+            fwd = self._engine_fwd()
 
             @jax.jit
-            def prefill_rows(params, tokens, kv, slot_idx, n_past):
+            def prefill_rows(params, tokens, kv, slot_idx, n_past, last_ix):
                 # gather the slots' cache rows (batch axis 1 on every cache
                 # leaf — KV, quant scales, SSM conv/state alike)
                 kv_rows = jax.tree_util.tree_map(
@@ -143,7 +168,9 @@ class BatchEngine:
                 kv2 = jax.tree_util.tree_map(
                     lambda a, r: a.at[:, slot_idx].set(r.astype(a.dtype)),
                     kv, kv_rows)
-                return logits, kv2
+                last = jnp.take_along_axis(
+                    logits, last_ix[:, None, None], axis=1)[:, 0]
+                return last, kv2
 
             self._prefill_fns[key] = prefill_rows
         return self._prefill_fns[key]
@@ -151,10 +178,10 @@ class BatchEngine:
     def _prefill(self, bucket: int):
         if bucket not in self._prefill_fns:
             cfg = self.cfg
-            fwd = FORWARDS[cfg.arch]
+            fwd = self._engine_fwd()
 
             @jax.jit
-            def prefill_slot(params, tokens, kv, slot_idx, n_past):
+            def prefill_slot(params, tokens, kv, slot_idx, n_past, last_ix):
                 kv_row = jax.tree_util.tree_map(
                     lambda a: jax.lax.dynamic_slice_in_dim(a, slot_idx, 1,
                                                            axis=1), kv)
@@ -163,7 +190,9 @@ class BatchEngine:
                 kv2 = jax.tree_util.tree_map(
                     lambda a, r: jax.lax.dynamic_update_slice_in_dim(
                         a, r.astype(a.dtype), slot_idx, axis=1), kv, kv_row)
-                return logits, kv2
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], last_ix, axis=0, keepdims=False)
+                return last, kv2
 
             self._prefill_fns[bucket] = prefill_slot
         return self._prefill_fns[bucket]
@@ -171,7 +200,7 @@ class BatchEngine:
     def _decode(self):
         if self._decode_fn is None:
             cfg = self.cfg
-            fwd = FORWARDS[cfg.arch]
+            fwd = self._engine_fwd()
 
             @jax.jit
             def decode_all(params, tokens, kv, n_past):
@@ -185,7 +214,7 @@ class BatchEngine:
         sampled token + draft), logits at every position."""
         if self._spec_decode_fn is None:
             cfg = self.cfg
-            fwd = FORWARDS[cfg.arch]
+            fwd = self._engine_fwd()
 
             @jax.jit
             def decode_spec(params, tokens, kv, n_past):
@@ -252,8 +281,9 @@ class BatchEngine:
             padded[0, :len(chunk)] = chunk
             fn = self._prefill(b)
             logits, self.kv = fn(self.rt.params, jnp.asarray(padded), self.kv,
-                                 jnp.int32(slot.idx), jnp.int32(slot.n_past))
-            last_logits = np.asarray(logits[0, len(chunk) - 1])
+                                 jnp.int32(slot.idx), jnp.int32(slot.n_past),
+                                 jnp.int32(len(chunk) - 1))
+            last_logits = np.asarray(logits)
             slot.n_past += len(chunk)
             self.n_prompt_tokens_processed += len(chunk)
             i += len(chunk)
@@ -327,9 +357,11 @@ class BatchEngine:
             toks[r, :len(c)] = c
         idx = np.asarray([s.idx for s in slots], np.int32)
         n_past = np.asarray([s.n_past for s in slots], np.int32)
+        last_ix = np.asarray([len(c) - 1 for c in chunks], np.int32)
         fn = self._prefill_many(len(slots), bucket)
         logits, self.kv = fn(self.rt.params, jnp.asarray(toks), self.kv,
-                             jnp.asarray(idx), jnp.asarray(n_past))
+                             jnp.asarray(idx), jnp.asarray(n_past),
+                             jnp.asarray(last_ix))
         logits_np = np.asarray(logits)
         for r, s in enumerate(slots):
             s.n_past += len(chunks[r])
@@ -338,7 +370,7 @@ class BatchEngine:
                 s.state = SlotState.GENERATING
                 if s.t_first_token == 0.0:
                     s.t_first_token = time.time()
-                self._emit_token(s, logits_np[r, len(chunks[r]) - 1])
+                self._emit_token(s, logits_np[r])
 
     def run_loop(self):
         decode = self._decode()
@@ -378,7 +410,7 @@ class BatchEngine:
                 n_past[s.idx] = s.n_past
             logits, self.kv = decode(self.rt.params, jnp.asarray(toks), self.kv,
                                      jnp.asarray(n_past))
-            logits_np = np.asarray(logits[:, -1])
+            logits_np = np.asarray(logits)[:, -1]
             for s in gen:
                 s.n_past += 1
                 if s.n_past >= self.capacity - 1:
