@@ -181,6 +181,11 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     if "text_config" in cfg:    # gemma3 conditional-generation wrapper
         cfg = {**cfg, **cfg["text_config"]}
     hf_arch = cfg.get("architectures", ["LlamaForCausalLM"])[0]
+    from .convert_hf_archs import CONVERTERS, convert_registered
+    if hf_arch in CONVERTERS:
+        tensors = load_hf_tensors(hf_dir)
+        return convert_registered(hf_arch, cfg, tensors, hf_dir, out_path,
+                                  outtype)
     arch = ARCH_MAP.get(hf_arch)
     if arch is None:
         raise NotImplementedError(f"unsupported HF architecture {hf_arch}")

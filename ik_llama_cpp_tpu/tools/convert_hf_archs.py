@@ -1,0 +1,737 @@
+"""Per-architecture HF -> GGUF converters (registry).
+
+The structural analogue of the reference's per-model register classes
+(convert_hf_to_gguf.py:47+ ``@Model.register``): each class declares the
+GGUF arch name, metadata, and a tensor map; the generic driver in
+``convert_registered`` handles vocab, dtype policy, and writing. Only the
+tensor set our engine's loaders require is emitted (the per-arch
+templates in tests/fixtures.py are the contract).
+
+Key HF->ggml conventions handled here:
+  * NORM-rope archs (llama/baichuan/olmo/command-r/mixtral...) need the
+    q/k row permute from HF half-rotation to ggml pair-interleave order.
+  * gpt2-family Conv1D weights are stored (in, out) and must be
+    transposed to Linear order.
+  * gptneox/bloom fuse qkv per-head [q k v] interleaved; ggml wants
+    [Q;K;V] planar.
+  * per-expert HF tensors stack into the 3-D ffn_*_exps tensors.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+CONVERTERS: dict[str, type] = {}
+
+
+def register(*hf_names):
+    def deco(cls):
+        for n in hf_names:
+            CONVERTERS[n] = cls
+        return cls
+    return deco
+
+
+def permute_rotary(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-rotation -> ggml NORM pair rotation (reference permute)."""
+    return (w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+            .swapaxes(1, 2).reshape(w.shape))
+
+
+def deinterleave_qkv(w: np.ndarray, n_head: int, head_dim: int) -> np.ndarray:
+    """(n_head*(3*d), ...) per-head [q k v] -> planar [Q; K; V]."""
+    rest = w.shape[1:]
+    w = w.reshape(n_head, 3, head_dim, *rest)
+    w = np.swapaxes(w, 0, 1)
+    return w.reshape(3 * n_head * head_dim, *rest)
+
+
+class ArchConverter:
+    arch: str = ""
+    eps = "rms"               # 'rms' | 'layer' epsilon key
+    permute_qk = False        # NORM-rope q/k permute
+    norm_plus_one = False     # gemma-style (w - 1) storage
+    strip_prefixes: tuple = ()
+    # (hf_template, gguf_template) rows; '{i}' expands over layers
+    MAP: list = []
+
+    def __init__(self, cfg: dict, tensors: dict):
+        self.cfg = cfg
+        self.tensors = tensors
+        for p in self.strip_prefixes:
+            self.tensors = {k.removeprefix(p): v
+                            for k, v in self.tensors.items()}
+        self.n_layer = self.key("num_hidden_layers", "n_layer", "n_layers")
+        self.n_embd = self.key("hidden_size", "n_embd", "d_model")
+        self.n_head = self.key("num_attention_heads", "n_head", "n_heads")
+        self.n_head_kv = self.key("num_key_value_heads", default=self.n_head)
+        self.head_dim = self.cfg.get("head_dim") or self.n_embd // self.n_head
+        self.n_ff = self.key("intermediate_size", "n_inner", "ffn_hidden_size",
+                             default=4 * self.n_embd)
+        self.n_ctx = self.key("max_position_embeddings", "n_positions",
+                              "max_seq_len", default=4096)
+
+    def key(self, *names, default=None):
+        for n in names:
+            if self.cfg.get(n) is not None:
+                return self.cfg[n]
+        return default
+
+    # ------------------------------------------------------------ metadata
+    def rope_dim(self) -> int:
+        return self.head_dim
+
+    def metadata(self, w):
+        a = self.arch
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        w.add(f"{a}.feed_forward_length", self.n_ff)
+        w.add(f"{a}.attention.head_count", self.n_head)
+        w.add(f"{a}.attention.head_count_kv", self.n_head_kv)
+        if self.eps == "rms":
+            w.add(f"{a}.attention.layer_norm_rms_epsilon",
+                  self.key("rms_norm_eps", default=1e-5))
+        else:
+            w.add(f"{a}.attention.layer_norm_epsilon",
+                  self.key("layer_norm_epsilon", "layer_norm_eps",
+                           "norm_epsilon", default=1e-5))
+        w.add(f"{a}.rope.freq_base", float(self.key("rope_theta",
+                                                    default=10000.0)))
+        w.add(f"{a}.rope.dimension_count", int(self.rope_dim()))
+        w.add(f"{a}.vocab_size", self.cfg["vocab_size"])
+        if self.head_dim != self.n_embd // self.n_head:
+            w.add(f"{a}.attention.key_length", self.head_dim)
+            w.add(f"{a}.attention.value_length", self.head_dim)
+        self.extra_metadata(w)
+
+    def extra_metadata(self, w):
+        pass
+
+    # ------------------------------------------------------------- tensors
+    def fix(self, hf_name: str, arr: np.ndarray) -> np.ndarray:
+        """Per-tensor hook (transpose, de-interleave, permute...)."""
+        if self.permute_qk:
+            if hf_name.endswith(("q_proj.weight", "q_proj.bias")):
+                return permute_rotary(arr, self.n_head)
+            if hf_name.endswith(("k_proj.weight", "k_proj.bias")):
+                return permute_rotary(arr, self.n_head_kv)
+        return arr
+
+    def rows(self):
+        """Yield (gguf_name, array) for every mapped tensor."""
+        for hf_tpl, gg_tpl in self.MAP:
+            if "{i}" in hf_tpl:
+                for i in range(self.n_layer):
+                    hf = hf_tpl.format(i=i)
+                    if hf in self.tensors:
+                        arr = self.fix(hf, np.asarray(self.tensors[hf],
+                                                      np.float32))
+                        if self.norm_plus_one and "norm" in gg_tpl:
+                            arr = arr + 1.0
+                        yield gg_tpl.format(i=i), arr
+            elif hf_tpl in self.tensors:
+                arr = self.fix(hf_tpl, np.asarray(self.tensors[hf_tpl],
+                                                  np.float32))
+                if self.norm_plus_one and "norm" in gg_tpl:
+                    arr = arr + 1.0
+                yield gg_tpl, arr
+        yield from self.extra_rows()
+
+    def extra_rows(self):
+        return ()
+
+    def fuse_qkv(self, i: int, base="model.layers.{i}.self_attn",
+                 names=("q_proj", "k_proj", "v_proj")):
+        """Concat separate q/k/v into the planar fused [Q;K;V] tensors."""
+        b = base.format(i=i)
+        out = []
+        for suffix in ("weight", "bias"):
+            parts = [self.tensors.get(f"{b}.{n}.{suffix}") for n in names]
+            if all(p is not None for p in parts):
+                out.append((suffix,
+                            np.concatenate([np.asarray(p, np.float32)
+                                            for p in parts], axis=0)))
+        return out
+
+    def stack_experts(self, i: int, n_expert: int,
+                      base="model.layers.{i}.mlp.experts",
+                      projs=(("gate_proj", "ffn_gate_exps"),
+                             ("up_proj", "ffn_up_exps"),
+                             ("down_proj", "ffn_down_exps"))):
+        b = base.format(i=i)
+        if f"{b}.0.{projs[0][0]}.weight" not in self.tensors:
+            return
+        for hf_p, gg in projs:
+            stack = np.stack([np.asarray(
+                self.tensors[f"{b}.{e}.{hf_p}.weight"], np.float32)
+                for e in range(n_expert)])
+            yield f"blk.{i}.{gg}.weight", stack
+
+
+_LLAMA_STYLE = [
+    ("model.embed_tokens.weight", "token_embd.weight"),
+    ("model.norm.weight", "output_norm.weight"),
+    ("lm_head.weight", "output.weight"),
+    ("model.layers.{i}.input_layernorm.weight", "blk.{i}.attn_norm.weight"),
+    ("model.layers.{i}.post_attention_layernorm.weight", "blk.{i}.ffn_norm.weight"),
+    ("model.layers.{i}.self_attn.q_proj.weight", "blk.{i}.attn_q.weight"),
+    ("model.layers.{i}.self_attn.k_proj.weight", "blk.{i}.attn_k.weight"),
+    ("model.layers.{i}.self_attn.v_proj.weight", "blk.{i}.attn_v.weight"),
+    ("model.layers.{i}.self_attn.o_proj.weight", "blk.{i}.attn_output.weight"),
+    ("model.layers.{i}.self_attn.q_proj.bias", "blk.{i}.attn_q.bias"),
+    ("model.layers.{i}.self_attn.k_proj.bias", "blk.{i}.attn_k.bias"),
+    ("model.layers.{i}.self_attn.v_proj.bias", "blk.{i}.attn_v.bias"),
+    ("model.layers.{i}.self_attn.q_norm.weight", "blk.{i}.attn_q_norm.weight"),
+    ("model.layers.{i}.self_attn.k_norm.weight", "blk.{i}.attn_k_norm.weight"),
+    ("model.layers.{i}.mlp.gate_proj.weight", "blk.{i}.ffn_gate.weight"),
+    ("model.layers.{i}.mlp.up_proj.weight", "blk.{i}.ffn_up.weight"),
+    ("model.layers.{i}.mlp.down_proj.weight", "blk.{i}.ffn_down.weight"),
+]
+
+
+# --------------------------------------------------------------- gpt2 family
+@register("GPT2LMHeadModel")
+class GPT2(ArchConverter):
+    arch = "gpt2"
+    eps = "layer"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("wte.weight", "token_embd.weight"),
+        ("wpe.weight", "position_embd.weight"),
+        ("ln_f.weight", "output_norm.weight"),
+        ("ln_f.bias", "output_norm.bias"),
+    ] + [(f"h.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("ln_1", "attn_norm"), ("attn.c_attn", "attn_qkv"),
+                      ("attn.c_proj", "attn_output"), ("ln_2", "ffn_norm"),
+                      ("mlp.c_fc", "ffn_up"), ("mlp.c_proj", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def fix(self, hf_name, arr):
+        # Conv1D stores (in, out): transpose back to Linear order
+        if arr.ndim == 2 and (".c_attn." in hf_name or ".c_proj." in hf_name
+                              or ".c_fc." in hf_name):
+            arr = arr.T
+        return arr
+
+
+@register("GPTBigCodeForCausalLM")
+class StarCoder(GPT2):
+    """starcoder: gpt2 structure, Linear (not Conv1D) weights, MQA."""
+    arch = "starcoder"
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        if cfg.get("multi_query", True):
+            self.n_head_kv = 1
+
+    def fix(self, hf_name, arr):
+        return arr    # GPTBigCode uses nn.Linear: already (out, in)
+
+
+@register("GPTNeoXForCausalLM")
+class GPTNeoX(ArchConverter):
+    arch = "gptneox"
+    eps = "layer"
+    strip_prefixes = ("gpt_neox.",)
+    MAP = [
+        ("embed_in.weight", "token_embd.weight"),
+        ("final_layer_norm.weight", "output_norm.weight"),
+        ("final_layer_norm.bias", "output_norm.bias"),
+        ("embed_out.weight", "output.weight"),
+    ] + [(f"layers.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("attention.query_key_value", "attn_qkv"),
+                      ("attention.dense", "attn_output"),
+                      ("post_attention_layernorm", "ffn_norm"),
+                      ("mlp.dense_h_to_4h", "ffn_up"),
+                      ("mlp.dense_4h_to_h", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def rope_dim(self):
+        return int(self.head_dim * self.cfg.get("rotary_pct", 0.25))
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.use_parallel_residual",
+              bool(self.cfg.get("use_parallel_residual", True)))
+
+    def fix(self, hf_name, arr):
+        if "query_key_value" in hf_name:
+            arr = deinterleave_qkv(arr, self.n_head, self.head_dim)
+        return arr
+
+
+@register("BloomForCausalLM")
+class Bloom(ArchConverter):
+    arch = "bloom"
+    eps = "layer"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("word_embeddings.weight", "token_embd.weight"),
+        ("word_embeddings_layernorm.weight", "token_embd_norm.weight"),
+        ("word_embeddings_layernorm.bias", "token_embd_norm.bias"),
+        ("ln_f.weight", "output_norm.weight"),
+        ("ln_f.bias", "output_norm.bias"),
+    ] + [(f"h.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("self_attention.query_key_value", "attn_qkv"),
+                      ("self_attention.dense", "attn_output"),
+                      ("post_attention_layernorm", "ffn_norm"),
+                      ("mlp.dense_h_to_4h", "ffn_up"),
+                      ("mlp.dense_4h_to_h", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def fix(self, hf_name, arr):
+        if "query_key_value" in hf_name:
+            arr = deinterleave_qkv(arr, self.n_head, self.head_dim)
+        return arr
+
+
+@register("MptForCausalLM")
+class MPT(ArchConverter):
+    arch = "mpt"
+    eps = "layer"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("wte.weight", "token_embd.weight"),
+        ("norm_f.weight", "output_norm.weight"),
+        ("norm_f.bias", "output_norm.bias"),
+    ] + [(f"blocks.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("norm_1", "attn_norm"), ("attn.Wqkv", "attn_qkv"),
+                      ("attn.out_proj", "attn_output"), ("norm_2", "ffn_norm"),
+                      ("ffn.up_proj", "ffn_up"), ("ffn.down_proj", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def extra_metadata(self, w):
+        ac = self.cfg.get("attn_config", {})
+        w.add(f"{self.arch}.attention.max_alibi_bias",
+              float(ac.get("alibi_bias_max", 8.0)))
+        if ac.get("clip_qkv"):
+            w.add(f"{self.arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
+
+
+@register("FalconForCausalLM")
+class Falcon(ArchConverter):
+    """falcon 7B form: shared-norm parallel residual, un-biased fused qkv,
+    NEOX rope (multi_query or grouped kv layouts both normalized)."""
+    arch = "falcon"
+    eps = "layer"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("word_embeddings.weight", "token_embd.weight"),
+        ("ln_f.weight", "output_norm.weight"),
+        ("ln_f.bias", "output_norm.bias"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"h.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("self_attention.query_key_value", "attn_qkv"),
+                      ("self_attention.dense", "attn_output"),
+                      ("mlp.dense_h_to_4h", "ffn_up"),
+                      ("mlp.dense_4h_to_h", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        if cfg.get("new_decoder_architecture"):
+            self.n_head_kv = cfg.get("num_kv_heads", 8)
+        elif cfg.get("multi_query", True):
+            self.n_head_kv = 1
+
+    def fix(self, hf_name, arr):
+        if "query_key_value" in hf_name and self.cfg.get(
+                "new_decoder_architecture"):
+            # grouped layout: per kv-group [q*(h/kv) k v] -> planar [Q;K;V]
+            d, kv = self.head_dim, self.n_head_kv
+            qpk = self.n_head // kv
+            a = arr.reshape(kv, qpk + 2, d, *arr.shape[1:])
+            q = a[:, :qpk].reshape(kv * qpk * d, *arr.shape[1:])
+            k = a[:, qpk].reshape(kv * d, *arr.shape[1:])
+            v = a[:, qpk + 1].reshape(kv * d, *arr.shape[1:])
+            arr = np.concatenate([q, k, v], axis=0)
+        return arr
+
+
+@register("PhiForCausalLM")
+class Phi2(ArchConverter):
+    """phi2: shared-norm parallel residual, partial NEOX rope, biased fused
+    qkv, biased lm head."""
+    arch = "phi2"
+    eps = "layer"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.final_layernorm.weight", "output_norm.weight"),
+        ("model.final_layernorm.bias", "output_norm.bias"),
+        ("lm_head.weight", "output.weight"),
+        ("lm_head.bias", "output.bias"),
+    ] + [(f"model.layers.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("self_attn.dense", "attn_output"),
+                      ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def rope_dim(self):
+        return int(self.head_dim * self.cfg.get("partial_rotary_factor", 0.5))
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            for suffix, arr in self.fuse_qkv(i):
+                yield f"blk.{i}.attn_qkv.{suffix}", arr
+
+
+@register("StableLmForCausalLM")
+class StableLM(ArchConverter):
+    arch = "stablelm"
+    eps = "layer"
+    MAP = _LLAMA_STYLE + [
+        ("model.norm.bias", "output_norm.bias"),
+        ("model.layers.{i}.input_layernorm.bias", "blk.{i}.attn_norm.bias"),
+        ("model.layers.{i}.post_attention_layernorm.bias",
+         "blk.{i}.ffn_norm.bias"),
+    ]
+
+    def rope_dim(self):
+        return int(self.head_dim * self.cfg.get("partial_rotary_factor", 0.25))
+
+
+@register("GemmaForCausalLM")
+class Gemma(ArchConverter):
+    """gemma v1: llama-ish body, tied head, (w-1) norm storage, NEOX rope."""
+    arch = "gemma"
+    norm_plus_one = True
+    MAP = _LLAMA_STYLE
+
+
+@register("CohereForCausalLM")
+class CommandR(ArchConverter):
+    """command-r: shared-LayerNorm parallel residual, logit scale, tied
+    head, NORM rope."""
+    arch = "command-r"
+    eps = "layer"
+    permute_qk = True
+    MAP = _LLAMA_STYLE
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.logit_scale",
+              float(self.cfg.get("logit_scale", 0.0625)))
+
+
+@register("OlmoForCausalLM")
+class Olmo(ArchConverter):
+    """olmo: non-parametric norms (no norm tensors), optional qkv clamp,
+    NORM rope."""
+    arch = "olmo"
+    permute_qk = True
+    MAP = [(h, g) for h, g in _LLAMA_STYLE if "norm" not in h]
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.attention.layer_norm_epsilon", 1e-5)
+        if self.cfg.get("clip_qkv"):
+            w.add(f"{self.arch}.attention.clamp_kqv",
+                  float(self.cfg["clip_qkv"]))
+
+
+@register("SmolLM3ForCausalLM")
+class SmolLM3(ArchConverter):
+    """smollm3: llama body with rope skipped every 4th layer (engine-side
+    no_rope_step=4, llama-hparams.cpp:1496)."""
+    arch = "smollm3"
+    permute_qk = True
+    MAP = _LLAMA_STYLE
+
+
+# ------------------------------------------------------------------ MoE archs
+@register("MixtralForCausalLM")
+class Mixtral(ArchConverter):
+    """mixtral: LLM_ARCH_LLAMA + stacked block_sparse_moe experts
+    (w1=gate, w3=up, w2=down) — GGUF architecture string is 'llama',
+    matching the reference converter (mixtral is not an arch name)."""
+    arch = "llama"
+    permute_qk = True
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.block_sparse_moe.gate.weight",
+         "blk.{i}.ffn_gate_inp.weight"),
+    ]
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.expert_count", self.cfg["num_local_experts"])
+        w.add(f"{self.arch}.expert_used_count",
+              self.cfg.get("num_experts_per_tok", 2))
+        w.add(f"{self.arch}.expert_feed_forward_length", self.n_ff)
+
+    def extra_rows(self):
+        n_exp = self.cfg["num_local_experts"]
+        for i in range(self.n_layer):
+            yield from self.stack_experts(
+                i, n_exp, base="model.layers.{i}.block_sparse_moe.experts",
+                projs=(("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                       ("w2", "ffn_down_exps")))
+
+
+@register("Qwen2MoeForCausalLM")
+class Qwen2Moe(ArchConverter):
+    """qwen2moe: biased attention, softmax router, gated shared expert."""
+    arch = "qwen2moe"
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+        ("model.layers.{i}.mlp.shared_expert.gate_proj.weight",
+         "blk.{i}.ffn_gate_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_expert.up_proj.weight",
+         "blk.{i}.ffn_up_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_expert.down_proj.weight",
+         "blk.{i}.ffn_down_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_expert_gate.weight",
+         "blk.{i}.ffn_gate_inp_shexp.weight"),
+    ]
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.expert_count", self.cfg["num_experts"])
+        w.add(f"{self.arch}.expert_used_count",
+              self.cfg.get("num_experts_per_tok", 4))
+        w.add(f"{self.arch}.expert_feed_forward_length",
+              self.cfg["moe_intermediate_size"])
+        w.add(f"{self.arch}.expert_shared_feed_forward_length",
+              self.cfg.get("shared_expert_intermediate_size",
+                           self.cfg["moe_intermediate_size"]))
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            yield from self.stack_experts(i, self.cfg["num_experts"])
+
+
+@register("DbrxForCausalLM")
+class DBRX(ArchConverter):
+    """dbrx: fused Wqkv, norm_2 as attn-output norm, flat packed expert
+    tensors (w1/v1/w2) reshaped to the stacked 3-D layout."""
+    arch = "dbrx"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("wte.weight", "token_embd.weight"),
+        ("norm_f.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"blocks.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("norm_attn_norm.norm_1", "attn_norm"),
+                      ("norm_attn_norm.attn.Wqkv", "attn_qkv"),
+                      ("norm_attn_norm.attn.out_proj", "attn_output"),
+                      ("norm_attn_norm.norm_2", "attn_output_norm"),
+                      ("ffn.router.layer", "ffn_gate_inp"))]
+
+    def __init__(self, cfg, tensors):
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("n_layers"))
+        cfg.setdefault("hidden_size", cfg.get("d_model"))
+        cfg.setdefault("num_attention_heads", cfg.get("n_heads"))
+        ac = cfg.get("attn_config", {})
+        cfg.setdefault("num_key_value_heads", ac.get("kv_n_heads", 1))
+        cfg.setdefault("rope_theta", ac.get("rope_theta", 10000.0))
+        fc = cfg.get("ffn_config", {})
+        cfg.setdefault("intermediate_size", fc.get("ffn_hidden_size"))
+        super().__init__(cfg, tensors)
+
+    def extra_metadata(self, w):
+        fc = self.cfg.get("ffn_config", {})
+        w.add(f"{self.arch}.expert_count", fc.get("moe_num_experts", 16))
+        w.add(f"{self.arch}.expert_used_count", fc.get("moe_top_k", 4))
+        w.add(f"{self.arch}.expert_feed_forward_length", self.n_ff)
+        ac = self.cfg.get("attn_config", {})
+        if ac.get("clip_qkv"):
+            w.add(f"{self.arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
+
+    def extra_rows(self):
+        fc = self.cfg.get("ffn_config", {})
+        ne, ff, d = fc.get("moe_num_experts", 16), self.n_ff, self.n_embd
+        for i in range(self.n_layer):
+            b = f"blocks.{i}.ffn.experts.mlp"
+            if f"{b}.w1" not in self.tensors:
+                continue
+            w1 = np.asarray(self.tensors[f"{b}.w1"], np.float32).reshape(ne, ff, d)
+            v1 = np.asarray(self.tensors[f"{b}.v1"], np.float32).reshape(ne, ff, d)
+            w2 = np.asarray(self.tensors[f"{b}.w2"], np.float32).reshape(ne, ff, d)
+            yield f"blk.{i}.ffn_gate_exps.weight", w1
+            yield f"blk.{i}.ffn_up_exps.weight", v1
+            yield f"blk.{i}.ffn_down_exps.weight", w2.transpose(0, 2, 1)
+
+
+@register("GraniteMoeForCausalLM")
+class GraniteMoe(ArchConverter):
+    """granitemoe: granite scalar multipliers + MoE with fused
+    input_linear ([gate; up]) per expert."""
+    arch = "granitemoe"
+    permute_qk = True
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.block_sparse_moe.router.layer.weight",
+         "blk.{i}.ffn_gate_inp.weight"),
+    ]
+
+    def extra_metadata(self, w):
+        a = self.arch
+        w.add(f"{a}.embedding_scale",
+              float(self.cfg.get("embedding_multiplier", 1.0)))
+        w.add(f"{a}.residual_scale",
+              float(self.cfg.get("residual_multiplier", 1.0)))
+        w.add(f"{a}.attention.scale",
+              float(self.cfg.get("attention_multiplier", 0.0)))
+        w.add(f"{a}.logit_scale", float(self.cfg.get("logits_scaling", 1.0)))
+        w.add(f"{a}.expert_count", self.cfg["num_local_experts"])
+        w.add(f"{a}.expert_used_count",
+              self.cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_feed_forward_length", self.n_ff)
+
+    def extra_rows(self):
+        ff = self.n_ff
+        for i in range(self.n_layer):
+            b = f"model.layers.{i}.block_sparse_moe"
+            il = self.tensors.get(f"{b}.input_linear.weight")
+            ol = self.tensors.get(f"{b}.output_linear.weight")
+            if il is None:
+                continue
+            il = np.asarray(il, np.float32)       # (ne, 2*ff, d)
+            yield f"blk.{i}.ffn_gate_exps.weight", il[:, :ff]
+            yield f"blk.{i}.ffn_up_exps.weight", il[:, ff:]
+            yield f"blk.{i}.ffn_down_exps.weight", np.asarray(ol, np.float32)
+
+
+_GATING = {"softmax": 1, "sigmoid": 2, "sqrtsoftplus": 3}
+
+
+@register("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
+class DeepseekV2(ArchConverter):
+    """deepseek2/3: MLA (q-lora + kv-lora) attention, leading dense layers,
+    gated MoE with optional selection bias, shared experts
+    (reference: convert_hf_to_gguf.py DeepseekV2Model)."""
+    arch = "deepseek2"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("post_attention_layernorm", "ffn_norm"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.q_a_proj", "attn_q_a"),
+                      ("self_attn.q_a_layernorm", "attn_q_a_norm"),
+                      ("self_attn.q_b_proj", "attn_q_b"),
+                      ("self_attn.kv_a_proj_with_mqa", "attn_kv_a_mqa"),
+                      ("self_attn.kv_a_layernorm", "attn_kv_a_norm"),
+                      ("self_attn.kv_b_proj", "attn_kv_b"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("mlp.gate_proj", "ffn_gate"),
+                      ("mlp.up_proj", "ffn_up"),
+                      ("mlp.down_proj", "ffn_down"),
+                      ("mlp.gate", "ffn_gate_inp"),
+                      ("mlp.shared_experts.gate_proj", "ffn_gate_shexp"),
+                      ("mlp.shared_experts.up_proj", "ffn_up_shexp"),
+                      ("mlp.shared_experts.down_proj", "ffn_down_shexp"))]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        self.head_dim = (cfg["qk_nope_head_dim"] + cfg["qk_rope_head_dim"])
+
+    def rope_dim(self):
+        return self.cfg["qk_rope_head_dim"]
+
+    def metadata(self, w):
+        super().metadata(w)
+        a = self.arch
+        w.add(f"{a}.attention.key_length", self.head_dim)
+        w.add(f"{a}.attention.value_length", self.cfg["v_head_dim"])
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        if cfg.get("q_lora_rank"):
+            w.add(f"{a}.attention.q_lora_rank", cfg["q_lora_rank"])
+        w.add(f"{a}.attention.kv_lora_rank", cfg["kv_lora_rank"])
+        w.add(f"{a}.leading_dense_block_count",
+              cfg.get("first_k_dense_replace", 0))
+        w.add(f"{a}.expert_count", cfg["n_routed_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_shared_count", cfg.get("n_shared_experts", 0))
+        w.add(f"{a}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+        w.add(f"{a}.expert_weights_scale",
+              float(cfg.get("routed_scaling_factor", 1.0)))
+        w.add(f"{a}.expert_weights_norm", bool(cfg.get("norm_topk_prob",
+                                                       False)))
+        w.add(f"{a}.expert_gating_func",
+              _GATING.get(cfg.get("scoring_func", "softmax"), 1))
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            yield from self.stack_experts(i, self.cfg["n_routed_experts"])
+            b = self.tensors.get(
+                f"model.layers.{i}.mlp.gate.e_score_correction_bias")
+            if b is not None:
+                yield f"blk.{i}.exp_probs_b.bias", np.asarray(b, np.float32)
+
+
+@register("GlmForCausalLM", "Glm4ForCausalLM")
+class Glm4(ArchConverter):
+    """glm4: sandwich post-norms, fused-SWIGLU FFN (gate_up -> ffn_up),
+    partial interleaved rope (HF GLM rope is already pair-interleaved, so
+    no permute)."""
+    arch = "glm4"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.k_proj", "attn_k"),
+                      ("self_attn.v_proj", "attn_v"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("post_attention_layernorm", "ffn_norm"),
+                      ("post_self_attn_layernorm", "post_attention_norm"),
+                      ("post_mlp_layernorm", "post_ffw_norm"),
+                      ("mlp.gate_up_proj", "ffn_up"),
+                      ("mlp.down_proj", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def rope_dim(self):
+        return int(self.head_dim * self.cfg.get("partial_rotary_factor", 0.5))
+
+
+def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
+                       out_path, outtype: str) -> Path:
+    """Generic driver for registered per-arch converters."""
+    from ..gguf.constants import GGMLType
+    from ..gguf.writer import GGUFWriter
+    from ..quant.quantize import quantize
+    from .convert_hf import vocab_from_tokenizer_json, _write_fallback_vocab
+
+    conv = CONVERTERS[hf_arch](cfg, tensors)
+    arch = conv.arch
+    w = GGUFWriter(out_path, arch=arch)
+    w.add("general.name", Path(hf_dir).name)
+    conv.metadata(w)
+
+    vocab = vocab_from_tokenizer_json(Path(hf_dir))
+    if vocab is not None:
+        tokens, types, merges = vocab
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.pre", "default")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+        w.add("tokenizer.ggml.merges", merges)
+    else:
+        _write_fallback_vocab(w, cfg["vocab_size"])
+    for key in ("bos_token_id", "eos_token_id"):
+        if cfg.get(key) is not None:
+            v = cfg[key]
+            w.add(f"tokenizer.ggml.{key}",
+                  int(v[0] if isinstance(v, list) else v))
+
+    ttype = {"f32": GGMLType.F32, "f16": GGMLType.F16,
+             "q8_0": GGMLType.Q8_0}[outtype]
+    for gname, arr in conv.rows():
+        arr = np.asarray(arr, np.float32)
+        t = ttype
+        if (arr.ndim == 1 or "norm" in gname or gname.endswith(".bias")
+                or "gate_inp" in gname or arr.shape[-1] % 32 != 0):
+            t = GGMLType.F32
+        if t == GGMLType.F32:
+            w.add_tensor(gname, arr)
+        else:
+            w.add_tensor(gname, quantize(arr.reshape(-1, arr.shape[-1]), t),
+                         shape=tuple(reversed(arr.shape)), ggml_type=t)
+    w.write()
+    return Path(out_path)

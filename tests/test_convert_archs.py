@@ -1,0 +1,251 @@
+"""Registry-based HF -> GGUF converters (tools/convert_hf_archs.py):
+convert a tiny randomly-initialized transformers model, load the GGUF in
+our engine, and require logit parity with the HF torch forward — the same
+bar as tests/test_convert_hf.py. One test per added HF architecture
+(reference: convert_hf_to_gguf.py register classes)."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ik_llama_cpp_tpu.runtime.generate import Runtime
+from ik_llama_cpp_tpu.tools.convert_hf import convert
+
+
+def _sm(x):
+    x = np.asarray(x, np.float64)
+    x = x - x.max(-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(-1, keepdims=True)
+
+
+def _parity(hf_cfg_cls, hf_model_cls, tmp_path, name, ids=None, tol=0.15,
+            seed=0, **cfg_kw):
+    d = tmp_path / name
+    cfg = hf_cfg_cls(**cfg_kw)
+    torch.manual_seed(seed)
+    model = hf_model_cls(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / f"{name}.gguf"
+    convert(d, out, outtype="f32")
+    ids = ids or [1, 17, 42, 99, 7, 250, 3]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].float().numpy()
+    rt = Runtime.from_gguf(out)
+    ours = rt.all_position_logits(ids)
+    l1 = np.abs(_sm(ours) - _sm(hf_logits)).sum(-1)
+    agree = (ours.argmax(-1) == hf_logits.argmax(-1)).mean()
+    assert l1.max() < tol, f"{name}: max L1 {l1.max():.4f}"
+    assert agree >= 0.85, f"{name}: argmax agree {agree:.2%}"
+
+
+_COMMON = dict(vocab_size=256, num_hidden_layers=2, rms_norm_eps=1e-5)
+
+
+def test_convert_gpt2(tmp_path):
+    _parity(transformers.GPT2Config, transformers.GPT2LMHeadModel, tmp_path,
+            "tiny-gpt2", vocab_size=256, n_embd=64, n_layer=2, n_head=4,
+            n_positions=128, n_inner=128)
+
+
+def test_convert_gptneox(tmp_path):
+    _parity(transformers.GPTNeoXConfig, transformers.GPTNeoXForCausalLM,
+            tmp_path, "tiny-neox", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, intermediate_size=128,
+            rotary_pct=0.25, use_parallel_residual=True,
+            max_position_embeddings=128, tie_word_embeddings=False)
+
+
+def test_convert_falcon(tmp_path):
+    _parity(transformers.FalconConfig, transformers.FalconForCausalLM,
+            tmp_path, "tiny-falcon", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, multi_query=True,
+            new_decoder_architecture=False, parallel_attn=True, bias=False,
+            alibi=False, tie_word_embeddings=False)
+
+
+def test_convert_bloom(tmp_path):
+    _parity(transformers.BloomConfig, transformers.BloomForCausalLM,
+            tmp_path, "tiny-bloom", vocab_size=256, hidden_size=64,
+            n_layer=2, n_head=4)
+
+
+def test_convert_mpt(tmp_path):
+    _parity(transformers.MptConfig, transformers.MptForCausalLM, tmp_path,
+            "tiny-mpt", vocab_size=256, d_model=64, n_heads=4, n_layers=2,
+            max_seq_len=128)
+
+
+def test_convert_starcoder(tmp_path):
+    _parity(transformers.GPTBigCodeConfig,
+            transformers.GPTBigCodeForCausalLM, tmp_path, "tiny-bigcode",
+            vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+            n_inner=128, multi_query=True)
+
+
+def test_convert_phi2(tmp_path):
+    _parity(transformers.PhiConfig, transformers.PhiForCausalLM, tmp_path,
+            "tiny-phi2", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, partial_rotary_factor=0.5,
+            tie_word_embeddings=False)
+
+
+def test_convert_stablelm(tmp_path):
+    _parity(transformers.StableLmConfig, transformers.StableLmForCausalLM,
+            tmp_path, "tiny-stablelm", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            partial_rotary_factor=0.25, tie_word_embeddings=False)
+
+
+def test_convert_gemma(tmp_path):
+    _parity(transformers.GemmaConfig, transformers.GemmaForCausalLM,
+            tmp_path, "tiny-gemma1", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16)
+
+
+def test_convert_cohere(tmp_path):
+    _parity(transformers.CohereConfig, transformers.CohereForCausalLM,
+            tmp_path, "tiny-commandr", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, logit_scale=0.125,
+            use_qk_norm=False)
+
+
+def test_convert_olmo(tmp_path):
+    _parity(transformers.OlmoConfig, transformers.OlmoForCausalLM, tmp_path,
+            "tiny-olmo", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4, clip_qkv=None,
+            tie_word_embeddings=False)
+
+
+def test_convert_smollm3(tmp_path):
+    _parity(transformers.SmolLM3Config, transformers.SmolLM3ForCausalLM,
+            tmp_path, "tiny-smollm3", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2,
+            no_rope_layer_interval=4, pad_token_id=0, tie_word_embeddings=False)
+
+
+def _convert_smoke(hf_cfg_cls, hf_model_cls, tmp_path, name, **cfg_kw):
+    """convert -> load -> deterministic generate. Used for archs where our
+    engine intentionally replicates a reference-fork quirk that diverges
+    from HF semantics (mixtral/granitemoe moe_normed_residual,
+    models/llama.py:824), so HF logit parity cannot hold by design; the
+    strict cross-check is the reference-engine parity test below."""
+    d = tmp_path / name
+    cfg = hf_cfg_cls(**cfg_kw)
+    torch.manual_seed(0)
+    model = hf_model_cls(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / f"{name}.gguf"
+    convert(d, out, outtype="f32")
+    rt = Runtime.from_gguf(out)
+    logits = rt.all_position_logits([1, 17, 42, 99])
+    assert np.isfinite(np.asarray(logits)).all()
+    return out
+
+
+_MIXTRAL_KW = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, num_local_experts=4,
+                   num_experts_per_tok=2, tie_word_embeddings=False)
+
+
+def test_convert_mixtral_smoke(tmp_path):
+    _convert_smoke(transformers.MixtralConfig,
+                   transformers.MixtralForCausalLM, tmp_path,
+                   "tiny-mixtral", **_MIXTRAL_KW)
+
+
+def test_convert_mixtral_reference_parity(tmp_path):
+    import test_cross_engine as tce
+    if not (tce.ref_available and tce.build_gen_logits()):
+        pytest.skip("reference build unavailable")
+    out = _convert_smoke(transformers.MixtralConfig,
+                         transformers.MixtralForCausalLM, tmp_path,
+                         "tiny-mixtral-ref", **_MIXTRAL_KW)
+    tce._parity_check(out, "Hello world", 0.15)
+
+
+def test_convert_qwen2moe(tmp_path):
+    _parity(transformers.Qwen2MoeConfig, transformers.Qwen2MoeForCausalLM,
+            tmp_path, "tiny-q2moe", vocab_size=256, hidden_size=64,
+            intermediate_size=128, moe_intermediate_size=48,
+            shared_expert_intermediate_size=96, num_experts=4,
+            num_experts_per_tok=2, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            decoder_sparse_step=1, mlp_only_layers=[],
+            tie_word_embeddings=False)
+
+
+def test_convert_dbrx(tmp_path):
+    _parity(transformers.DbrxConfig, transformers.DbrxForCausalLM, tmp_path,
+            "tiny-dbrx", vocab_size=256, d_model=64, n_heads=4, n_layers=2,
+            max_seq_len=128,
+            ffn_config=dict(ffn_hidden_size=96, moe_num_experts=4,
+                            moe_top_k=2),
+            attn_config=dict(kv_n_heads=2, rope_theta=10000.0),
+            tie_word_embeddings=False)
+
+
+_GMOE_KW = dict(vocab_size=256, hidden_size=64, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, num_local_experts=4,
+                num_experts_per_tok=2, embedding_multiplier=2.0,
+                residual_multiplier=1.0, attention_multiplier=0.1,
+                logits_scaling=4.0, tie_word_embeddings=False)
+
+
+def test_convert_granitemoe_smoke(tmp_path):
+    _convert_smoke(transformers.GraniteMoeConfig,
+                   transformers.GraniteMoeForCausalLM, tmp_path,
+                   "tiny-gmoe", **_GMOE_KW)
+
+
+def test_convert_granitemoe_reference_parity(tmp_path):
+    import test_cross_engine as tce
+    if not (tce.ref_available and tce.build_gen_logits()):
+        pytest.skip("reference build unavailable")
+    out = _convert_smoke(transformers.GraniteMoeConfig,
+                         transformers.GraniteMoeForCausalLM, tmp_path,
+                         "tiny-gmoe-ref", **_GMOE_KW)
+    tce._parity_check(out, "Hello world", 0.15)
+
+
+def test_convert_deepseek_v2(tmp_path):
+    _parity(transformers.DeepseekV2Config,
+            transformers.DeepseekV2ForCausalLM, tmp_path, "tiny-dsv2",
+            vocab_size=256, hidden_size=64, intermediate_size=96,
+            moe_intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+            first_k_dense_replace=1, q_lora_rank=24, kv_lora_rank=32,
+            qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+            tie_word_embeddings=False)
+
+
+def test_convert_deepseek_v3(tmp_path):
+    _parity(transformers.DeepseekV3Config,
+            transformers.DeepseekV3ForCausalLM, tmp_path, "tiny-dsv3",
+            vocab_size=256, hidden_size=64, intermediate_size=96,
+            moe_intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+            first_k_dense_replace=1, q_lora_rank=24, kv_lora_rank=32,
+            qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+            n_group=1, topk_group=1, tie_word_embeddings=False)
+
+
+def test_convert_glm4(tmp_path):
+    _parity(transformers.Glm4Config, transformers.Glm4ForCausalLM, tmp_path,
+            "tiny-glm4", vocab_size=256, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            partial_rotary_factor=0.5, attention_bias=True, pad_token_id=0,
+            tie_word_embeddings=False)
