@@ -574,8 +574,15 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
                                attn_chunk=attn_chunk, sinks=sinks)
+    elif sinks is not None and _use_pallas():
+        # quantized-KV + sinks: fused q8 FA kernel (the reference FA handles
+        # sinks together with quantized caches, iqk_flash_attn.cpp:121-149)
+        attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv,
+                                  kv_len, scale=scale, softcap=cfg.attn_softcap,
+                                  swa_window=swa_window, attn_chunk=attn_chunk,
+                                  sinks=sinks)
     elif sinks is not None:
-        # quantized-KV + sinks: XLA attend path (dequantize first)
+        # sinks without Pallas: XLA attend path (dequantize first if needed)
         attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
                       kv_v_a if not quant else dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,

@@ -223,18 +223,33 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
     return out
 
 
-def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-                  o_ref, acc_ref, m_ref, l_ref, *, scale, softcap, swa, tq, ts,
-                  d, dv, h, attn_chunk=0):
+def _fa_q8_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts,
+                  d, dv, h, has_sinks=False, attn_chunk=0):
     """Same online-softmax loop, KV tiles arrive as int8 + per-row scales."""
+    if has_sinks:
+        (sinks_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, acc_ref, m_ref, l_ref) = rest
+    else:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, acc_ref, m_ref, l_ref) = rest
+        sinks_ref = None
     j = pl.program_id(2)
     nj = pl.num_programs(2)
+    head = pl.program_id(0) % h
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if has_sinks:
+            # attention sink (gpt-oss) with quantized KV: same
+            # m = sink, l = 1 initialization as the dense kernel; matches
+            # the reference's FA handling of sinks + quantized caches
+            # (iqk_flash_attn.cpp:121-149)
+            m_ref[:] = jnp.full_like(m_ref, sinks_ref[head])
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
 
     batch = pl.program_id(0) // h
     q_pos0 = qpos_ref[batch]
@@ -289,7 +304,7 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 )
 def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
                        softcap: float = 0.0, swa_window: int = 0,
-                       attn_chunk: int = 0,
+                       attn_chunk: int = 0, sinks=None,
                        block_q: int = 512, block_kv: int = 2048,
                        interpret: bool = False):
     """FA over an int8 quantized KV cache with per-(token, head) scales.
@@ -338,20 +353,30 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
     def o_map(bh, i, j, qpos, kvlen):
         return bh, i, 0
 
+    args_prefix = [
+        jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
+        jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
+    ]
+    in_specs = []
+    if sinks is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # sinks (H,)
+        args_prefix.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+    in_specs += [
+        pl.BlockSpec((1, tq, dp), q_map),
+        pl.BlockSpec((1, ts, dp), kv_map),
+        pl.BlockSpec((1, ts), kvs_map),
+        pl.BlockSpec((1, ts, dvp), kv_map),
+        pl.BlockSpec((1, ts), kvs_map),
+    ]
+
     out = pl.pallas_call(
         functools.partial(_fa_q8_kernel, scale=scale, softcap=softcap,
-                          attn_chunk=attn_chunk,
+                          attn_chunk=attn_chunk, has_sinks=sinks is not None,
                           swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, tq, dp), q_map),
-                pl.BlockSpec((1, ts, dp), kv_map),
-                pl.BlockSpec((1, ts), kvs_map),
-                pl.BlockSpec((1, ts, dvp), kv_map),
-                pl.BlockSpec((1, ts), kvs_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, tq, dvp), o_map),
             scratch_shapes=[
                 pltpu.VMEM((tq, dvp), jnp.float32),
@@ -364,8 +389,6 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
-      jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
-      qr, kr, ksr, vr, vsr)
+    )(*args_prefix, qr, kr, ksr, vr, vsr)
 
     return out[:, :t, :dv].reshape(b, h, t, dv).transpose(0, 2, 1, 3)

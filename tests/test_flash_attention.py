@@ -112,3 +112,37 @@ def test_fa_sinks_matches_oracle():
     # sinks must actually matter
     ref0 = attend(q, k, v, q_pos=qpos, kv_len=kvlen, scale=0.125)
     assert np.abs(np.asarray(ref) - np.asarray(ref0)).max() > 1e-3
+
+
+def test_fa_q8_sinks_matches_oracle():
+    """Quantized-KV Pallas FA with attention sinks (gpt-oss + -ctk q8) vs the
+    dequantize-then-attend oracle — the fused path that replaced the slow
+    jnp fallback (reference: iqk_flash_attn.cpp sinks + quantized caches)."""
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_q8
+    from ik_llama_cpp_tpu.ops.kv_quant import quantize_kv_rows, dequantize_kv
+
+    key = jax.random.PRNGKey(11)
+    B, T, H, HKV, D, S = 1, 8, 4, 2, 64, 128
+    q = jax.random.normal(key, (B, T, H, D), jnp.float32) * 0.5
+    k = jax.random.normal(jax.random.PRNGKey(12), (B, S, HKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(13), (B, S, HKV, D), jnp.float32)
+    sinks = jnp.asarray([0.7, -0.5, 1.5, 0.0], jnp.float32)
+    kq, ks = quantize_kv_rows(k)
+    vq, vs = quantize_kv_rows(v)
+    npv = jnp.full((B,), S - T, jnp.int32)
+    kvlen = jnp.full((B,), S, jnp.int32)
+    qpos = npv[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    ref = attend(q, dequantize_kv(kq, ks), dequantize_kv(vq, vs),
+                 q_pos=qpos, kv_len=kvlen, scale=0.125, sinks=sinks)
+    got = flash_attention_q8(q.astype(jnp.bfloat16), kq, ks, vq, vs, npv,
+                             kvlen, scale=0.125, sinks=sinks,
+                             block_q=8, block_kv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2)
+    # without sinks the result must differ
+    got0 = flash_attention_q8(q.astype(jnp.bfloat16), kq, ks, vq, vs, npv,
+                              kvlen, scale=0.125,
+                              block_q=8, block_kv=128, interpret=True)
+    assert np.abs(np.asarray(got, np.float32)
+                  - np.asarray(got0, np.float32)).max() > 1e-3

@@ -56,3 +56,17 @@ def test_gptoss_logit_parity(tmp_path):
         pytest.skip("reference build unavailable")
     model = make_tiny_gptoss_gguf(tmp_path / "oss.gguf", seed=12)
     _parity_check(model, "Hello world, this is a test", 0.20)
+
+
+def test_gptoss_quant_kv(tmp_path):
+    """gpt-oss with int8 KV cache: the fused sinks+q8 FA path must track the
+    float-cache engine (was a slow dequant-everything jnp fallback)."""
+    p = make_tiny_gptoss_gguf(tmp_path / "ossq.gguf", seed=12)
+    rt_f = Runtime.from_gguf(p)
+    rt_q = Runtime.from_gguf(p, kv_quant=True)
+    ids = rt_f.tokenizer.encode("the quick brown fox jumps over")
+    lf = rt_f.all_position_logits(ids)
+    lq = rt_q.all_position_logits(ids)
+    assert np.all(np.isfinite(lq))
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree > 0.9, f"argmax agreement {agree:.2%}"
