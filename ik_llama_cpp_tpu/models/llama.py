@@ -20,7 +20,9 @@ from ..gguf.reader import GGUFModel
 from ..ops import layers as L
 from ..ops.attention import alibi_slopes, attend
 from ..ops.moe import ExpertWeights, QuantExpertWeights, moe_ffn
-from ..ops.flash_attention import flash_attention, flash_attention_q8
+from ..ops.flash_attention import (flash_attention, flash_attention_q8,
+                                   flash_attention_decode,
+                                   flash_attention_decode_q8)
 from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
@@ -562,7 +564,20 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_vs_a = kv_vs if (kv_vs is None or kv_vs.shape[2] == hkv) else kv_vs[:, :, :hkv]
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
-    if cfg.alibi_max_bias > 0:
+    # decode / spec-verify shapes: the native-layout kernel reads the cache
+    # without per-step transpose copies, fetches each KV tile once for all q
+    # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
+    attn = None
+    if t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas():
+        dec = (flash_attention_decode_q8 if quant else flash_attention_decode)
+        kv_args = ((kv_k_a, kv_ks_a, kv_v_a, kv_vs_a) if quant
+                   else (kv_k_a, kv_v_a))
+        attn = dec(qb, *kv_args, npv, kv_len, scale=scale,
+                   softcap=cfg.attn_softcap, swa_window=swa_window,
+                   attn_chunk=attn_chunk, sinks=sinks)
+    if attn is not None:
+        pass
+    elif cfg.alibi_max_bias > 0:
         # ALiBi models (bloom/mpt/jais/refact/baichuan-13b): XLA attend path
         # with per-head position-bias slopes
         attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),

@@ -392,3 +392,282 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
     )(*args_prefix, qr, kr, ksr, vr, vsr)
 
     return out[:, :t, :dv].reshape(b, h, t, dv).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Decode-specialized flash attention over the NATIVE cache layout
+# ---------------------------------------------------------------------------
+
+def _pow2_tile(s: int, cap: int = 1024, floor: int = 128) -> int:
+    """Largest power-of-two divisor of ``s`` in [floor, cap] (0 if none)."""
+    ts = cap
+    while ts >= floor:
+        if s % ts == 0:
+            return ts
+        ts //= 2
+    return 0
+
+
+def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
+                   hkv, g, rows, rows_pad, d, dv, has_sinks=False,
+                   quant=False, attn_chunk=0):
+    """TG/spec-verify attention kernel reading (S, Hkv, D) cache tiles.
+
+    One DMA per KV tile serves every q head: the GQA groups are packed into
+    the row dimension (row = head*g + r, token = row % t), so KV HBM traffic
+    is 1x the filled cache instead of (H/Hkv)x, there are no per-step
+    transpose/pad copies of the capacity-sized cache, and the grid is
+    (B, S/ts) instead of (B*H, ..) — the analogue of the reference's TG fattn
+    path (iqk_flash_attn.cpp) which also walks the cache once per kv head.
+    """
+    if quant:
+        if has_sinks:
+            (sinkrow_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+             acc_ref, m_ref, l_ref) = rest
+        else:
+            (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+             acc_ref, m_ref, l_ref) = rest
+            sinkrow_ref = None
+    else:
+        if has_sinks:
+            (sinkrow_ref, q_ref, k_ref, v_ref, o_ref,
+             acc_ref, m_ref, l_ref) = rest
+        else:
+            q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = rest
+            sinkrow_ref = None
+        ks_ref = vs_ref = None
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    batch = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if has_sinks:
+            # per-row sink logit (expanded head->row outside): m=sink, l=1
+            m_ref[:] = jnp.broadcast_to(sinkrow_ref[0][:, None], m_ref.shape)
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_pos0 = qpos_ref[batch]
+    kv_len = kvlen_ref[batch]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, ts), 0)
+    q_rows = q_pos0 + row_i % t
+    k_cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (rows_pad, ts), 1)
+    mask = (k_cols <= q_rows) & (k_cols < kv_len) & (row_i < rows)
+    if swa > 0:
+        mask &= k_cols > q_rows - swa
+    if attn_chunk > 0:
+        mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
+
+    tile_live = (j * ts <= q_pos0 + t - 1) & (j * ts < kv_len)
+    if swa > 0:
+        tile_live &= j * ts + ts - 1 > q_pos0 - swa
+    if attn_chunk > 0:
+        tile_live &= j * ts + ts - 1 >= (q_pos0 // attn_chunk) * attn_chunk
+
+    @pl.when(tile_live)
+    def _():
+        q = q_ref[0].astype(jnp.float32)              # (rows_pad, D)
+        # per-head scores: K tile is (ts, hkv, D); unrolled over kv heads
+        parts = []
+        for hh in range(hkv):
+            kh = k_ref[0, :, hh, :].astype(jnp.float32)   # (ts, D)
+            if quant:
+                kh = kh * ks_ref[0, :, hh][:, None]
+            qh = q[hh * g:(hh + 1) * g] if hkv > 1 else q
+            parts.append(jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))      # (g, ts)
+        s = parts[0] if hkv == 1 else jnp.concatenate(parts, axis=0)
+        if s.shape[0] != rows_pad:
+            s = jnp.pad(s, ((0, rows_pad - s.shape[0]), (0, 0)))
+        s = s * scale
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                        # (rows_pad, ts)
+        l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + p.sum(axis=1, keepdims=True)
+        outs = []
+        for hh in range(hkv):
+            vh = v_ref[0, :, hh, :].astype(jnp.float32)
+            if quant:
+                vh = vh * vs_ref[0, :, hh][:, None]
+            ph = p[hh * g:(hh + 1) * g] if hkv > 1 else p[:rows_pad]
+            if quant:
+                outs.append(jax.lax.dot(ph.astype(jnp.bfloat16),
+                                        vh.astype(jnp.bfloat16),
+                                        preferred_element_type=jnp.float32))
+            else:
+                outs.append(jax.lax.dot(
+                    ph, vh, preferred_element_type=jnp.float32))
+        o = outs[0] if hkv == 1 else jnp.concatenate(outs, axis=0)
+        if o.shape[0] != rows_pad:
+            o = jnp.pad(o, ((0, rows_pad - o.shape[0]), (0, 0)))
+        acc_ref[:] = acc_ref[:] * alpha + o
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        denom = jnp.where(l_ref[:, 0:1] > 0, l_ref[:, 0:1], 1.0)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
+                      swa_window, attn_chunk, sinks, block_kv, interpret):
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    hkv = k.shape[2]
+    dv = v.shape[3]
+    g = (h // hkv) * t                      # q rows per kv head
+    rows = h * t
+    rows_pad = max(8, -(-rows // 8) * 8)
+    quant = k_s is not None
+
+    dp0 = -(-max(d, 128) // 128) * 128
+    dvp0 = -(-max(dv, 128) // 128) * 128
+    # VMEM guard: K+V tiles (double-buffered) must stay under ~6 MB
+    per_row = hkv * (dp0 + dvp0) * (1 if quant else 2)
+    cap = block_kv
+    while cap > 128 and cap * per_row * 2 > 6 * 2**20:
+        cap //= 2
+    ts = _pow2_tile(s, cap)
+    if ts == 0:
+        return None                          # caller falls back to tiled FA
+    dp = -(-max(d, 128) // 128) * 128
+    dvp = -(-max(dv, 128) // 128) * 128
+    if dp != d or dvp != dv:
+        return None                          # odd head dims: use generic FA
+
+    # rows packed head-major: (B, T, H, D) -> (B, Hkv, rep, T, D) -> rows
+    rep = h // hkv
+    qr = q.transpose(0, 2, 1, 3).reshape(b, hkv, rep, t, d)
+    qr = qr.reshape(b, rows, d)
+    if rows_pad != rows:
+        qr = jnp.pad(qr, ((0, 0), (0, rows_pad - rows), (0, 0)))
+
+    grid = (b, s // ts)
+
+    def clamp(bb, j, qpos, kvlen):
+        q_lo = qpos[bb]
+        last = jnp.minimum((kvlen[bb] - 1) // ts, (q_lo + t - 1) // ts)
+        first = jnp.int32(0)
+        if swa_window > 0:
+            first = jnp.maximum(first, (q_lo - swa_window + 1) // ts)
+        if attn_chunk > 0:
+            first = jnp.maximum(first,
+                                (q_lo // attn_chunk) * attn_chunk // ts)
+        return jnp.clip(j, jnp.maximum(first, 0), jnp.maximum(last, 0))
+
+    def q_map(bb, j, qpos, kvlen):
+        return bb, 0, 0
+
+    def kv_map(bb, j, qpos, kvlen):
+        return bb, clamp(bb, j, qpos, kvlen), 0, 0
+
+    def kvs_map(bb, j, qpos, kvlen):
+        return bb, clamp(bb, j, qpos, kvlen), 0
+
+    def o_map(bb, j, qpos, kvlen):
+        return bb, 0, 0
+
+    args = [
+        jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
+        jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
+    ]
+    in_specs = []
+    if sinks is not None:
+        # expand per-head sinks to per-row (head-major packing)
+        sinkrow = jnp.repeat(jnp.asarray(sinks, jnp.float32).reshape(h), t)
+        sinkrow = jnp.pad(sinkrow, (0, rows_pad - rows))
+        in_specs.append(pl.BlockSpec((1, rows_pad),
+                                     lambda bb, j, qpos, kvlen: (0, 0)))
+        args.append(sinkrow.reshape(1, rows_pad))
+    in_specs.append(pl.BlockSpec((1, rows_pad, dp), q_map))
+    args.append(qr)
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, ts, hkv, dp), kv_map),
+            pl.BlockSpec((1, ts, hkv), kvs_map),
+            pl.BlockSpec((1, ts, hkv, dvp), kv_map),
+            pl.BlockSpec((1, ts, hkv), kvs_map),
+        ]
+        args += [k, k_s, v, v_s]
+    else:
+        in_specs += [
+            pl.BlockSpec((1, ts, hkv, dp), kv_map),
+            pl.BlockSpec((1, ts, hkv, dvp), kv_map),
+        ]
+        args += [k, v]
+
+    out = pl.pallas_call(
+        functools.partial(_fa_dec_kernel, scale=scale, softcap=softcap,
+                          swa=swa_window, attn_chunk=attn_chunk, t=t, ts=ts,
+                          hkv=hkv, g=g, rows=rows, rows_pad=rows_pad,
+                          d=dp, dv=dvp, has_sinks=sinks is not None,
+                          quant=quant),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, rows_pad, dvp), o_map),
+            scratch_shapes=[
+                pltpu.VMEM((rows_pad, dvp), jnp.float32),
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows_pad, dvp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    out = out[:, :rows, :dv].reshape(b, hkv, rep, t, dv)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, dv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "swa_window", "attn_chunk",
+                     "block_kv", "interpret"),
+)
+def flash_attention_decode(q, k, v, q_pos0, kv_len, *, scale: float,
+                           softcap: float = 0.0, swa_window: int = 0,
+                           attn_chunk: int = 0, sinks=None,
+                           block_kv: int = 1024, interpret: bool = False):
+    """Decode/spec-verify FA over the native (B, S, Hkv, D) cache layout.
+
+    Requires S divisible by a power-of-two tile >=128 and 128-aligned head
+    dims; returns None when the shape is unsupported (caller falls back)."""
+    return _fa_decode_common(q, k, v, None, None, q_pos0, kv_len,
+                             scale=scale, softcap=softcap,
+                             swa_window=swa_window, attn_chunk=attn_chunk,
+                             sinks=sinks, block_kv=block_kv,
+                             interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "swa_window", "attn_chunk",
+                     "block_kv", "interpret"),
+)
+def flash_attention_decode_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *,
+                              scale: float, softcap: float = 0.0,
+                              swa_window: int = 0, attn_chunk: int = 0,
+                              sinks=None, block_kv: int = 1024,
+                              interpret: bool = False):
+    """Decode FA over the int8 quantized native-layout cache."""
+    return _fa_decode_common(q, k_q, v_q, k_s, v_s, q_pos0, kv_len,
+                             scale=scale, softcap=softcap,
+                             swa_window=swa_window, attn_chunk=attn_chunk,
+                             sinks=sinks, block_kv=block_kv,
+                             interpret=interpret)

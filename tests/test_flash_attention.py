@@ -146,3 +146,90 @@ def test_fa_q8_sinks_matches_oracle():
                               block_q=8, block_kv=128, interpret=True)
     assert np.abs(np.asarray(got, np.float32)
                   - np.asarray(got0, np.float32)).max() > 1e-3
+
+
+@pytest.mark.parametrize("case", [
+    # b, t, s, h, hkv, d, n_past, swa, softcap
+    (1, 1, 128, 8, 2, 128, 63, 0, 0.0),     # decode step
+    (2, 1, 256, 4, 4, 128, 100, 0, 0.0),    # mha batch
+    (1, 8, 256, 8, 2, 128, 40, 0, 0.0),     # spec-verify M=8
+    (1, 1, 256, 8, 2, 128, 200, 64, 0.0),   # SWA
+    (1, 2, 128, 4, 1, 128, 50, 0, 5.0),     # mqa + softcap
+    (1, 1, 256, 8, 2, 128, 70, 0, 0.0),     # chunked (see below)
+])
+def test_fa_decode_matches_oracle(case):
+    """Native-layout decode kernel vs attend() oracle."""
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode
+    b, t, s, h, hkv, d, n_past, swa, softcap = case
+    q, k, v = make(b, t, s, h, hkv, d, seed=9)
+    scale = 1.0 / np.sqrt(d)
+    kv_len = jnp.full((b,), n_past + t, jnp.int32)
+    npv = jnp.full((b,), n_past, jnp.int32)
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    ref = attend(q, k, v, q_pos=q_pos, kv_len=kv_len, scale=scale,
+                 swa_window=swa, softcap=softcap)
+    got = flash_attention_decode(q, k, v, npv, kv_len, scale=scale,
+                                 swa_window=swa, softcap=softcap,
+                                 block_kv=128, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_fa_decode_chunk_and_sinks():
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode
+    b, t, s, h, hkv, d = 1, 1, 256, 8, 2, 128
+    q, k, v = make(b, t, s, h, hkv, d, seed=10)
+    scale = 1.0 / np.sqrt(d)
+    n_past = 140
+    kv_len = jnp.full((b,), n_past + t, jnp.int32)
+    npv = jnp.full((b,), n_past, jnp.int32)
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    # llama4 chunked attention
+    ref = attend(q, k, v, q_pos=q_pos, kv_len=kv_len, scale=scale,
+                 attn_chunk=64)
+    got = flash_attention_decode(q, k, v, npv, kv_len, scale=scale,
+                                 attn_chunk=64, block_kv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+    # sinks
+    sinks = jnp.asarray(np.random.default_rng(3).normal(size=h), jnp.float32)
+    ref = attend(q, k, v, q_pos=q_pos, kv_len=kv_len, scale=scale, sinks=sinks)
+    got = flash_attention_decode(q, k, v, npv, kv_len, scale=scale,
+                                 sinks=sinks, block_kv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_fa_decode_q8_matches_oracle():
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode_q8
+    from ik_llama_cpp_tpu.ops.kv_quant import quantize_kv_rows, dequantize_kv
+    b, t, s, h, hkv, d = 1, 4, 256, 8, 2, 128
+    q, k, v = make(b, t, s, h, hkv, d, seed=11)
+    kq, ks = quantize_kv_rows(k)
+    vq, vs = quantize_kv_rows(v)
+    n_past = 77
+    kv_len = jnp.full((b,), n_past + t, jnp.int32)
+    npv = jnp.full((b,), n_past, jnp.int32)
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    scale = 1.0 / np.sqrt(d)
+    sinks = jnp.asarray(np.random.default_rng(5).normal(size=h), jnp.float32)
+    for sk in (None, sinks):
+        ref = attend(q, dequantize_kv(kq, ks), dequantize_kv(vq, vs),
+                     q_pos=q_pos, kv_len=kv_len, scale=scale, sinks=sk)
+        got = flash_attention_decode_q8(q, kq, ks, vq, vs, npv, kv_len,
+                                        scale=scale, sinks=sk,
+                                        block_kv=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_fa_decode_unsupported_returns_none():
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode
+    # S=96 has no pow2 tile >=128; d=80 not 128-aligned
+    q, k, v = make(1, 1, 96, 4, 2, 128, seed=1)
+    assert flash_attention_decode(q, k, v, 0, 10, scale=0.1,
+                                  interpret=True) is None
+    q, k, v = make(1, 1, 128, 4, 2, 80, seed=1)
+    assert flash_attention_decode(q, k, v, 0, 10, scale=0.1,
+                                  interpret=True) is None
