@@ -24,7 +24,9 @@ from ..gguf.reader import GGUFModel, GGUFTensorInfo
 from ..quant.dequant import dequantize
 from ..quant.planar import PLANAR_FNS, planar_decode
 from ..ops.qmatmul import (qmatmul, qmatmul_ref, qmatmul4,
-                           qmatmul4_ref, pack_int4)
+                           qmatmul4_ref, pack_int4, qmatmul_i8,
+                           qmatmul_i8_ref, quantize_activations,
+                           requant_supergroup, SUPERGROUP)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -103,6 +105,53 @@ class QLinearI4:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class QLinearI8:
+    """int8 x int8 MXU linear: weights re-coded per supergroup-256 column,
+    activations quantized per (row, supergroup) on the fly — removes the
+    per-weight VPU dequant chain entirely (the v5e decode ceiling, see
+    PERF_NOTES.md) and runs the MXU at its doubled int8 rate for prefill.
+    TPU analogue of the reference's Q8_K activation quantization + int8
+    SIMD GEMM (iqk_mul_mat.cpp:246-308).
+
+    Per-group-32 bias formats add groupsum(x) @ bias outside the int8 dot
+    (exact, ~3% extra FLOPs)."""
+
+    codes: Any   # int8 (K, N) supergroup-requantized
+    sw: Any      # f32 (K//256, N)
+    gbias: Any   # bf16 (K//group, N) | None
+    group: int = 32
+
+    def tree_flatten(self):
+        return (self.codes, self.sw, self.gbias), (self.group,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        codes, sw, gbias = children
+        return cls(codes, sw, gbias, group=aux[0])
+
+    @property
+    def shape(self):
+        return (self.codes.shape[0], self.codes.shape[1])
+
+    def __call__(self, x, *, interpret: bool = False):
+        orig_shape = x.shape
+        k = orig_shape[-1]
+        x2 = x.reshape(-1, k)
+        xq, xs = quantize_activations(x2)
+        if _use_pallas():
+            y = qmatmul_i8(xq, xs, self.codes, self.sw, interpret=interpret)
+        else:
+            y = qmatmul_i8_ref(xq, xs, self.codes, self.sw)
+        if self.gbias is not None:
+            xg = x2.astype(jnp.float32).reshape(-1, k // self.group,
+                                                self.group).sum(axis=2)
+            y = y + jnp.dot(xg.astype(jnp.bfloat16), self.gbias,
+                            preferred_element_type=jnp.float32)
+        return y.reshape(orig_shape[:-1] + (self.codes.shape[1],))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class DenseLinear:
     """bf16 dense linear (f16/f32/bf16 GGUF tensors, or non-planar fallback)."""
 
@@ -175,6 +224,19 @@ def set_pack_int4(flag: bool) -> None:
     global _PACK_INT4
     _PACK_INT4 = flag
 
+
+# int8 x int8 MXU path with on-the-fly activation quantization (QLinearI8).
+# Numerically a re-quantization (supergroup-256 weight recode + int8
+# activations, like the reference's Q8_K trick) — kept opt-in so the exact
+# planar numerics remain the default until TPU-measured end to end.
+_I8_MXU = False
+
+
+def set_i8_mxu(flag: bool) -> None:
+    """Toggle the int8 MXU weight path at load."""
+    global _I8_MXU
+    _I8_MXU = flag
+
 _USE_PALLAS: bool | None = None
 
 
@@ -231,6 +293,10 @@ def load_linear(info: GGUFTensorInfo, *, use_quant: bool = True) -> QLinear | De
             packed, lut = p4
             return QLinearI4(jnp.asarray(packed), scale, bias, group=group,
                              lut16=lut)
+        if _I8_MXU and k % SUPERGROUP == 0:
+            q8, sw = requant_supergroup(codes_np.T, scale_np.T, group=group)
+            return QLinearI8(jnp.asarray(np.ascontiguousarray(q8)),
+                             jnp.asarray(sw), bias, group=group)
         return QLinear(jnp.asarray(codes_t), scale, bias, group=group)
     w = dequant_tensor(info).reshape(n, k).T  # (K, N)
     return DenseLinear(jnp.asarray(np.ascontiguousarray(w), dtype=jnp.bfloat16))
@@ -258,6 +324,8 @@ def scale_linear(lin, s):
     if isinstance(lin, QLinearI4):
         return QLinearI4(lin.packed, _mul(lin.scale), _mul(lin.bias),
                          lin.group, lin.lut16)
+    if isinstance(lin, QLinearI8):
+        return QLinearI8(lin.codes, _mul(lin.sw), _mul(lin.gbias), lin.group)
     if isinstance(lin, QLinear):
         return QLinear(lin.codes, _mul(lin.scale), _mul(lin.bias), lin.group)
     w = lin.w.astype(jnp.float32) * (s[None, :] if s.size > 1 else s[0])

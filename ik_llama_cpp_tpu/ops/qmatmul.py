@@ -361,3 +361,147 @@ def pack_int4(codes: np.ndarray):
         lut = tuple(float(v) for v in lut16)
     packed = (idx[0::2] | (idx[1::2] << 4)).astype(np.uint8)
     return packed, lut
+
+
+# ---------------------------------------------------------------------------
+# int8 x int8 MXU matmul with supergroup scale correction
+# ---------------------------------------------------------------------------
+# The per-weight dequant chain (convert + scale-mul on the VPU) tops out at
+# ~300-350 G weights/s on v5e (PERF_NOTES.md) — well under the 819 GB/s HBM
+# stream. This path removes the per-weight VPU work entirely, the TPU
+# analogue of the reference's Q8_K activation quantization + int8 SIMD dots
+# (iqk_mul_mat.cpp:246-308):
+#   * weights re-coded ONCE at load: per-(supergroup-256, column) scale
+#     S (K/256, N) bf16 + int8 codes q8 = round(w / S * 127)
+#   * activations quantized per (row, supergroup) to int8 on the fly
+#   * kernel: int32 <- int8 @ int8 on the MXU (2x bf16 MXU rate), then
+#     acc += (sx outer sw) * partial per supergroup — 2 VPU ops per OUTPUT
+#     per supergroup instead of 2 per WEIGHT.
+# Per-group-32 bias formats (Q4_1/Q5_1/...) add their bias term outside the
+# kernel as groupsum(x) @ bias — a K/32-deep dense matmul, ~3% extra work.
+
+SUPERGROUP = 256
+
+
+def requant_supergroup(codes: np.ndarray, scale: np.ndarray,
+                       group: int = 32):
+    """Planar (int8 codes (K,N), f32/bf16 scales (K/G,N)) -> supergroup int8.
+
+    Returns (q8 (K, N) int8, sw (K/SG, N) f32). Exact values w = s*q are
+    re-quantized against the per-supergroup absmax; error <= S/254 — far
+    below the 4/5/6-bit quantization step the codes came from."""
+    k, n = codes.shape
+    w = codes.astype(np.float32) * np.repeat(
+        np.asarray(scale, np.float32), group, axis=0)
+    wg = w.reshape(k // SUPERGROUP, SUPERGROUP, n)
+    s = np.abs(wg).max(axis=1) / 127.0            # (K/SG, N)
+    s_safe = np.where(s > 0, s, 1.0)
+    q8 = np.rint(wg / s_safe[:, None, :]).astype(np.int8).reshape(k, n)
+    return q8, s.astype(np.float32)
+
+
+def quantize_activations(x, sg: int = SUPERGROUP):
+    """x (M, K) -> (int8 (M, K), f32 (M, K/sg)) per-(row, supergroup)."""
+    m, k = x.shape
+    xf = x.astype(jnp.float32).reshape(m, k // sg, sg)
+    s = jnp.max(jnp.abs(xf), axis=2) / 127.0
+    s_safe = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(xf / s_safe[:, :, None]), -127, 127)
+    return q.astype(jnp.int8).reshape(m, k), s
+
+
+def _make_kernel_i8(nsg: int):
+    def kernel(x_ref, sx_ref, w_ref, sw_ref, out_ref, acc_ref):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for g in range(nsg):
+            lo = g * SUPERGROUP
+            part = jax.lax.dot(
+                x_ref[:, lo:lo + SUPERGROUP],
+                w_ref[lo:lo + SUPERGROUP, :],
+                preferred_element_type=jnp.int32)
+            corr = sx_ref[:, g:g + 1] * sw_ref[g:g + 1, :]
+            acc_ref[:] += part.astype(jnp.float32) * corr
+
+        @pl.when(kk == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret"),
+)
+def qmatmul_i8(x_q, x_s, codes, sw, *,
+               block_m: int = 512, block_n: int = 512, block_k: int = 1024,
+               interpret: bool = False):
+    """int8 (M,K) @ int8 (K,N) -> f32 (M,N) with supergroup corrections.
+
+    x_s: f32 (M, K/256); sw: f32 (K/256, N). K must be a multiple of 256.
+    """
+    m, k = x_q.shape
+    k2, n = codes.shape
+    assert k == k2 and k % SUPERGROUP == 0
+
+    bm = min(block_m, _round_up(m, 32))
+    bk = min(block_k, _round_up(k, SUPERGROUP))
+    bn = min(block_n, _round_up(n, 128))
+    mp, kp, np_ = _round_up(m, bm), _round_up(k, bk), _round_up(n, bn)
+
+    if (mp, kp) != (m, k):
+        x_q = jnp.pad(x_q, ((0, mp - m), (0, kp - k)))
+        x_s = jnp.pad(x_s, ((0, mp - m), (0, (kp - k) // SUPERGROUP)))
+    if (kp, np_) != (k, n):
+        codes = jnp.pad(codes, ((0, kp - k), (0, np_ - n)))
+        sw = jnp.pad(sw, ((0, (kp - k) // SUPERGROUP), (0, np_ - n)))
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+    nsg = bk // SUPERGROUP
+
+    out = pl.pallas_call(
+        _make_kernel_i8(nsg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, nsg), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsg, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_
+            + (kp // SUPERGROUP) * (np_ + mp) * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_q, x_s, codes, sw)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def qmatmul_i8_ref(x_q, x_s, codes, sw):
+    """jnp oracle for qmatmul_i8 (exact integer dot + f32 corrections)."""
+    m, k = x_q.shape
+    nsg = k // SUPERGROUP
+    xg = x_q.astype(jnp.int32).reshape(m, nsg, SUPERGROUP)
+    wg = codes.astype(jnp.int32).reshape(nsg, SUPERGROUP, -1)
+    part = jnp.einsum("mgs,gsn->mgn", xg, wg).astype(jnp.float32)
+    return jnp.einsum("mgn,mg,gn->mn", part, x_s.astype(jnp.float32),
+                      sw.astype(jnp.float32))

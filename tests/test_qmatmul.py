@@ -101,3 +101,84 @@ def test_qmatmul4_matches_oracle_and_int8():
                    interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref8),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestI8MXU:
+    """int8 x int8 supergroup MXU path (QLinearI8 / qmatmul_i8)."""
+
+    def test_kernel_matches_oracle(self):
+        from ik_llama_cpp_tpu.ops.qmatmul import (
+            qmatmul_i8, qmatmul_i8_ref, quantize_activations,
+            requant_supergroup)
+        rng = np.random.default_rng(0)
+        m, k, n = 24, 512, 384
+        codes = rng.integers(-127, 128, (k, n), dtype=np.int8)
+        scale = (rng.random((k // 32, n), dtype=np.float32) * 0.1).astype(np.float32)
+        q8, sw = requant_supergroup(codes, scale)
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        xq, xs = quantize_activations(x)
+        ref = qmatmul_i8_ref(xq, xs, jnp.asarray(q8), jnp.asarray(sw))
+        got = qmatmul_i8(xq, xs, jnp.asarray(q8), jnp.asarray(sw),
+                         block_m=32, block_n=128, block_k=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_requant_close_to_exact(self):
+        """Supergroup recode error stays far below 4-bit quantization step."""
+        from ik_llama_cpp_tpu.ops.qmatmul import requant_supergroup
+        rng = np.random.default_rng(1)
+        k, n = 512, 256
+        codes = rng.integers(-8, 8, (k, n), dtype=np.int8)   # 4-bit-class
+        scale = (0.02 + rng.random((k // 32, n), dtype=np.float32) * 0.05)
+        w_exact = codes.astype(np.float32) * np.repeat(scale, 32, axis=0)
+        q8, sw = requant_supergroup(codes, scale)
+        w_re = q8.astype(np.float32) * np.repeat(sw, 256, axis=0)
+        err = np.abs(w_re - w_exact).max()
+        step = scale.min()                   # one 4-bit quantum
+        assert err < step / 2, (err, step)
+
+    def test_qlinear_i8_close_to_planar(self):
+        """QLinearI8 forward tracks QLinear within requant tolerance, incl.
+        the bias (Q4_1-class) formats handled via groupsum(x) @ bias."""
+        from ik_llama_cpp_tpu.models.weights import QLinear, QLinearI8
+        from ik_llama_cpp_tpu.ops.qmatmul import requant_supergroup
+        rng = np.random.default_rng(2)
+        k, n, m = 512, 256, 8
+        codes = rng.integers(0, 16, (k, n), dtype=np.int8)
+        scale = (0.02 + rng.random((k // 32, n)) * 0.05).astype(np.float32)
+        bias = (rng.standard_normal((k // 32, n)) * 0.01).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        lin = QLinear(jnp.asarray(codes), jnp.asarray(scale, jnp.bfloat16),
+                      jnp.asarray(bias, jnp.bfloat16))
+        q8, sw = requant_supergroup(codes, scale)
+        lin8 = QLinearI8(jnp.asarray(q8), jnp.asarray(sw),
+                         jnp.asarray(bias, jnp.bfloat16))
+        y_ref = np.asarray(lin(x))
+        y_i8 = np.asarray(lin8(x))
+        denom = np.abs(y_ref).mean() + 1e-6
+        rel = np.abs(y_i8 - y_ref).mean() / denom
+        assert rel < 0.02, rel
+
+    def test_load_linear_i8_toggle(self, tmp_path):
+        """set_i8_mxu(True) loads planar GGUF tensors as QLinearI8 and the
+        model still generates."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from fixtures import make_tiny_llama_gguf
+        from ik_llama_cpp_tpu.models import weights as W
+        from ik_llama_cpp_tpu.runtime.generate import Runtime
+        from ik_llama_cpp_tpu.gguf.constants import GGMLType
+        p = make_tiny_llama_gguf(tmp_path / "i8.gguf", seed=5, n_embd=256,
+                                 n_head=4, n_head_kv=2, n_ff=512,
+                                 quant=GGMLType.Q4_0)
+        W.set_i8_mxu(True)
+        try:
+            rt = Runtime.from_gguf(p)
+            kinds = {type(v).__name__ for b in rt.params["blocks"]
+                     for kname, v in b.items()
+                     if type(v).__name__.startswith("QLinear")}
+            assert kinds == {"QLinearI8"}, kinds
+            _, out = rt.generate("hi", max_new_tokens=4, stop_at_eos=False)
+            assert len(out) == 4
+        finally:
+            W.set_i8_mxu(False)
