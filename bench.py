@@ -180,12 +180,40 @@ def bench_dense(tm, on_tpu):
             times.append(time.perf_counter() - t0)
         return N_TG / max(min(times) - tm.floor, 1e-9)
 
+    # sweep-bench analogue: TG vs filled context (capacities kept at
+    # multiples of 1024 so the native-layout decode FA kernel engages)
     tg_512 = tg_at(T, 2 * T)
     sweep = {"tg@512": round(tg_512, 2)}
     if on_tpu:
-        sweep["tg@4096"] = round(tg_at(4096, 4096 + 2 * N_TG), 2)
+        for n_kv in (1024, 2048, 4096):
+            cap = -(-(n_kv + 2 * N_TG) // 1024) * 1024
+            sweep[f"tg@{n_kv}"] = round(tg_at(n_kv, cap), 2)
+
+    # batched-bench analogue: aggregate decode throughput at B slots, each
+    # slot at 256 tokens of context (timing-equivalent zero-filled cache;
+    # the decode loop is batch-agnostic with per-row n_past vectors)
+    batched = {}
+    if on_tpu:
+        loop_b = rt._decode_loop(N_TG)
+        for nb in (4, 8):
+            toks = jnp.full((nb, 1), 7, jnp.int32)
+            npv = jnp.full((nb,), 256, jnp.int32)
+            kvb = rt.new_cache(nb, 1024)
+            r = loop_b(rt.params, toks, kvb, npv)
+            _ = np.asarray(r[0][0, :2])
+            times = []
+            for i in range(2):
+                kvb = rt.new_cache(nb, 1024)
+                t0 = time.perf_counter()
+                r = loop_b(rt.params, toks, kvb, npv)
+                _ = np.asarray(r[0][0, :2])
+                times.append(time.perf_counter() - t0)
+            batched[f"tg_agg@B{nb}"] = round(
+                nb * N_TG / max(min(times) - tm.floor, 1e-9), 1)
+
     return {
         "pp_tps": pp_tps, "tg_tps": tg_512, "sweep": sweep,
+        "batched": batched,
         "build_s": round(build_s, 1), "load_s": round(load_s, 1),
         "config": f"L{NL} E4096 H32 KV8 FF14336 V{V} Q4_0-planar tied-head",
     }
@@ -309,12 +337,26 @@ def bench_moe(tm, on_tpu):
 
 
 def main():
+    import os
     import jax
     on_tpu = jax.default_backend() not in ("cpu",)
     tm = Timer()
 
     dense = bench_dense(tm, on_tpu)
     moe = bench_moe(tm, on_tpu)
+
+    # optional: PP through the int8 x int8 MXU path (BENCH_I8=1) — reloads
+    # the model with supergroup-requantized weights (set_i8_mxu)
+    i8 = {}
+    if on_tpu and os.environ.get("BENCH_I8"):
+        from ik_llama_cpp_tpu.models import weights as W
+        W.set_i8_mxu(True)
+        try:
+            d8 = bench_dense(tm, on_tpu)
+            i8 = {"pp_tps_i8mxu": round(d8["pp_tps"], 1),
+                  "tg_tps_i8mxu": round(d8["tg_tps"], 2)}
+        finally:
+            W.set_i8_mxu(False)
 
     baseline_pp = 269.6   # reference 8B Q4_K_S PP512 (discussions/164)
     baseline_tg = 13.48   # reference 8B Q4_K_S TG128
@@ -328,7 +370,12 @@ def main():
             "engine": "real (Runtime.from_gguf -> eval_tokens -> _decode_loop)",
             "tg_tokens_per_s": round(dense["tg_tps"], 2),
             "tg_vs_baseline": round(dense["tg_tps"] / baseline_tg, 2),
+            # PP compute efficiency: ~16.1 GFLOP/token on the 8B config
+            # against 197 TF/s v5e bf16 peak (BASELINE.md north star >=90%)
+            "pp_mfu_pct": round(dense["pp_tps"] * 16.1e9 / 197e12 * 100, 1),
             "sweep": dense["sweep"],
+            "batched": dense["batched"],
+            **i8,
             "gguf_build_s": dense["build_s"],
             "load_s": dense["load_s"],
             "fetch_floor_ms": round(tm.floor * 1e3, 2),
