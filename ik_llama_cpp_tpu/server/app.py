@@ -677,6 +677,10 @@ def main(argv=None):
     ap.add_argument("--spec-n", type=int, default=8,
                     help="draft tokens per speculative step")
     ap.add_argument("--ctx-size", type=int, default=2048)
+    ap.add_argument("--cache-ram", "-cram", type=int, default=0,
+                    help="RAM prompt-cache tier in MiB for evicted slot "
+                         "states (0 = off, -1 = unlimited); the reference's "
+                         "--cache-ram similarity-matched restore")
     ap.add_argument("--cache-type", choices=["bf16", "q8"], default="bf16",
                     help="KV cache type (-ctk/-ctv analogue)")
     ap.add_argument("--lora", action="append", default=[],
@@ -741,7 +745,8 @@ def main(argv=None):
     else:
         engine = BatchEngine(rt, n_slots=args.parallel,
                              capacity=args.ctx_size,
-                             spec=args.spec, spec_n=args.spec_n)
+                             spec=args.spec, spec_n=args.spec_n,
+                             cache_ram_mib=args.cache_ram)
     engine.start()
     srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
     srv.loras = loras

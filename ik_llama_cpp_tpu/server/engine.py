@@ -69,11 +69,78 @@ class Slot:
     drafter: Any = None         # per-slot self-speculation lookup structure
 
 
+class HostPromptCache:
+    """RAM tier of evicted slot KV states — the ``--cache-ram`` (-cram)
+    analogue (server_prompt_cache, reference server-task.h:431,
+    server-task.cpp:1084 similarity-matched load). Evicted/replaced slot
+    rows are parked in host RAM; at slot admission the store is searched
+    for the entry with the longest reusable prefix of the new prompt.
+    Bounded by MiB and/or tokens with oldest-first eviction."""
+
+    def __init__(self, limit_mib: int = 2048, limit_tokens: int = 0,
+                 min_reusable_fraction: float = 0.1):
+        self.limit_bytes = 0 if limit_mib < 0 else limit_mib * (1 << 20)
+        self.limit_tokens = limit_tokens
+        self.min_frac = min_reusable_fraction
+        self.entries: list[dict] = []           # oldest first
+        self.n_hits = 0
+        self.n_saves = 0
+
+    @property
+    def size_bytes(self) -> int:
+        return sum(e["bytes"] for e in self.entries)
+
+    @property
+    def n_tokens(self) -> int:
+        return sum(len(e["tokens"]) for e in self.entries)
+
+    def save(self, tokens: list[int], arrays: dict) -> None:
+        """Park a slot state (host numpy arrays, trimmed to len(tokens))."""
+        if not tokens:
+            return
+        nbytes = sum(a.nbytes for a in arrays.values() if a is not None)
+        self.entries.append({"tokens": list(tokens), "arrays": arrays,
+                             "bytes": nbytes})
+        self.n_saves += 1
+        self.update()
+
+    def best_match(self, new_tokens: list[int], beat: int = 0):
+        """Entry with the longest common prefix vs ``new_tokens`` that (a)
+        reuses at least min_frac of the cached prompt (reference f_keep
+        test) and (b) beats ``beat`` (the slot's own local prefix).
+        Returns (entry, lcp) or (None, 0); a hit REMOVES the entry."""
+        best, best_lcp = None, beat
+        for e in self.entries:
+            lcp = 0
+            for a, b in zip(e["tokens"], new_tokens):
+                if a != b:
+                    break
+                lcp += 1
+            if lcp <= best_lcp:
+                continue
+            if lcp / max(1, len(e["tokens"])) < self.min_frac:
+                continue
+            best, best_lcp = e, lcp
+        if best is None:
+            return None, 0
+        self.entries.remove(best)
+        self.n_hits += 1
+        return best, best_lcp
+
+    def update(self) -> None:
+        """Evict oldest entries until within the size/token limits."""
+        while self.entries and (
+                (self.limit_bytes and self.size_bytes > self.limit_bytes)
+                or (self.limit_tokens and self.n_tokens > self.limit_tokens)):
+            self.entries.pop(0)
+
+
 class BatchEngine:
     """Owns the model + shared KV cache; runs the slot loop in a thread."""
 
     def __init__(self, runtime: Runtime, n_slots: int = 4, capacity: int = 2048,
-                 spec: str | None = None, spec_n: int = 8):
+                 spec: str | None = None, spec_n: int = 8,
+                 cache_ram_mib: int = 0):
         """``spec``: self-speculation stage for the decode loop — 'ngram',
         'suffix' or None. Draft tokens of every GENERATING slot are
         verified inside the shared batched decode step, the reference's
@@ -85,6 +152,9 @@ class BatchEngine:
         self.spec = spec
         self.spec_n = spec_n
         self.kv = runtime.new_cache(n_slots, capacity)
+        # RAM prompt-cache tier (0 = disabled, -1 = unlimited, else MiB)
+        self.prompt_cache = (HostPromptCache(cache_ram_mib)
+                             if cache_ram_mib != 0 else None)
         self.slots = [Slot(i) for i in range(n_slots)]
         self.requests: queue.Queue[Request] = queue.Queue()
         self._stop = threading.Event()
@@ -237,6 +307,32 @@ class BatchEngine:
         self.requests.put(req)
         self.n_requests += 1
 
+    def _slot_state_to_host(self, slot) -> dict | None:
+        """Fetch one slot's filled KV rows to host numpy (RAM-cache save)."""
+        n = len(slot.cache_tokens)
+        if n == 0 or not isinstance(self.kv, KVCache):
+            return None
+        out = {"k": np.asarray(self.kv.k[:, slot.idx, :n]),
+               "v": np.asarray(self.kv.v[:, slot.idx, :n])}
+        if self.kv.k_scale is not None:
+            out["ks"] = np.asarray(self.kv.k_scale[:, slot.idx, :n])
+            out["vs"] = np.asarray(self.kv.v_scale[:, slot.idx, :n])
+        return out
+
+    def _restore_slot_state(self, slot, entry) -> None:
+        a = entry["arrays"]
+        n = min(len(entry["tokens"]), self.capacity - 1)
+        k = self.kv.k.at[:, slot.idx, :n].set(
+            jnp.asarray(a["k"][:, :n], self.kv.k.dtype))
+        v = self.kv.v.at[:, slot.idx, :n].set(
+            jnp.asarray(a["v"][:, :n], self.kv.v.dtype))
+        ks, vs = self.kv.k_scale, self.kv.v_scale
+        if ks is not None and "ks" in a:
+            ks = ks.at[:, slot.idx, :n].set(jnp.asarray(a["ks"][:, :n]))
+            vs = vs.at[:, slot.idx, :n].set(jnp.asarray(a["vs"][:, :n]))
+        self.kv = KVCache(k, v, ks, vs)
+        slot.cache_tokens = entry["tokens"][:n]
+
     def _admit(self):
         for slot in self.slots:
             if slot.state != SlotState.IDLE:
@@ -256,6 +352,21 @@ class BatchEngine:
                 if a != b:
                     break
                 prefix += 1
+            if self.prompt_cache is not None:
+                # RAM tier: look for a cached state with a longer reusable
+                # prefix than the slot's own rows; park the current occupant
+                # before its rows are overwritten (reference prompt_save /
+                # prompt_load at slot allocation, server-context.cpp:1056)
+                entry, lcp = self.prompt_cache.best_match(slot.tokens,
+                                                          beat=prefix)
+                diverges = prefix < len(slot.cache_tokens)
+                if entry is not None or diverges:
+                    state = self._slot_state_to_host(slot)
+                    if state is not None:
+                        self.prompt_cache.save(slot.cache_tokens, state)
+                if entry is not None:
+                    self._restore_slot_state(slot, entry)
+                    prefix = lcp
             slot.n_past = min(prefix, slot.n_prompt - 1)
             self.n_prompt_tokens_cached += slot.n_past
             slot.n_decoded = 0
@@ -598,6 +709,12 @@ class BatchEngine:
             f"llamacpp:prompt_tokens_total {self.n_prompt_tokens_processed}",
             "# TYPE llamacpp:prompt_tokens_cached counter",
             f"llamacpp:prompt_tokens_cached {self.n_prompt_tokens_cached}",
+            *([
+                "# TYPE llamacpp:prompt_cache_ram_hits counter",
+                f"llamacpp:prompt_cache_ram_hits {self.prompt_cache.n_hits}",
+                "# TYPE llamacpp:prompt_cache_ram_bytes gauge",
+                f"llamacpp:prompt_cache_ram_bytes {self.prompt_cache.size_bytes}",
+            ] if self.prompt_cache is not None else []),
             "# TYPE llamacpp:tokens_predicted_total counter",
             f"llamacpp:tokens_predicted_total {self.n_tokens_predicted}",
             "# TYPE llamacpp:requests_total counter",

@@ -174,3 +174,43 @@ def test_batched_prefill_concurrent(engine):
         kv = engine.rt.new_cache(1, 128)
         logits, _, _ = engine.rt.eval_tokens(p, kv, 0)
         assert results[i][0] == int(np.argmax(logits[-1])), i
+
+
+def test_host_prompt_cache_ram_tier(engine):
+    """--cache-ram (-cram) analogue: an evicted slot's KV state is parked in
+    host RAM and similarity-restored when a matching prompt returns, with
+    identical greedy output and counted prefix reuse."""
+    eng = BatchEngine(engine.rt, n_slots=1, capacity=128, cache_ram_mib=64)
+    eng.start()
+    try:
+        a = list(range(10, 40))
+        b = list(range(60, 90))
+        out_a1 = run_req(eng, a, n_predict=4)
+        # different prompt evicts A's rows into the RAM cache
+        run_req(eng, b, n_predict=4)
+        assert eng.prompt_cache.n_saves >= 1
+        assert eng.prompt_cache.entries, "state was not parked"
+        cached_before = eng.n_prompt_tokens_cached
+        # A returns: restored from RAM, prefix reused, greedy-identical
+        out_a2 = run_req(eng, a, n_predict=4)
+        assert eng.prompt_cache.n_hits >= 1
+        assert eng.n_prompt_tokens_cached > cached_before
+        assert out_a1 == out_a2
+        # metrics expose the RAM tier
+        assert "prompt_cache_ram_hits" in eng.metrics_text()
+    finally:
+        eng.stop()
+
+
+def test_host_prompt_cache_eviction():
+    """Size-bounded: oldest entries are dropped once over the MiB limit."""
+    from ik_llama_cpp_tpu.server.engine import HostPromptCache
+    hpc = HostPromptCache(limit_mib=1)
+    big = np.zeros((600 * 1024,), np.uint8)       # 0.6 MiB per entry
+    hpc.save([1, 2, 3], {"k": big, "v": big[:0]})
+    hpc.save([4, 5, 6], {"k": big.copy(), "v": big[:0]})
+    assert len(hpc.entries) == 1                  # oldest evicted
+    assert hpc.entries[0]["tokens"] == [4, 5, 6]
+    # min reusable fraction: short overlap does not match
+    e, lcp = hpc.best_match([9, 9, 9])
+    assert e is None
