@@ -67,6 +67,114 @@ class KVCache:
         return self.k.shape[2]
 
 
+class _SwaLayerView:
+    """kv.k[i]-style per-layer access over the split full/SWA stacks."""
+
+    def __init__(self, cache: "SwaKVCache", field: str):
+        self._c = cache
+        self._f = field
+
+    def __getitem__(self, i: int):
+        m = self._c.layer_map[i]
+        if m >= 0:
+            return getattr(self._c, self._f + "_full")[m]
+        return getattr(self._c, self._f + "_swa")[-m - 1]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SwaKVCache:
+    """--swa-compress analogue (reference llama.cpp:1198-1227 row_count
+    plan): sliding-window layers get a RING cache of ~window+margin rows
+    instead of full capacity — for gemma3/gpt-oss-class models with mostly
+    SWA layers this shrinks KV memory by capacity/(window+margin) on those
+    layers. Ring slot of position p is p % swa_cap; attention recovers
+    per-slot absolute positions, so logits are bit-identical to the full
+    cache. bf16 only (like the reference, incompatible with defrag/splits;
+    here: with -ctk/-ctv q8)."""
+
+    k_full: Any   # (Lf, B, S, Hkv, D)
+    v_full: Any
+    k_swa: Any    # (Ls, B, Sw, Hkv, D)
+    v_swa: Any
+    layer_map: tuple = ()   # per layer: m >= 0 -> full[m]; m < 0 -> swa[-m-1]
+
+    def tree_flatten(self):
+        return (self.k_full, self.v_full, self.k_swa, self.v_swa), \
+            (self.layer_map,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, layer_map=aux[0])
+
+    @property
+    def k(self):
+        return _SwaLayerView(self, "k")
+
+    @property
+    def v(self):
+        return _SwaLayerView(self, "v")
+
+    k_scale = None
+    v_scale = None
+
+    @property
+    def quantized(self):
+        return False
+
+    @property
+    def capacity(self):
+        return self.k_full.shape[2]
+
+    @property
+    def swa_cap(self):
+        return self.k_swa.shape[2]
+
+    def ring(self, i: int) -> int:
+        return self.swa_cap if self.layer_map[i] < 0 else 0
+
+    def with_layers(self, new_k: list, new_v: list) -> "SwaKVCache":
+        fk = [None] * self.k_full.shape[0]
+        fv = [None] * self.k_full.shape[0]
+        sk = [None] * self.k_swa.shape[0]
+        sv = [None] * self.k_swa.shape[0]
+        for i, m in enumerate(self.layer_map):
+            if m >= 0:
+                fk[m], fv[m] = new_k[i], new_v[i]
+            else:
+                sk[-m - 1], sv[-m - 1] = new_k[i], new_v[i]
+        return SwaKVCache(jnp.stack(fk) if fk else self.k_full,
+                          jnp.stack(fv) if fv else self.v_full,
+                          jnp.stack(sk) if sk else self.k_swa,
+                          jnp.stack(sv) if sv else self.v_swa,
+                          self.layer_map)
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, capacity: int,
+               dtype=jnp.bfloat16, margin: int = 576):
+        """margin must cover the largest prefill chunk + draft length so a
+        ring write never overwrites rows still inside a chunk's window."""
+        assert cfg.swa_window > 0, "--swa-compress needs sliding-window layers"
+        sw_cap = -(-(cfg.swa_window + margin) // 128) * 128
+        assert sw_cap < capacity, (
+            f"--swa-compress had no effect: ring {sw_cap} >= ctx {capacity}")
+        lm, nf, ns = [], 0, 0
+        for i in range(cfg.n_layer):
+            if cfg.layer_is_swa(i):
+                lm.append(-ns - 1)
+                ns += 1
+            else:
+                lm.append(nf)
+                nf += 1
+        assert ns, "--swa-compress had no effect: no sliding-window layers"
+        hkv, d = cfg.n_head_kv, cfg.head_dim
+        return cls(jnp.zeros((nf, batch, capacity, hkv, d), dtype),
+                   jnp.zeros((nf, batch, capacity, hkv, d), dtype),
+                   jnp.zeros((ns, batch, sw_cap, hkv, d), dtype),
+                   jnp.zeros((ns, batch, sw_cap, hkv, d), dtype),
+                   tuple(lm))
+
+
 def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True,
                       fuse: bool = False):
     """GGUF -> pytree of device weights.
@@ -467,7 +575,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 interpret=False, tp_axis=None, stats=None, il=0,
                 kv_ks=None, kv_vs=None, swa_window=None,
                 n_head=None, n_head_kv=None, attn_chunk=0,
-                attn_scale_vec=None):
+                attn_scale_vec=None, ring=0, n_valid=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -541,7 +649,19 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     upd_s = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
         c, new, (st, jnp.int32(0))))
     quant = kv_ks is not None
-    if quant:  # quantize-on-write (-ctk/-ctv q8 analogue)
+    if ring > 0:
+        # --swa-compress ring write: position p lives in slot p % ring.
+        # Padded prefill rows (>= n_valid) would WRAP onto live window rows,
+        # unlike the full cache where they land beyond kv_len — route them
+        # out of bounds and let scatter 'drop' discard the write.
+        ridx = (npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]) % ring
+        if n_valid is not None:
+            rows_ok = jnp.arange(t, dtype=jnp.int32)[None, :] < n_valid
+            ridx = jnp.where(rows_ok, ridx, ring)
+        wr = jax.vmap(lambda c, new, ix: c.at[ix].set(new, mode="drop"))
+        kv_k = wr(kv_k, k.astype(kv_k.dtype), ridx)
+        kv_v = wr(kv_v, v.astype(kv_v.dtype), ridx)
+    elif quant:  # quantize-on-write (-ctk/-ctv q8 analogue)
         kq, ks = quantize_kv_rows(k)
         vq, vs = quantize_kv_rows(v)
         kv_k = upd(kv_k, kq, npv)
@@ -568,7 +688,22 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     # without per-step transpose copies, fetches each KV tile once for all q
     # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
     attn = None
-    if t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas():
+    if ring > 0:
+        # compacted SWA layer: recover each slot's absolute position (the
+        # LAST position congruent to the slot index below the fill level);
+        # unwritten slots get -1. The window bound keeps older-wrapped rows
+        # masked exactly as the full cache would.
+        slots = jnp.arange(ring, dtype=jnp.int32)[None, :]
+        kvl = kv_len[:, None]
+        p = slots + ((kvl - 1 - slots) // ring) * ring
+        key_pos = jnp.where(slots < jnp.minimum(kvl, ring), p, -1)
+        attn = attend(qb, kv_k_a, kv_v_a, q_pos=q_pos, kv_len=kv_len,
+                      scale=scale, softcap=cfg.attn_softcap,
+                      swa_window=swa_window, sinks=sinks,
+                      attn_chunk=attn_chunk, key_positions=key_pos)
+    if attn is not None:
+        pass
+    elif t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas():
         dec = (flash_attention_decode_q8 if quant else flash_attention_decode)
         kv_args = ((kv_k_a, kv_ks_a, kv_v_a, kv_vs_a) if quant
                    else (kv_k_a, kv_v_a))
@@ -777,7 +912,9 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                 n_head=n_head_l if cfg.n_head_arr else None,
                 n_head_kv=n_head_kv_l if cfg.n_head_kv_arr else None,
                 attn_chunk=chunk_l,
-                attn_scale_vec=attn_temp if nope else None)
+                attn_scale_vec=attn_temp if nope else None,
+                ring=kv.ring(i) if isinstance(kv, SwaKVCache) else 0,
+                n_valid=n_valid)
         if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch
@@ -870,9 +1007,12 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         new_ks.append(ks_i)
         new_vs.append(vs_i)
 
-    kv = KVCache(jnp.stack(new_k), jnp.stack(new_v),
-                 None if new_ks[0] is None else jnp.stack(new_ks),
-                 None if new_vs[0] is None else jnp.stack(new_vs))
+    if isinstance(kv, SwaKVCache):
+        kv = kv.with_layers(new_k, new_v)
+    else:
+        kv = KVCache(jnp.stack(new_k), jnp.stack(new_v),
+                     None if new_ks[0] is None else jnp.stack(new_ks),
+                     None if new_vs[0] is None else jnp.stack(new_vs))
     if return_layer_hiddens:
         return jnp.stack(layer_hiddens), kv
     mtp_hidden = x    # pre-output-norm stream ("result_mtp_embd")

@@ -28,7 +28,7 @@ def alibi_slopes(n_head: int, max_bias: float):
 
 def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
            swa_window: int = 0, sinks=None, alibi=None, attn_chunk: int = 0,
-           allow_mask=None):
+           allow_mask=None, key_positions=None):
     """Masked attention over a fixed-size KV buffer.
 
     q: (B, T, H, Dk); k: (B, S, Hkv, Dk); v: (B, S, Hkv, Dv) — S is capacity.
@@ -56,9 +56,17 @@ def attend(q, k, v, *, q_pos, kv_len, scale, softcap: float = 0.0,
     if softcap > 0.0:
         scores = softcap * jnp.tanh(scores / softcap)
 
-    key_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]          # (1,1,S)
-    qp = q_pos[:, :, None]                                           # (B,T,1)
-    mask = (key_pos <= qp) & (key_pos < kv_len[:, None, None])
+    if key_positions is not None:
+        # ring/compacted caches (--swa-compress): the slot index is not the
+        # absolute position; callers pass per-slot positions (B, S) with -1
+        # marking unwritten slots
+        key_pos = key_positions[:, None, :]                          # (B,1,S)
+        qp = q_pos[:, :, None]
+        mask = (key_pos <= qp) & (key_pos >= 0)
+    else:
+        key_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]      # (1,1,S)
+        qp = q_pos[:, :, None]                                       # (B,T,1)
+        mask = (key_pos <= qp) & (key_pos < kv_len[:, None, None])
     if swa_window > 0:
         mask &= key_pos > qp - swa_window
     if attn_chunk > 0:

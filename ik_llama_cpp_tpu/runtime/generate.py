@@ -154,6 +154,7 @@ class Runtime:
     params: Any
     interpret: bool = False
     kv_quant: bool = False  # int8 KV cache (-ctk/-ctv q8 analogue)
+    swa_compress: bool = False  # ring caches on SWA layers (--swa-compress)
     mesh: Any = None        # jax Mesh for tensor/expert-parallel serving
 
     _step_fns: dict = field(default_factory=dict)
@@ -161,6 +162,7 @@ class Runtime:
     @classmethod
     def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False,
                   kv_quant: bool = False, fuse: bool = True,
+                  swa_compress: bool = False,
                   tensor_parallel: int = 0, expert_parallel: int = 1):
         """``tensor_parallel`` > 1 shards the model over a (1[, ep], tp)
         device mesh — the reference's -sm graph, expressed as pjit shardings
@@ -194,11 +196,18 @@ class Runtime:
             params = shard_params(params, mesh)
         _log_model_load(gg, cfg)
         return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
-                   kv_quant=kv_quant, mesh=mesh)
+                   kv_quant=kv_quant, swa_compress=swa_compress, mesh=mesh)
 
     @property
     def recurrent(self) -> bool:
         return self.cfg.arch in ("mamba", "qwen3next", "qwen35", "qwen35moe")
+
+    @property
+    def needs_n_valid(self) -> bool:
+        """Padded prefill rows must not be committed to persistent state:
+        recurrent scans, and ring writes under --swa-compress (padded rows
+        would wrap and clobber live window rows)."""
+        return self.recurrent or self.swa_compress
 
     # ------------------------------------------------------------------
     def _step(self, chunk: int, last_only: bool):
@@ -215,8 +224,9 @@ class Runtime:
                 def step(params, tokens, kv, n_past, n_valid=None,
                          _f=tp_fwd):
                     return _f(params, tokens, kv, n_past)
-            elif self.recurrent:
-                # recurrent state must not advance past the valid length
+            elif self.needs_n_valid:
+                # recurrent state / ring writes must not advance past the
+                # valid length
                 @jax.jit
                 def step(params, tokens, kv, n_past, n_valid):
                     return fwd(params, cfg, tokens, kv, n_past,
@@ -311,6 +321,16 @@ class Runtime:
         if self.cfg.arch in ("deepseek2", "glm-dsa"):
             absorb = "wk_b" in self.params["blocks"][0]
             return ds2_mod.make_cache(self.cfg, batch, capacity, mla=absorb)
+        if self.swa_compress:
+            # --swa-compress: ring caches on sliding-window layers
+            # (llama.cpp:1198-1227). Only for the standard attention graph
+            # with a bf16 cache; silently ineffective rings fall back.
+            cap_margin = PREFILL_BUCKETS[-1] + 64
+            if (FORWARDS.get(self.cfg.arch) is llama_mod.forward
+                    and not self.kv_quant and self.cfg.swa_window > 0
+                    and self.cfg.swa_window + cap_margin + 128 < capacity):
+                return llama_mod.SwaKVCache.create(
+                    self.cfg, batch, capacity, margin=cap_margin)
         return CACHES[self.cfg.arch](self.cfg, batch, capacity, quant=self.kv_quant)
 
     def eval_tokens(self, ids: list[int], kv: KVCache, n_past: int = 0,
@@ -326,7 +346,7 @@ class Runtime:
             padded = np.zeros((1, b), np.int32)
             padded[0, :len(chunk)] = chunk
             step = self._step(b, False)
-            if self.recurrent:
+            if self.needs_n_valid:
                 logits, kv_new = step(self.params, jnp.asarray(padded), kv,
                                       jnp.int32(n_past), jnp.int32(len(chunk)))
             else:

@@ -677,6 +677,8 @@ def main(argv=None):
     ap.add_argument("--spec-n", type=int, default=8,
                     help="draft tokens per speculative step")
     ap.add_argument("--ctx-size", type=int, default=2048)
+    ap.add_argument("--swa-compress", action="store_true",
+                    help="ring caches on sliding-window layers")
     ap.add_argument("--cache-ram", "-cram", type=int, default=0,
                     help="RAM prompt-cache tier in MiB for evicted slot "
                          "states (0 = off, -1 = unlimited); the reference's "
@@ -716,6 +718,7 @@ def main(argv=None):
     # per-projection LoRA requires unfused q/k/v linears
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
                            fuse=not args.lora,
+                           swa_compress=args.swa_compress,
                            tensor_parallel=args.tensor_parallel,
                            expert_parallel=args.expert_parallel)
     loras = []

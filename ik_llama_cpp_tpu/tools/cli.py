@@ -28,13 +28,17 @@ def main(argv=None):
     ap.add_argument("-s", "--seed", type=int, default=-1)
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-ctk", "--cache-type", choices=["bf16", "q8"], default="bf16")
+    ap.add_argument("--swa-compress", action="store_true",
+                    help="ring caches on sliding-window layers "
+                         "(llama.cpp --swa-compress)")
     ap.add_argument("--prompt-cache", help="session file: restore the KV state "
                     "if it exists, save it after generation (main.cpp "
                     "--prompt-cache parity)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
-    rt = Runtime.from_gguf(args.model, kv_quant=args.cache_type == "q8")
+    rt = Runtime.from_gguf(args.model, kv_quant=args.cache_type == "q8",
+                           swa_compress=args.swa_compress)
     print(f"model loaded in {time.time() - t0:.1f}s "
           f"(arch={rt.cfg.arch}, n_layer={rt.cfg.n_layer}, "
           f"n_embd={rt.cfg.n_embd}, vocab={rt.cfg.n_vocab})", file=sys.stderr)
