@@ -162,7 +162,7 @@ class Runtime:
     @classmethod
     def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False,
                   kv_quant: bool = False, fuse: bool = True,
-                  swa_compress: bool = False,
+                  swa_compress: bool = False, track_reload: bool = False,
                   tensor_parallel: int = 0, expert_parallel: int = 1):
         """``tensor_parallel`` > 1 shards the model over a (1[, ep], tp)
         device mesh — the reference's -sm graph, expressed as pjit shardings
@@ -195,12 +195,26 @@ class Runtime:
             mesh = make_mesh(shape, devices=jax.devices()[:n_dev])
             params = shard_params(params, mesh)
         _log_model_load(gg, cfg)
-        return cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
-                   kv_quant=kv_quant, swa_compress=swa_compress, mesh=mesh)
+        rt = cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
+                 kv_quant=kv_quant, swa_compress=swa_compress, mesh=mesh)
+        if track_reload:
+            # on-demand tensor reload (llama-reload analogue): snapshot
+            # per-tensor CRCs so reload_changed_tensors() can patch the
+            # live params when the GGUF changes on disk
+            from .reload import ReloadInfo
+            rt._reload_info = ReloadInfo(path, gg)
+            rt._loader_kw = dict(use_quant=use_quant, **kw)
+        return rt
 
     @property
     def recurrent(self) -> bool:
         return self.cfg.arch in ("mamba", "qwen3next", "qwen35", "qwen35moe")
+
+    def reload_changed_tensors(self) -> bool:
+        """Pick up on-disk tensor changes into the live model
+        (llama_reload_changed_tensors, include/llama.h:1635)."""
+        from .reload import reload_changed_tensors
+        return reload_changed_tensors(self)
 
     @property
     def needs_n_valid(self) -> bool:
