@@ -690,6 +690,273 @@ class Glm4(ArchConverter):
         return int(self.head_dim * self.cfg.get("partial_rotary_factor", 0.5))
 
 
+# ------------------------------------------------------- seed-oss / ernie
+@register("SeedOssForCausalLM")
+class SeedOss(ArchConverter):
+    """seed_oss: llama body, biased attention, pre-FFN norm stored as
+    post_attention_norm (reference SeedOssModel; build_seedoss.cpp:32)."""
+    arch = "seed_oss"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+        ("model.layers.{i}.input_layernorm.weight", "blk.{i}.attn_norm.weight"),
+        ("model.layers.{i}.post_attention_layernorm.weight",
+         "blk.{i}.post_attention_norm.weight"),
+        ("model.layers.{i}.self_attn.q_proj.weight", "blk.{i}.attn_q.weight"),
+        ("model.layers.{i}.self_attn.k_proj.weight", "blk.{i}.attn_k.weight"),
+        ("model.layers.{i}.self_attn.v_proj.weight", "blk.{i}.attn_v.weight"),
+        ("model.layers.{i}.self_attn.o_proj.weight", "blk.{i}.attn_output.weight"),
+        ("model.layers.{i}.self_attn.q_proj.bias", "blk.{i}.attn_q.bias"),
+        ("model.layers.{i}.self_attn.k_proj.bias", "blk.{i}.attn_k.bias"),
+        ("model.layers.{i}.self_attn.v_proj.bias", "blk.{i}.attn_v.bias"),
+        ("model.layers.{i}.mlp.gate_proj.weight", "blk.{i}.ffn_gate.weight"),
+        ("model.layers.{i}.mlp.up_proj.weight", "blk.{i}.ffn_up.weight"),
+        ("model.layers.{i}.mlp.down_proj.weight", "blk.{i}.ffn_down.weight"),
+    ]
+
+
+@register("Ernie4_5ForCausalLM", "Ernie4_5_ForCausalLM")
+class Ernie45(ArchConverter):
+    """ernie4_5: llama body; checkpoints may carry an 'ernie.' prefix and a
+    fused qkv_proj split by (H + 2*Hkv) * head_dim (reference
+    Ernie4_5Model.modify_tensors)."""
+    arch = "ernie4_5"
+    strip_prefixes = ()
+    MAP = _LLAMA_STYLE
+
+    def __init__(self, cfg, tensors):
+        tensors = {k.replace("ernie.", "model."): v for k, v in tensors.items()}
+        super().__init__(cfg, tensors)
+        # split fused qkv into q/k/v rows
+        qd = self.n_head * self.head_dim
+        kd = self.n_head_kv * self.head_dim
+        for i in range(self.n_layer):
+            b = f"model.layers.{i}.self_attn"
+            fused = self.tensors.pop(f"{b}.qkv_proj.weight", None)
+            if fused is not None:
+                a = np.asarray(fused, np.float32)
+                self.tensors[f"{b}.q_proj.weight"] = a[:qd]
+                self.tensors[f"{b}.k_proj.weight"] = a[qd:qd + kd]
+                self.tensors[f"{b}.v_proj.weight"] = a[qd + kd:qd + 2 * kd]
+
+
+@register("Ernie4_5_MoeForCausalLM")
+class Ernie45Moe(Ernie45):
+    """ernie4_5-moe: interleaved MoE with shared experts and the
+    moe_statics router-correction bias (reference Ernie4_5MoeModel)."""
+    arch = "ernie4_5-moe"
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.gate_proj.weight",
+         "blk.{i}.ffn_gate_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.up_proj.weight",
+         "blk.{i}.ffn_up_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.down_proj.weight",
+         "blk.{i}.ffn_down_shexp.weight"),
+    ]
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.expert_count", cfg["moe_num_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("moe_k", 2))
+        w.add(f"{a}.interleave_moe_layer_step",
+              cfg.get("moe_layer_interval", 1))
+        w.add(f"{a}.leading_dense_block_count",
+              cfg.get("moe_layer_start_index", 0))
+        w.add(f"{a}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+        nshexp = cfg.get("moe_num_shared_experts", 0)
+        if nshexp:
+            w.add(f"{a}.expert_shared_count", nshexp)
+            # spec quirk: shexp width = intermediate_size // num_kv_heads
+            # (reference Ernie4_5MoeModel.set_gguf_parameters)
+            w.add(f"{a}.expert_shared_feed_forward_length",
+                  self.n_ff // self.n_head_kv)
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            yield from self.stack_experts(i, self.cfg["moe_num_experts"])
+            b = self.tensors.get(
+                f"model.layers.{i}.mlp.moe_statics.e_score_correction_bias")
+            if b is not None:
+                yield f"blk.{i}.exp_probs_b.bias", \
+                    np.asarray(b, np.float32).reshape(-1)
+
+
+@register("Dots1ForCausalLM")
+class Dots1(ArchConverter):
+    """dots1: qwen3-style attention (per-head qk norms) + deepseek-style
+    MoE (dense lead, sigmoid gating, correction bias, shared experts)."""
+    arch = "dots1"
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.gate_proj.weight",
+         "blk.{i}.ffn_gate_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.up_proj.weight",
+         "blk.{i}.ffn_up_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.down_proj.weight",
+         "blk.{i}.ffn_down_shexp.weight"),
+    ]
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.expert_count", cfg["n_routed_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.leading_dense_block_count",
+              cfg.get("first_k_dense_replace", 0))
+        w.add(f"{a}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+        w.add(f"{a}.expert_shared_count", cfg.get("n_shared_experts", 0))
+        w.add(f"{a}.expert_weights_scale",
+              float(cfg.get("routed_scaling_factor", 1.0)))
+        w.add(f"{a}.expert_weights_norm", bool(cfg.get("norm_topk_prob",
+                                                       False)))
+        w.add(f"{a}.expert_gating_func",
+              _GATING.get(cfg.get("scoring_func", "softmax"), 1))
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            yield from self.stack_experts(i, self.cfg["n_routed_experts"])
+            b = self.tensors.get(
+                f"model.layers.{i}.mlp.gate.e_score_correction_bias")
+            if b is not None:
+                yield f"blk.{i}.exp_probs_b.bias", np.asarray(b, np.float32)
+
+
+@register("Glm4MoeForCausalLM")
+class Glm4Moe(Dots1):
+    """glm4moe (GLM-4.5): dots1-shaped MoE body at half rotary dims; HF
+    checkpoints may carry trailing NextN layers which are dropped here
+    like the reference's nextn skip (Glm4MoeModel)."""
+    arch = "glm4moe"
+
+    def rope_dim(self):
+        return int(self.head_dim * self.cfg.get("partial_rotary_factor", 0.5))
+
+
+# ------------------------------------------------------ encoder families
+@register("BertModel", "BertForMaskedLM", "CamembertModel",
+          "XLMRobertaModel")
+class Bert(ArchConverter):
+    """bert encoder (+ roberta variants): absolute positions, token-type
+    embeddings, post-LN blocks. Roberta-family position embeddings carry a
+    padding offset (pad_token_id + 1) that is trimmed off, matching the
+    reference's XLMRobertaModel._position_offset handling."""
+    arch = "bert"
+    eps = "layer"
+    strip_prefixes = ("bert.", "roberta.",)
+    MAP = [
+        ("embeddings.word_embeddings.weight", "token_embd.weight"),
+        ("embeddings.position_embeddings.weight", "position_embd.weight"),
+        ("embeddings.token_type_embeddings.weight", "token_types.weight"),
+        ("embeddings.LayerNorm.weight", "token_embd_norm.weight"),
+        ("embeddings.LayerNorm.bias", "token_embd_norm.bias"),
+    ] + [(f"encoder.layer.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("attention.self.query", "attn_q"),
+                      ("attention.self.key", "attn_k"),
+                      ("attention.self.value", "attn_v"),
+                      ("attention.output.dense", "attn_output"),
+                      ("attention.output.LayerNorm", "attn_output_norm"),
+                      ("intermediate.dense", "ffn_up"),
+                      ("output.dense", "ffn_down"),
+                      ("output.LayerNorm", "layer_output_norm"))
+         for s in ("weight", "bias")]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        self.pos_offset = 0
+        if cfg.get("model_type") in ("xlm-roberta", "camembert", "roberta"):
+            self.pos_offset = int(cfg.get("pad_token_id", 1)) + 1
+            self.n_ctx -= self.pos_offset
+
+    def fix(self, hf_name, arr):
+        if hf_name.endswith("position_embeddings.weight") and self.pos_offset:
+            arr = arr[self.pos_offset:]
+        return arr
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.attention.causal", False)
+        w.add("tokenizer.ggml.token_type_count",
+              int(self.cfg.get("type_vocab_size", 2)))
+
+
+@register("T5ForConditionalGeneration", "T5WithLMHeadModel",
+          "MT5ForConditionalGeneration", "UMT5ForConditionalGeneration",
+          "T5EncoderModel")
+class T5(ArchConverter):
+    """t5/mt5/umt5 encoder-decoder: relative-bucket attention bias, enc/dec
+    stacks, optionally gated FFN (flan). T5EncoderModel emits the encoder
+    stack only (reference T5EncoderModel -> t5encoder)."""
+    arch = "t5"
+
+    def __init__(self, cfg, tensors):
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("num_layers"))
+        cfg.setdefault("hidden_size", cfg.get("d_model"))
+        cfg.setdefault("num_attention_heads", cfg.get("num_heads"))
+        cfg.setdefault("intermediate_size", cfg.get("d_ff"))
+        cfg.setdefault("head_dim", cfg.get("d_kv"))
+        if cfg.get("architectures", [""])[0] == "T5EncoderModel":
+            self.arch = "t5encoder"
+        super().__init__(cfg, tensors)
+        m = [("shared.weight", "token_embd.weight"),
+             ("encoder.embed_tokens.weight", "token_embd.weight"),
+             ("lm_head.weight", "output.weight"),
+             ("encoder.final_layer_norm.weight", "enc.output_norm.weight"),
+             ("decoder.final_layer_norm.weight", "dec.output_norm.weight")]
+        for i in range(self.n_layer):
+            for hf_stack, gg in (("encoder", "enc"), ("decoder", "dec")):
+                b = f"{hf_stack}.block.{i}.layer"
+                g = f"{gg}.blk.{i}"
+                m += [(f"{b}.0.SelfAttention.q.weight", f"{g}.attn_q.weight"),
+                      (f"{b}.0.SelfAttention.k.weight", f"{g}.attn_k.weight"),
+                      (f"{b}.0.SelfAttention.v.weight", f"{g}.attn_v.weight"),
+                      (f"{b}.0.SelfAttention.o.weight", f"{g}.attn_o.weight"),
+                      (f"{b}.0.SelfAttention.relative_attention_bias.weight",
+                       f"{g}.attn_rel_b.weight"),
+                      (f"{b}.0.layer_norm.weight", f"{g}.attn_norm.weight")]
+                ffl = 1 if hf_stack == "encoder" else 2
+                if hf_stack == "decoder":
+                    m += [(f"{b}.1.EncDecAttention.q.weight",
+                           f"{g}.cross_attn_q.weight"),
+                          (f"{b}.1.EncDecAttention.k.weight",
+                           f"{g}.cross_attn_k.weight"),
+                          (f"{b}.1.EncDecAttention.v.weight",
+                           f"{g}.cross_attn_v.weight"),
+                          (f"{b}.1.EncDecAttention.o.weight",
+                           f"{g}.cross_attn_o.weight"),
+                          (f"{b}.1.layer_norm.weight",
+                           f"{g}.cross_attn_norm.weight")]
+                m += [(f"{b}.{ffl}.DenseReluDense.wi.weight",
+                       f"{g}.ffn_up.weight"),
+                      (f"{b}.{ffl}.DenseReluDense.wi_0.weight",
+                       f"{g}.ffn_gate.weight"),
+                      (f"{b}.{ffl}.DenseReluDense.wi_1.weight",
+                       f"{g}.ffn_up.weight"),
+                      (f"{b}.{ffl}.DenseReluDense.wo.weight",
+                       f"{g}.ffn_down.weight"),
+                      (f"{b}.{ffl}.layer_norm.weight",
+                       f"{g}.ffn_norm.weight")]
+        self.MAP = m
+
+    def metadata(self, w):
+        a = self.arch
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        w.add(f"{a}.feed_forward_length", self.n_ff)
+        w.add(f"{a}.attention.head_count", self.n_head)
+        w.add(f"{a}.attention.head_count_kv", self.n_head)
+        w.add(f"{a}.attention.key_length", self.head_dim)
+        w.add(f"{a}.attention.value_length", self.head_dim)
+        w.add(f"{a}.attention.layer_norm_rms_epsilon",
+              self.key("layer_norm_epsilon", default=1e-6))
+        w.add(f"{a}.attention.relative_buckets_count",
+              self.key("relative_attention_num_buckets", default=32))
+        w.add(f"{a}.decoder_start_token_id",
+              self.key("decoder_start_token_id", default=0))
+        w.add(f"{a}.vocab_size", self.cfg["vocab_size"])
+
+
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
                        out_path, outtype: str) -> Path:
     """Generic driver for registered per-arch converters."""

@@ -249,3 +249,134 @@ def test_convert_glm4(tmp_path):
             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
             partial_rotary_factor=0.5, attention_bias=True, pad_token_id=0,
             tie_word_embeddings=False)
+
+
+def test_convert_seed_oss(tmp_path):
+    _parity(transformers.SeedOssConfig, transformers.SeedOssForCausalLM,
+            tmp_path, "tiny-seedoss", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, intermediate_size=96, rms_norm_eps=1e-5,
+            attention_bias=True, max_position_embeddings=128,
+            tie_word_embeddings=False)
+
+
+def test_convert_ernie45(tmp_path):
+    _parity(transformers.Ernie4_5Config, transformers.Ernie4_5ForCausalLM,
+            tmp_path, "tiny-ernie", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=96, rms_norm_eps=1e-5, use_bias=False,
+            max_position_embeddings=128, tie_word_embeddings=False)
+
+
+def test_convert_ernie45_moe(tmp_path):
+    _parity(transformers.Ernie4_5_MoeConfig,
+            transformers.Ernie4_5_MoeForCausalLM,
+            tmp_path, "tiny-ernie-moe", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=96, rms_norm_eps=1e-5, use_bias=False,
+            moe_num_experts=4, moe_k=2, moe_intermediate_size=48,
+            moe_num_shared_experts=1, moe_layer_start_index=1,
+            moe_layer_interval=1, max_position_embeddings=128,
+            tie_word_embeddings=False)
+
+
+def test_convert_dots1(tmp_path):
+    _parity(transformers.Dots1Config, transformers.Dots1ForCausalLM,
+            tmp_path, "tiny-dots1", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=96, rms_norm_eps=1e-5,
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48, n_shared_experts=1,
+            first_k_dense_replace=1, n_group=1, topk_group=1,
+            routed_scaling_factor=1.0, norm_topk_prob=True,
+            scoring_func="sigmoid", max_position_embeddings=128,
+            tie_word_embeddings=False)
+
+
+def test_convert_glm4moe(tmp_path):
+    _parity(transformers.Glm4MoeConfig, transformers.Glm4MoeForCausalLM,
+            tmp_path, "tiny-glm4moe", vocab_size=256, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, partial_rotary_factor=0.5, use_qk_norm=True,
+            intermediate_size=96, rms_norm_eps=1e-5,
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48, n_shared_experts=1,
+            first_k_dense_replace=1, n_group=1, topk_group=1,
+            routed_scaling_factor=1.0, norm_topk_prob=True,
+            num_nextn_predict_layers=0, max_position_embeddings=128,
+            tie_word_embeddings=False)
+
+
+def test_convert_bert(tmp_path):
+    """BertModel: per-position encoder parity vs HF last_hidden_state."""
+    d = tmp_path / "tiny-bert"
+    cfg = transformers.BertConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=2)
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / "bert.gguf"
+    convert(d, out, outtype="f32")
+    ids = [2, 17, 42, 99, 7, 3]
+    with torch.no_grad():
+        hf = model(torch.tensor([ids])).last_hidden_state[0].float().numpy()
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    ours = rt.embed(ids, "none", normalize=False)
+    np.testing.assert_allclose(ours, hf, rtol=5e-2, atol=5e-2)
+
+
+def test_convert_xlm_roberta(tmp_path):
+    """XLMRobertaModel: position-offset trim + encoder parity."""
+    d = tmp_path / "tiny-xlmr"
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=130, pad_token_id=1, type_vocab_size=1)
+    torch.manual_seed(1)
+    model = transformers.XLMRobertaModel(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / "xlmr.gguf"
+    convert(d, out, outtype="f32")
+    ids = [5, 17, 42, 99, 7]
+    with torch.no_grad():
+        hf = model(torch.tensor([ids])).last_hidden_state[0].float().numpy()
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    ours = rt.embed(ids, "none", normalize=False)
+    np.testing.assert_allclose(ours, hf, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("gated", [False, True])
+def test_convert_t5(tmp_path, gated):
+    """T5: encoder parity + decoder logits parity vs HF forward."""
+    d = tmp_path / f"tiny-t5-{gated}"
+    cfg = transformers.T5Config(
+        vocab_size=256, d_model=64, num_layers=2, num_heads=4, d_kv=16,
+        d_ff=96, relative_attention_num_buckets=8,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+        tie_word_embeddings=False, decoder_start_token_id=0)
+    torch.manual_seed(2)
+    model = transformers.T5ForConditionalGeneration(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / "t5.gguf"
+    convert(d, out, outtype="f32")
+    from ik_llama_cpp_tpu.runtime.t5_runtime import T5Runtime
+    rt = T5Runtime.from_gguf(out)
+    ids = [5, 17, 42, 99, 7, 1]
+    dec_ids = [0, 11, 23]
+    enc = rt.encode(ids)
+    with torch.no_grad():
+        hf_enc = model.encoder(torch.tensor([ids]))[0][0].float().numpy()
+        hf_logits = model(input_ids=torch.tensor([ids]),
+                          decoder_input_ids=torch.tensor([dec_ids])
+                          ).logits[0].float().numpy()
+    np.testing.assert_allclose(enc, hf_enc, rtol=5e-2, atol=5e-2)
+    ours = rt.decoder_logits(dec_ids, enc)
+    agree = (ours.argmax(-1) == hf_logits.argmax(-1)).mean()
+    assert agree >= 0.9, f"t5 argmax agree {agree:.2%}"
