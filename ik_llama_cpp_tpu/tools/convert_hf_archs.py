@@ -288,7 +288,7 @@ class Bloom(ArchConverter):
         return arr
 
 
-@register("MptForCausalLM")
+@register("MptForCausalLM", "MPTForCausalLM")
 class MPT(ArchConverter):
     arch = "mpt"
     eps = "layer"
@@ -311,7 +311,7 @@ class MPT(ArchConverter):
             w.add(f"{self.arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
 
 
-@register("FalconForCausalLM")
+@register("FalconForCausalLM", "RWForCausalLM")
 class Falcon(ArchConverter):
     """falcon 7B form: shared-norm parallel residual, un-biased fused qkv,
     NEOX rope (multi_query or grouped kv layouts both normalized)."""
@@ -416,7 +416,7 @@ class CommandR(ArchConverter):
               float(self.cfg.get("logit_scale", 0.0625)))
 
 
-@register("OlmoForCausalLM")
+@register("OlmoForCausalLM", "OLMoForCausalLM")
 class Olmo(ArchConverter):
     """olmo: non-parametric norms (no norm tensors), optional qkv clamp,
     NORM rope."""
@@ -955,6 +955,215 @@ class T5(ArchConverter):
         w.add(f"{a}.decoder_start_token_id",
               self.key("decoder_start_token_id", default=0))
         w.add(f"{a}.vocab_size", self.cfg["vocab_size"])
+
+
+# ------------------------------------------------ classic CJK/community archs
+@register("QWenLMHeadModel")
+class Qwen1(ArchConverter):
+    """qwen (v1): gpt2-shaped trunk with fused biased c_attn and a
+    half-split swiglu FFN (mlp.w2 = gate, mlp.w1 = up); the HF
+    intermediate_size already stores DOUBLE the real FFN width, matching
+    the GGUF convention (create_qwen_tensors n_ff/2)."""
+    arch = "qwen"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("wte.weight", "token_embd.weight"),
+        ("ln_f.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"h.{{i}}.{h}", f"blk.{{i}}.{g}")
+         for h, g in (("ln_1.weight", "attn_norm.weight"),
+                      ("attn.c_attn.weight", "attn_qkv.weight"),
+                      ("attn.c_attn.bias", "attn_qkv.bias"),
+                      ("attn.c_proj.weight", "attn_output.weight"),
+                      ("ln_2.weight", "ffn_norm.weight"),
+                      ("mlp.w2.weight", "ffn_gate.weight"),
+                      ("mlp.w1.weight", "ffn_up.weight"),
+                      ("mlp.c_proj.weight", "ffn_down.weight"))]
+
+
+@register("BaichuanForCausalLM", "BaiChuanForCausalLM")
+class Baichuan(ArchConverter):
+    """baichuan: llama body with the fused W_pack projection split into
+    thirds, q/k NORM-permuted (reference BaichuanModel)."""
+    arch = "baichuan"
+    permute_qk = True
+    MAP = _LLAMA_STYLE
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        e = self.n_embd
+        for i in range(self.n_layer):
+            b = f"model.layers.{i}.self_attn"
+            pack = self.tensors.pop(f"{b}.W_pack.weight", None)
+            if pack is not None:
+                a = np.asarray(pack, np.float32)
+                self.tensors[f"{b}.q_proj.weight"] = a[:e]
+                self.tensors[f"{b}.k_proj.weight"] = a[e:2 * e]
+                self.tensors[f"{b}.v_proj.weight"] = a[2 * e:]
+
+
+@register("InternLM2ForCausalLM")
+class InternLM2(ArchConverter):
+    """internlm2: grouped fused wqkv ([q*rep, k, v] per kv group)
+    de-interleaved + NORM permute; w1/w3/w2 FFN naming (reference
+    InternLM2Model.modify_tensors)."""
+    arch = "internlm2"
+    MAP = [
+        ("model.tok_embeddings.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("output.weight", "output.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("attention_norm", "attn_norm"),
+                      ("ffn_norm", "ffn_norm"),
+                      ("attention.wo", "attn_output"),
+                      ("feed_forward.w1", "ffn_gate"),
+                      ("feed_forward.w3", "ffn_up"),
+                      ("feed_forward.w2", "ffn_down"))]
+
+    def extra_rows(self):
+        hd, h, hkv = self.head_dim, self.n_head, self.n_head_kv
+        rep = h // hkv
+        e = self.n_embd
+        for i in range(self.n_layer):
+            w = self.tensors.get(f"model.layers.{i}.attention.wqkv.weight")
+            if w is None:
+                continue
+            a = np.asarray(w, np.float32).reshape(hkv, rep + 2, hd, e)
+            q = a[:, :rep].reshape(-1, e)
+            k = a[:, -2].reshape(-1, e)
+            v = a[:, -1].reshape(-1, e)
+            yield f"blk.{i}.attn_q.weight", permute_rotary(q, h)
+            yield f"blk.{i}.attn_k.weight", permute_rotary(k, hkv)
+            yield f"blk.{i}.attn_v.weight", v
+
+
+@register("OrionForCausalLM")
+class Orion(ArchConverter):
+    """orion: llama-shaped body with biased LayerNorms."""
+    arch = "orion"
+    eps = "layer"
+    MAP = _LLAMA_STYLE + [
+        ("model.norm.bias", "output_norm.bias"),
+        ("model.layers.{i}.input_layernorm.bias", "blk.{i}.attn_norm.bias"),
+        ("model.layers.{i}.post_attention_layernorm.bias",
+         "blk.{i}.ffn_norm.bias"),
+    ]
+
+
+@register("XverseForCausalLM")
+class Xverse(ArchConverter):
+    """xverse: llama-structured RMS variant, NORM rope."""
+    arch = "xverse"
+    permute_qk = True
+    MAP = _LLAMA_STYLE
+
+
+@register("MiniCPMForCausalLM")
+class MiniCPM(ArchConverter):
+    """minicpm: llama body (hardcoded graph scalars live in the engine,
+    build_minicpm.cpp:14-16); tied head."""
+    arch = "minicpm"
+    permute_qk = True
+    MAP = _LLAMA_STYLE
+
+
+@register("GPTRefactForCausalLM")
+class Refact(ArchConverter):
+    """refact: MQA + ALiBi with fused kv and gate_up splits and the
+    2/3*4E rounded FFN width (reference RefactModel)."""
+    arch = "refact"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("wte.weight", "token_embd.weight"),
+        ("ln_f.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"h.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("ln_1", "attn_norm"), ("ln_2", "ffn_norm"),
+                      ("attn.q", "attn_q"), ("attn.c_proj", "attn_output"),
+                      ("mlp.c_proj", "ffn_down"))]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        self.n_head_kv = 1
+        inner = 4 * self.n_embd
+        hidden = int(2 * inner / 3)
+        self.n_ff = 256 * ((hidden + 255) // 256)
+
+    def extra_rows(self):
+        hd = self.head_dim
+        for i in range(self.n_layer):
+            kv = self.tensors.get(f"h.{i}.attn.kv.weight")
+            if kv is not None:
+                a = np.asarray(kv, np.float32)
+                yield f"blk.{i}.attn_k.weight", a[:hd]
+                yield f"blk.{i}.attn_v.weight", a[hd:]
+            gu = self.tensors.get(f"h.{i}.mlp.gate_up_proj.weight")
+            if gu is not None:
+                a = np.asarray(gu, np.float32)
+                yield f"blk.{i}.ffn_gate.weight", a[:self.n_ff]
+                yield f"blk.{i}.ffn_up.weight", a[self.n_ff:]
+
+
+@register("CodeShellForCausalLM")
+class CodeShell(GPT2):
+    """codeshell: gpt2 trunk (Linear weights) with grouped-query attention
+    and partial rope (reference CodeShellModel)."""
+    arch = "codeshell"
+
+    def __init__(self, cfg, tensors):
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("n_layer"))
+        cfg.setdefault("hidden_size", cfg.get("n_embd"))
+        cfg.setdefault("num_attention_heads", cfg.get("n_head"))
+        cfg.setdefault("num_key_value_heads", cfg.get("num_query_groups", 1))
+        cfg.setdefault("intermediate_size", 4 * cfg["hidden_size"])
+        super().__init__(cfg, tensors)
+
+    def fix(self, hf_name, arr):
+        return arr    # nn.Linear weights
+
+    def extra_rows(self):
+        if ("lm_head.weight" not in self.tensors
+                and "output.weight" not in self.tensors):
+            # reference copies tok_embd into output for codeshell
+            yield "output.weight", np.asarray(self.tensors["wte.weight"],
+                                              np.float32)
+
+
+@register("ChatGLMForConditionalGeneration", "ChatGLMModel")
+class ChatGLM(ArchConverter):
+    """chatglm (glm2/3 lineage): fused biased qkv, fused [gate|up] swiglu
+    FFN kept whole (the engine splits halves in-graph), half rotary."""
+    arch = "chatglm"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("embedding.word_embeddings.weight", "token_embd.weight"),
+        ("encoder.final_layernorm.weight", "output_norm.weight"),
+        ("output_layer.weight", "output.weight"),
+    ] + [(f"encoder.layers.{{i}}.{h}", f"blk.{{i}}.{g}")
+         for h, g in (("input_layernorm.weight", "attn_norm.weight"),
+                      ("self_attention.query_key_value.weight",
+                       "attn_qkv.weight"),
+                      ("self_attention.query_key_value.bias",
+                       "attn_qkv.bias"),
+                      ("self_attention.dense.weight", "attn_output.weight"),
+                      ("post_attention_layernorm.weight", "ffn_norm.weight"),
+                      ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
+                      ("mlp.dense_4h_to_h.weight", "ffn_down.weight"))]
+
+    def __init__(self, cfg, tensors):
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("num_layers"))
+        cfg.setdefault("num_key_value_heads",
+                       cfg.get("multi_query_group_num",
+                               cfg.get("num_attention_heads")))
+        cfg.setdefault("intermediate_size", cfg.get("ffn_hidden_size"))
+        cfg.setdefault("max_position_embeddings", cfg.get("seq_length", 4096))
+        cfg.setdefault("rms_norm_eps", cfg.get("layernorm_epsilon", 1e-5))
+        super().__init__(cfg, tensors)
+
+    def rope_dim(self):
+        return self.head_dim // 2
 
 
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,

@@ -380,3 +380,236 @@ def test_convert_t5(tmp_path, gated):
     ours = rt.decoder_logits(dec_ids, enc)
     agree = (ours.argmax(-1) == hf_logits.argmax(-1)).mean()
     assert agree >= 0.9, f"t5 argmax agree {agree:.2%}"
+
+
+# ---------------------------------------------------------------------------
+# Community archs without native transformers classes: synthetic checkpoints
+# (config.json + safetensors with the arch's HF tensor naming) -> convert ->
+# load -> finite logits. Tensor-name layouts follow the reference's
+# gguf-py/gguf/tensor_mapping.py tables.
+# ---------------------------------------------------------------------------
+import json as _json
+
+
+def _run_synth(tmp_path, name, cfg_dict, tensors, n_check=4):
+    from safetensors.numpy import save_file
+    d = tmp_path / name
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(cfg_dict))
+    save_file({k: np.ascontiguousarray(v, dtype=np.float32)
+               for k, v in tensors.items()}, str(d / "model.safetensors"))
+    out = tmp_path / f"{name}.gguf"
+    convert(d, out, outtype="f32")
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    logits = rt.all_position_logits(list(range(3, 3 + n_check)))
+    assert np.all(np.isfinite(logits)), name
+    return logits
+
+
+def _r(rng, *shape):
+    return (rng.standard_normal(shape) / np.sqrt(shape[-1])).astype(np.float32)
+
+
+def test_convert_qwen1_synthetic(tmp_path):
+    rng = np.random.default_rng(0)
+    E, H, L, FF, V = 64, 4, 2, 96, 256
+    t = {"transformer.wte.weight": _r(rng, V, E),
+         "transformer.ln_f.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"transformer.h.{i}"
+        t |= {f"{b}.ln_1.weight": np.ones(E),
+              f"{b}.attn.c_attn.weight": _r(rng, 3 * E, E),
+              f"{b}.attn.c_attn.bias": _r(rng, 3 * E) * 0.02,
+              f"{b}.attn.c_proj.weight": _r(rng, E, E),
+              f"{b}.ln_2.weight": np.ones(E),
+              f"{b}.mlp.w1.weight": _r(rng, FF, E),
+              f"{b}.mlp.w2.weight": _r(rng, FF, E),
+              f"{b}.mlp.c_proj.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["QWenLMHeadModel"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "intermediate_size": 2 * FF,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "qwen1", cfg, t)
+
+
+def test_convert_baichuan_synthetic(tmp_path):
+    # 32 layers: the reference types baichuan by layer count (7B = rope;
+    # unknown counts abort in build_baichuan)
+    rng = np.random.default_rng(1)
+    E, H, L, FF, V = 32, 2, 32, 64, 256
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.W_pack.weight": _r(rng, 3 * E, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["BaichuanForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "intermediate_size": FF,
+           "rms_norm_eps": 1e-5, "max_position_embeddings": 128}
+    _run_synth(tmp_path, "baichuan", cfg, t)
+
+
+def test_convert_internlm2_synthetic(tmp_path):
+    rng = np.random.default_rng(2)
+    E, H, HKV, L, FF, V = 64, 4, 2, 2, 96, 256
+    hd = E // H
+    t = {"model.tok_embeddings.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "output.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.attention_norm.weight": np.ones(E),
+              f"{b}.ffn_norm.weight": np.ones(E),
+              f"{b}.attention.wqkv.weight": _r(rng, HKV * (H // HKV + 2) * hd, E),
+              f"{b}.attention.wo.weight": _r(rng, E, E),
+              f"{b}.feed_forward.w1.weight": _r(rng, FF, E),
+              f"{b}.feed_forward.w3.weight": _r(rng, FF, E),
+              f"{b}.feed_forward.w2.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["InternLM2ForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "internlm2", cfg, t)
+
+
+@pytest.mark.parametrize("hf_arch,arch", [
+    ("OrionForCausalLM", "orion"),
+    ("XverseForCausalLM", "xverse"),
+    ("MiniCPMForCausalLM", "minicpm"),
+])
+def test_convert_llama_likes_synthetic(tmp_path, hf_arch, arch):
+    rng = np.random.default_rng(3)
+    E, H, L, FF, V = 64, 4, 2, 96, 256
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    if hf_arch == "OrionForCausalLM":
+        t["model.norm.bias"] = np.zeros(E)
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+        if hf_arch == "OrionForCausalLM":
+            t |= {f"{b}.input_layernorm.bias": np.zeros(E),
+                  f"{b}.post_attention_layernorm.bias": np.zeros(E)}
+    cfg = {"architectures": [hf_arch], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "intermediate_size": FF,
+           "rms_norm_eps": 1e-5, "max_position_embeddings": 128}
+    _run_synth(tmp_path, arch, cfg, t)
+
+
+def test_convert_refact_synthetic(tmp_path):
+    rng = np.random.default_rng(4)
+    E, H, L, V = 64, 4, 2, 256
+    hd = E // H
+    ff = 256 * ((int(2 * 4 * E / 3) + 255) // 256)
+    t = {"transformer.wte.weight": _r(rng, V, E),
+         "transformer.ln_f.weight": np.ones(E),
+         "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"transformer.h.{i}"
+        t |= {f"{b}.ln_1.weight": np.ones(E), f"{b}.ln_2.weight": np.ones(E),
+              f"{b}.attn.q.weight": _r(rng, E, E),
+              f"{b}.attn.kv.weight": _r(rng, 2 * hd, E),
+              f"{b}.attn.c_proj.weight": _r(rng, E, E),
+              f"{b}.mlp.gate_up_proj.weight": _r(rng, 2 * ff, E),
+              f"{b}.mlp.c_proj.weight": _r(rng, E, ff)}
+    cfg = {"architectures": ["GPTRefactForCausalLM"], "vocab_size": V,
+           "n_layer": L, "n_embd": E, "n_head": H,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "max_position_embeddings": 128}
+    _run_synth(tmp_path, "refact", cfg, t)
+
+
+def test_convert_codeshell_synthetic(tmp_path):
+    rng = np.random.default_rng(5)
+    E, H, HKV, L, V = 64, 4, 2, 2, 256
+    hd = E // H
+    qkv = E + 2 * HKV * hd
+    t = {"transformer.wte.weight": _r(rng, V, E),
+         "transformer.ln_f.weight": np.ones(E),
+         "transformer.ln_f.bias": np.zeros(E)}
+    for i in range(L):
+        b = f"transformer.h.{i}"
+        t |= {f"{b}.ln_1.weight": np.ones(E), f"{b}.ln_1.bias": np.zeros(E),
+              f"{b}.attn.c_attn.weight": _r(rng, qkv, E),
+              f"{b}.attn.c_attn.bias": _r(rng, qkv) * 0.02,
+              f"{b}.attn.c_proj.weight": _r(rng, E, E),
+              f"{b}.attn.c_proj.bias": _r(rng, E) * 0.02,
+              f"{b}.ln_2.weight": np.ones(E), f"{b}.ln_2.bias": np.zeros(E),
+              f"{b}.mlp.c_fc.weight": _r(rng, 4 * E, E),
+              f"{b}.mlp.c_fc.bias": _r(rng, 4 * E) * 0.02,
+              f"{b}.mlp.c_proj.weight": _r(rng, E, 4 * E),
+              f"{b}.mlp.c_proj.bias": _r(rng, E) * 0.02}
+    cfg = {"architectures": ["CodeShellForCausalLM"], "vocab_size": V,
+           "n_layer": L, "n_embd": E, "n_head": H, "num_query_groups": HKV,
+           "layer_norm_epsilon": 1e-5, "n_positions": 128}
+    _run_synth(tmp_path, "codeshell", cfg, t)
+
+
+def test_convert_chatglm_synthetic(tmp_path):
+    rng = np.random.default_rng(6)
+    E, H, HKV, L, FF, V = 64, 4, 2, 2, 96, 256
+    hd = E // H
+    qkv = E + 2 * HKV * hd
+    t = {"transformer.embedding.word_embeddings.weight": _r(rng, V, E),
+         "transformer.encoder.final_layernorm.weight": np.ones(E),
+         "transformer.output_layer.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"transformer.encoder.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.self_attention.query_key_value.weight": _r(rng, qkv, E),
+              f"{b}.self_attention.query_key_value.bias": _r(rng, qkv) * 0.02,
+              f"{b}.self_attention.dense.weight": _r(rng, E, E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.mlp.dense_h_to_4h.weight": _r(rng, 2 * FF, E),
+              f"{b}.mlp.dense_4h_to_h.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["ChatGLMModel"], "vocab_size": V,
+           "num_layers": L, "hidden_size": E, "num_attention_heads": H,
+           "multi_query_group_num": HKV, "ffn_hidden_size": FF,
+           "layernorm_epsilon": 1e-5, "seq_length": 128}
+    _run_synth(tmp_path, "chatglm", cfg, t)
+
+
+# codeshell excluded: the reference fork's llm_build_ffn applies ffn_norm
+# as RMS with rms_eps=0 for LayerNorm archs and asserts (see
+# test_classic_archs.py module docstring) — our-side smoke only, like the
+# fixture-based tests.
+@pytest.mark.parametrize("builder", [
+    "qwen1", "baichuan", "internlm2", "chatglm", "refact"])
+def test_convert_ref_engine_parity(tmp_path, builder):
+    """Converted synthetic checkpoints must load and run in the REFERENCE
+    engine with logits matching ours — validates GGUF structure, metadata,
+    and weight layout against the reference's own loader."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_cross_engine import (ref_available, build_gen_logits,
+                                   _parity_check_loose)
+    if not (ref_available and build_gen_logits()):
+        pytest.skip("reference build unavailable")
+    fn = {
+        "qwen1": test_convert_qwen1_synthetic,
+        "baichuan": test_convert_baichuan_synthetic,
+        "internlm2": test_convert_internlm2_synthetic,
+        "chatglm": test_convert_chatglm_synthetic,
+        "refact": test_convert_refact_synthetic,
+    }[builder]
+    fn(tmp_path)
+    ggufs = list(tmp_path.glob("*.gguf"))
+    assert len(ggufs) == 1
+    _parity_check_loose(ggufs[0], "hello world test", mean_tol=0.1,
+                        agree_tol=0.85)
