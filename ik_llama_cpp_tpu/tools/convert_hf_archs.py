@@ -1166,6 +1166,148 @@ class ChatGLM(ArchConverter):
         return self.head_dim // 2
 
 
+@register("MiniMaxM2ForCausalLM")
+class MiniMaxM2(ArchConverter):
+    """minimax-m2: mixtral-style block_sparse_moe (w1=gate, w2=down, w3=up)
+    with full-width qk norms and a router correction bias."""
+    arch = "minimax-m2"
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.block_sparse_moe.gate.weight",
+         "blk.{i}.ffn_gate_inp.weight"),
+    ]
+
+    def rope_dim(self):
+        return self.key("rotary_dim", default=self.head_dim)
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.expert_count", cfg["num_local_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_feed_forward_length", self.n_ff)
+        w.add(f"{a}.expert_weights_norm",
+              bool(cfg.get("norm_topk_prob", False)))
+        w.add(f"{a}.expert_gating_func",
+              _GATING.get(cfg.get("scoring_func", "softmax"), 1))
+
+    def extra_rows(self):
+        ne = self.cfg["num_local_experts"]
+        for i in range(self.n_layer):
+            yield from self.stack_experts(
+                i, ne, base="model.layers.{i}.block_sparse_moe.experts",
+                projs=(("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                       ("w2", "ffn_down_exps")))
+            b = self.tensors.get(
+                f"model.layers.{i}.block_sparse_moe.gate"
+                ".e_score_correction_bias")
+            if b is not None:
+                yield f"blk.{i}.exp_probs_b.bias", np.asarray(b, np.float32)
+
+
+@register("MellumForCausalLM")
+class Mellum(ArchConverter):
+    """mellum: llama body with per-head qk norms, NEOX rope."""
+    arch = "mellum"
+    MAP = _LLAMA_STYLE
+
+
+@register("Cohere2MoeForCausalLM")
+class Cohere2Moe(ArchConverter):
+    """cohere2_moe: command-a MoE — SWA layer pattern, sigmoid routing,
+    dense prefix layers at their own FFN width, no ffn_norm (parallel
+    residual trunk)."""
+    arch = "cohere2_moe"
+    eps = "layer"
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+    ]
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.logit_scale", float(cfg.get("logit_scale", 1.0)))
+        w.add(f"{a}.attention.sliding_window", cfg["sliding_window"])
+        w.add(f"{a}.attention.sliding_window_pattern",
+              np.asarray([1 if t == "sliding_attention" else 0
+                          for t in cfg["layer_types"]], np.int32))
+        w.add(f"{a}.expert_count", cfg["num_experts"])
+        w.add(f"{a}.expert_used_count", cfg["num_experts_per_tok"])
+        w.add(f"{a}.expert_feed_forward_length", self.n_ff)
+        w.add(f"{a}.leading_dense_block_count",
+              cfg.get("first_k_dense_replace", 0))
+        w.add(f"{a}.expert_weights_norm",
+              bool(cfg.get("norm_topk_prob", False)))
+        w.add(f"{a}.expert_gating_func", 2)   # sigmoid only
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            yield from self.stack_experts(i, self.cfg["num_experts"])
+
+
+@register("BailingMoeV2ForCausalLM")
+class BailingMoeV2(ArchConverter):
+    """bailingmoe2 (Ling/Ring 2.0): fused unbiased qkv + per-head qk
+    norms, half rotary, grouped sigmoid routing with expert_bias, dense
+    lead, shared experts (trailing HF NextN/MTP layers are dropped)."""
+    arch = "bailingmoe2"
+    MAP = [
+        ("model.word_embeddings.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+        ("model.layers.{i}.input_layernorm.weight", "blk.{i}.attn_norm.weight"),
+        ("model.layers.{i}.attention.query_key_value.weight",
+         "blk.{i}.attn_qkv.weight"),
+        ("model.layers.{i}.attention.dense.weight",
+         "blk.{i}.attn_output.weight"),
+        ("model.layers.{i}.attention.query_layernorm.weight",
+         "blk.{i}.attn_q_norm.weight"),
+        ("model.layers.{i}.attention.key_layernorm.weight",
+         "blk.{i}.attn_k_norm.weight"),
+        ("model.layers.{i}.post_attention_layernorm.weight",
+         "blk.{i}.ffn_norm.weight"),
+        ("model.layers.{i}.mlp.gate_proj.weight", "blk.{i}.ffn_gate.weight"),
+        ("model.layers.{i}.mlp.up_proj.weight", "blk.{i}.ffn_up.weight"),
+        ("model.layers.{i}.mlp.down_proj.weight", "blk.{i}.ffn_down.weight"),
+        ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.gate_proj.weight",
+         "blk.{i}.ffn_gate_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.up_proj.weight",
+         "blk.{i}.ffn_up_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.down_proj.weight",
+         "blk.{i}.ffn_down_shexp.weight"),
+    ]
+
+    def rope_dim(self):
+        return int(self.head_dim * self.cfg.get("partial_rotary_factor", 0.5))
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.expert_count", cfg["num_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+        w.add(f"{a}.expert_shared_count", cfg.get("num_shared_experts", 0))
+        w.add(f"{a}.expert_shared_feed_forward_length",
+              cfg.get("moe_shared_expert_intermediate_size",
+                      cfg["moe_intermediate_size"]
+                      * cfg.get("num_shared_experts", 1)))
+        w.add(f"{a}.leading_dense_block_count",
+              cfg.get("first_k_dense_replace", 0))
+        w.add(f"{a}.expert_weights_scale",
+              float(cfg.get("routed_scaling_factor", 1.0)))
+        w.add(f"{a}.expert_weights_norm", bool(cfg.get("norm_topk_prob",
+                                                       False)))
+        w.add(f"{a}.expert_gating_func",
+              _GATING.get(cfg.get("score_function", "softmax"), 1))
+        if cfg.get("num_nextn_predict_layers"):
+            w.add(f"{a}.nextn_predict_layers",
+                  cfg["num_nextn_predict_layers"])
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            yield from self.stack_experts(i, self.cfg["num_experts"])
+            b = self.tensors.get(f"model.layers.{i}.mlp.gate.expert_bias")
+            if b is not None:
+                yield f"blk.{i}.exp_probs_b.bias", np.asarray(b, np.float32)
+
+
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
                        out_path, outtype: str) -> Path:
     """Generic driver for registered per-arch converters."""

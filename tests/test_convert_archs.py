@@ -613,3 +613,144 @@ def test_convert_ref_engine_parity(tmp_path, builder):
     assert len(ggufs) == 1
     _parity_check_loose(ggufs[0], "hello world test", mean_tol=0.1,
                         agree_tol=0.85)
+
+
+def test_convert_minimax_m2_synthetic(tmp_path):
+    rng = np.random.default_rng(7)
+    E, H, HKV, L, FF, V, NE = 64, 4, 2, 2, 48, 256, 4
+    hd = E // H
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.q_norm.weight": np.ones(E),
+              f"{b}.self_attn.k_norm.weight": np.ones(HKV * hd),
+              f"{b}.block_sparse_moe.gate.weight": _r(rng, NE, E),
+              f"{b}.block_sparse_moe.gate.e_score_correction_bias":
+                  _r(rng, NE) * 0.1}
+        for e in range(NE):
+            eb = f"{b}.block_sparse_moe.experts.{e}"
+            t |= {f"{eb}.w1.weight": _r(rng, FF, E),
+                  f"{eb}.w3.weight": _r(rng, FF, E),
+                  f"{eb}.w2.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["MiniMaxM2ForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "num_local_experts": NE, "num_experts_per_tok": 2,
+           "scoring_func": "sigmoid", "rotary_dim": hd,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "minimaxm2", cfg, t)
+
+
+def test_convert_mellum_synthetic(tmp_path):
+    rng = np.random.default_rng(8)
+    E, H, HKV, L, FF, V = 64, 4, 2, 2, 96, 256
+    hd = E // H
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.q_norm.weight": np.ones(hd),
+              f"{b}.self_attn.k_norm.weight": np.ones(hd),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["MellumForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "mellum", cfg, t)
+
+
+def test_convert_bailingmoe2_synthetic(tmp_path):
+    rng = np.random.default_rng(9)
+    E, H, HKV, L, FF, FFE, V, NE = 64, 4, 2, 2, 96, 48, 256, 4
+    hd = E // H
+    qkv = (H + 2 * HKV) * hd
+    t = {"model.word_embeddings.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.attention.query_key_value.weight": _r(rng, qkv, E),
+              f"{b}.attention.dense.weight": _r(rng, E, E),
+              f"{b}.attention.query_layernorm.weight": np.ones(hd),
+              f"{b}.attention.key_layernorm.weight": np.ones(hd)}
+        if i == 0:   # dense lead
+            t |= {f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+        else:
+            t |= {f"{b}.mlp.gate.weight": _r(rng, NE, E),
+                  f"{b}.mlp.gate.expert_bias": _r(rng, NE) * 0.1,
+                  f"{b}.mlp.shared_experts.gate_proj.weight": _r(rng, FFE, E),
+                  f"{b}.mlp.shared_experts.up_proj.weight": _r(rng, FFE, E),
+                  f"{b}.mlp.shared_experts.down_proj.weight": _r(rng, E, FFE)}
+            for e in range(NE):
+                eb = f"{b}.mlp.experts.{e}"
+                t |= {f"{eb}.gate_proj.weight": _r(rng, FFE, E),
+                      f"{eb}.up_proj.weight": _r(rng, FFE, E),
+                      f"{eb}.down_proj.weight": _r(rng, E, FFE)}
+    cfg = {"architectures": ["BailingMoeV2ForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "moe_intermediate_size": FFE,
+           "rms_norm_eps": 1e-5, "num_experts": NE,
+           "num_experts_per_tok": 2, "num_shared_experts": 1,
+           "first_k_dense_replace": 1, "routed_scaling_factor": 1.0,
+           "norm_topk_prob": True, "score_function": "sigmoid",
+           "partial_rotary_factor": 0.5, "max_position_embeddings": 128}
+    _run_synth(tmp_path, "bailingmoe2", cfg, t)
+
+
+def test_convert_cohere2moe_synthetic(tmp_path):
+    rng = np.random.default_rng(10)
+    E, H, HKV, L, FF, V, NE = 64, 4, 2, 2, 48, 256, 4
+    hd = E // H
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E)}
+        if i == 0:
+            t |= {f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+        else:
+            t[f"{b}.mlp.gate.weight"] = _r(rng, NE, E)
+            for e in range(NE):
+                eb = f"{b}.mlp.experts.{e}"
+                t |= {f"{eb}.gate_proj.weight": _r(rng, FF, E),
+                      f"{eb}.up_proj.weight": _r(rng, FF, E),
+                      f"{eb}.down_proj.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["Cohere2MoeForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF,
+           "prefix_dense_intermediate_size": FF,
+           "layer_norm_eps": 1e-5, "num_experts": NE,
+           "num_experts_per_tok": 2, "first_k_dense_replace": 1,
+           "sliding_window": 32,
+           "layer_types": ["sliding_attention", "full_attention"],
+           "expert_selection_fn": "sigmoid", "logit_scale": 0.8,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "cohere2moe", cfg, t)
