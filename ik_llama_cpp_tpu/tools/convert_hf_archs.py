@@ -379,7 +379,7 @@ class Phi2(ArchConverter):
                 yield f"blk.{i}.attn_qkv.{suffix}", arr
 
 
-@register("StableLmForCausalLM")
+@register("StableLmForCausalLM", "StableLMEpochForCausalLM", "LlavaStableLMEpochForCausalLM")
 class StableLM(ArchConverter):
     arch = "stablelm"
     eps = "layer"
@@ -1306,6 +1306,184 @@ class BailingMoeV2(ArchConverter):
             b = self.tensors.get(f"model.layers.{i}.mlp.gate.expert_bias")
             if b is not None:
                 yield f"blk.{i}.exp_probs_b.bias", np.asarray(b, np.float32)
+
+
+@register("ArcticForCausalLM")
+class Arctic(ArchConverter):
+    """arctic (snowflake): NORM-permuted llama attention, a dense residual
+    MLP on EVERY layer (residual_mlp.w1/w3/w2 + residual_layernorm) plus
+    full-width MoE experts behind post_attention_layernorm
+    (reference ArcticModel + its FFN_NORM/FFN_NORM_EXP overrides)."""
+    arch = "arctic"
+    permute_qk = True
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("residual_layernorm", "ffn_norm"),
+                      ("post_attention_layernorm", "ffn_norm_exps"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.k_proj", "attn_k"),
+                      ("self_attn.v_proj", "attn_v"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("residual_mlp.w1", "ffn_gate"),
+                      ("residual_mlp.w3", "ffn_up"),
+                      ("residual_mlp.w2", "ffn_down"),
+                      ("block_sparse_moe.gate", "ffn_gate_inp"))]
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.expert_count", cfg["num_local_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_feed_forward_length", self.n_ff)
+
+    def extra_rows(self):
+        ne = self.cfg["num_local_experts"]
+        for i in range(self.n_layer):
+            yield from self.stack_experts(
+                i, ne, base="model.layers.{i}.block_sparse_moe.experts",
+                projs=(("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                       ("w2", "ffn_down_exps")))
+
+
+@register("JAISLMHeadModel")
+class Jais(ArchConverter):
+    """jais: gpt2 trunk (Conv1D transposes) + ALiBi + swiglu, with the mup
+    embedding/width scales folded into wte / lm_head at conversion
+    (reference JaisModel)."""
+    arch = "jais"
+    eps = "layer"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("ln_f.weight", "output_norm.weight"),
+        ("ln_f.bias", "output_norm.bias"),
+    ] + [(f"h.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("ln_1", "attn_norm"), ("attn.c_attn", "attn_qkv"),
+                      ("attn.c_proj", "attn_output"), ("ln_2", "ffn_norm"),
+                      ("mlp.c_fc", "ffn_up"), ("mlp.c_fc2", "ffn_gate"),
+                      ("mlp.c_proj", "ffn_down"))
+         for s in ("weight", "bias")]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        self.emb_scale = float(cfg.get("mup_embeddings_scale",
+                                       cfg.get("embeddings_scale", 1.0)))
+        if "mup_output_alpha" in cfg:
+            self.width_scale = float(cfg["mup_output_alpha"]
+                                     * cfg.get("mup_width_scale", 1.0))
+        else:
+            self.width_scale = float(cfg.get("width_scale", 1.0))
+
+    def fix(self, hf_name, arr):
+        if arr.ndim == 2 and hf_name.endswith((".c_attn.weight",
+                                               ".c_proj.weight",
+                                               ".c_fc.weight",
+                                               ".c_fc2.weight")):
+            arr = arr.T
+        return arr
+
+    def extra_metadata(self, w):
+        import math
+        slopes = self.tensors.get("transformer.relative_pe.slopes")
+        if slopes is None:
+            slopes = self.tensors.get("relative_pe.slopes")
+        if slopes is not None:
+            n2 = 2 ** int(math.floor(math.log2(self.n_head)))
+            bias = -round(math.log2(float(np.asarray(slopes)[0])) * n2)
+        else:
+            bias = 8.0
+        w.add(f"{self.arch}.attention.max_alibi_bias", float(bias))
+
+    def extra_rows(self):
+        wte = np.asarray(self.tensors["wte.weight"], np.float32)
+        yield "token_embd.weight", wte * self.emb_scale
+        head = self.tensors.get("lm_head.weight")
+        head = wte if head is None else np.asarray(head, np.float32)
+        yield "output.weight", head * self.width_scale
+
+
+@register("NomicBertModel")
+class NomicBert(ArchConverter):
+    """nomic-bert: rope bert with fused Wqkv and silu-gated FFN
+    (fc12 = gate, fc11 = up per the reference tensor table)."""
+    arch = "nomic-bert"
+    eps = "layer"
+    MAP = [
+        ("embeddings.word_embeddings.weight", "token_embd.weight"),
+        ("embeddings.token_type_embeddings.weight", "token_types.weight"),
+        ("emb_ln.weight", "token_embd_norm.weight"),
+        ("emb_ln.bias", "token_embd_norm.bias"),
+    ] + [(f"encoder.layers.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("attn.Wqkv", "attn_qkv"),
+                      ("attn.out_proj", "attn_output"),
+                      ("norm1", "attn_output_norm"),
+                      ("mlp.fc12", "ffn_gate"),
+                      ("mlp.fc11", "ffn_up"),
+                      ("mlp.fc2", "ffn_down"),
+                      ("norm2", "layer_output_norm"))
+         for s in ("weight", "bias")]
+
+    def __init__(self, cfg, tensors):
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("n_layer"))
+        cfg.setdefault("hidden_size", cfg.get("n_embd"))
+        cfg.setdefault("num_attention_heads", cfg.get("n_head"))
+        cfg.setdefault("intermediate_size", cfg.get("n_inner"))
+        cfg.setdefault("max_position_embeddings", cfg.get("n_positions", 2048))
+        super().__init__(cfg, tensors)
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.attention.causal", False)
+        w.add(f"{self.arch}.pooling_type", 1)
+        w.add("tokenizer.ggml.token_type_count",
+              int(self.cfg.get("type_vocab_size", 2)))
+
+
+@register("JinaBertModel", "JinaBertForMaskedLM")
+class JinaBertV2(ArchConverter):
+    """jina-bert-v2: ALiBi bert with gated gelu FFN (gated_layers_w = gate,
+    gated_layers_v = up) and optional q/k layernorms."""
+    arch = "jina-bert-v2"
+    eps = "layer"
+    strip_prefixes = ("bert.",)
+    MAP = [
+        ("embeddings.word_embeddings.weight", "token_embd.weight"),
+        ("embeddings.token_type_embeddings.weight", "token_types.weight"),
+        ("embeddings.LayerNorm.weight", "token_embd_norm.weight"),
+        ("embeddings.LayerNorm.bias", "token_embd_norm.bias"),
+    ] + [(f"encoder.layer.{{i}}.{h}.{s}", f"blk.{{i}}.{g}.{s}")
+         for h, g in (("attention.self.query", "attn_q"),
+                      ("attention.self.key", "attn_k"),
+                      ("attention.self.value", "attn_v"),
+                      ("attention.output.dense", "attn_output"),
+                      ("attention.output.LayerNorm", "attn_output_norm"),
+                      ("attention.self.layer_norm_q", "attn_q_norm"),
+                      ("attention.self.layer_norm_k", "attn_k_norm"),
+                      ("layer_norm_1", "attn_norm_2"),
+                      ("mlp.gated_layers_w", "ffn_gate"),
+                      ("mlp.gated_layers_v", "ffn_up"),
+                      ("mlp.wo", "ffn_down"),
+                      ("mlp.down_layer", "ffn_down"),
+                      ("mlp.layernorm", "layer_output_norm"),
+                      ("layer_norm_2", "layer_output_norm"))
+         for s in ("weight", "bias")]
+
+    def extra_rows(self):
+        # fused gated_layers = [gate; up] used by some jina checkpoints
+        for i in range(self.n_layer):
+            g = self.tensors.get(f"encoder.layer.{i}.mlp.gated_layers.weight")
+            if g is not None:
+                a = np.asarray(g, np.float32)
+                yield f"blk.{i}.ffn_gate.weight", a[:self.n_ff]
+                yield f"blk.{i}.ffn_up.weight", a[self.n_ff:]
+
+    def extra_metadata(self, w):
+        w.add(f"{self.arch}.attention.causal", False)
+        w.add(f"{self.arch}.pooling_type", 1)
+        w.add("tokenizer.ggml.token_type_count",
+              int(self.cfg.get("type_vocab_size", 2)))
 
 
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,

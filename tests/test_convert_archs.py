@@ -754,3 +754,151 @@ def test_convert_cohere2moe_synthetic(tmp_path):
            "expert_selection_fn": "sigmoid", "logit_scale": 0.8,
            "max_position_embeddings": 128}
     _run_synth(tmp_path, "cohere2moe", cfg, t)
+
+
+def test_convert_arctic_synthetic(tmp_path):
+    rng = np.random.default_rng(11)
+    E, H, HKV, L, FF, V, NE = 64, 4, 2, 2, 96, 256, 4
+    hd = E // H
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.residual_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.residual_mlp.w1.weight": _r(rng, FF, E),
+              f"{b}.residual_mlp.w3.weight": _r(rng, FF, E),
+              f"{b}.residual_mlp.w2.weight": _r(rng, E, FF),
+              f"{b}.block_sparse_moe.gate.weight": _r(rng, NE, E)}
+        for e in range(NE):
+            eb = f"{b}.block_sparse_moe.experts.{e}"
+            t |= {f"{eb}.w1.weight": _r(rng, FF, E),
+                  f"{eb}.w3.weight": _r(rng, FF, E),
+                  f"{eb}.w2.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["ArcticForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "num_local_experts": NE, "num_experts_per_tok": 2,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "arctic", cfg, t)
+
+
+def test_convert_jais_synthetic(tmp_path):
+    rng = np.random.default_rng(12)
+    E, H, L, FF, V = 64, 4, 2, 96, 256
+    # Conv1D order (in, out) on disk, transposed by the converter
+    t = {"transformer.wte.weight": _r(rng, V, E),
+         "transformer.ln_f.weight": np.ones(E),
+         "transformer.ln_f.bias": np.zeros(E),
+         "transformer.relative_pe.slopes": np.asarray(
+             [2.0 ** (-8.0 / H * (i + 1)) for i in range(H)], np.float32)}
+    for i in range(L):
+        b = f"transformer.h.{i}"
+        t |= {f"{b}.ln_1.weight": np.ones(E), f"{b}.ln_1.bias": np.zeros(E),
+              f"{b}.ln_2.weight": np.ones(E), f"{b}.ln_2.bias": np.zeros(E),
+              f"{b}.attn.c_attn.weight": _r(rng, E, 3 * E),
+              f"{b}.attn.c_attn.bias": _r(rng, 3 * E) * 0.02,
+              f"{b}.attn.c_proj.weight": _r(rng, E, E),
+              f"{b}.attn.c_proj.bias": _r(rng, E) * 0.02,
+              f"{b}.mlp.c_fc.weight": _r(rng, E, FF),
+              f"{b}.mlp.c_fc.bias": _r(rng, FF) * 0.02,
+              f"{b}.mlp.c_fc2.weight": _r(rng, E, FF),
+              f"{b}.mlp.c_fc2.bias": _r(rng, FF) * 0.02,
+              f"{b}.mlp.c_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.c_proj.bias": _r(rng, E) * 0.02}
+    cfg = {"architectures": ["JAISLMHeadModel"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "intermediate_size": FF,
+           "layer_norm_epsilon": 1e-5, "mup_embeddings_scale": 1.5,
+           "mup_output_alpha": 1.2, "mup_width_scale": 0.5,
+           "max_position_embeddings": 128}
+    logits = _run_synth(tmp_path, "jais", cfg, t)
+    # mup scales must have been folded (logits sensitive to width_scale)
+    assert np.abs(logits).max() > 0
+
+
+def test_convert_nomic_bert_synthetic(tmp_path):
+    rng = np.random.default_rng(13)
+    E, H, L, FF, V = 64, 4, 2, 96, 256
+    t = {"embeddings.word_embeddings.weight": _r(rng, V, E),
+         "embeddings.token_type_embeddings.weight": _r(rng, 2, E),
+         "emb_ln.weight": np.ones(E), "emb_ln.bias": np.zeros(E)}
+    for i in range(L):
+        b = f"encoder.layers.{i}"
+        t |= {f"{b}.attn.Wqkv.weight": _r(rng, 3 * E, E),
+              f"{b}.attn.out_proj.weight": _r(rng, E, E),
+              f"{b}.norm1.weight": np.ones(E), f"{b}.norm1.bias": np.zeros(E),
+              f"{b}.mlp.fc11.weight": _r(rng, FF, E),
+              f"{b}.mlp.fc12.weight": _r(rng, FF, E),
+              f"{b}.mlp.fc2.weight": _r(rng, E, FF),
+              f"{b}.norm2.weight": np.ones(E), f"{b}.norm2.bias": np.zeros(E)}
+    cfg = {"architectures": ["NomicBertModel"], "vocab_size": V,
+           "n_layer": L, "n_embd": E, "n_head": H, "n_inner": FF,
+           "layer_norm_epsilon": 1e-12, "rotary_emb_base": 1000.0,
+           "n_positions": 128, "type_vocab_size": 2}
+    from safetensors.numpy import save_file
+    d = tmp_path / "nomic"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(cfg))
+    save_file({k: np.ascontiguousarray(v, dtype=np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    out = tmp_path / "nomic.gguf"
+    convert(d, out, outtype="f32")
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    e = rt.embed([3, 5, 7, 9], "mean")
+    assert np.all(np.isfinite(e))
+
+
+def test_convert_jina_bert_synthetic(tmp_path):
+    rng = np.random.default_rng(14)
+    E, H, L, FF, V = 64, 4, 2, 96, 256
+    t = {"embeddings.word_embeddings.weight": _r(rng, V, E),
+         "embeddings.token_type_embeddings.weight": _r(rng, 2, E),
+         "embeddings.LayerNorm.weight": np.ones(E),
+         "embeddings.LayerNorm.bias": np.zeros(E)}
+    for i in range(L):
+        b = f"encoder.layer.{i}"
+        t |= {f"{b}.attention.self.query.weight": _r(rng, E, E),
+              f"{b}.attention.self.query.bias": np.zeros(E),
+              f"{b}.attention.self.key.weight": _r(rng, E, E),
+              f"{b}.attention.self.key.bias": np.zeros(E),
+              f"{b}.attention.self.value.weight": _r(rng, E, E),
+              f"{b}.attention.self.value.bias": np.zeros(E),
+              f"{b}.attention.self.layer_norm_q.weight": np.ones(E),
+              f"{b}.attention.self.layer_norm_q.bias": np.zeros(E),
+              f"{b}.attention.self.layer_norm_k.weight": np.ones(E),
+              f"{b}.attention.self.layer_norm_k.bias": np.zeros(E),
+              f"{b}.attention.output.dense.weight": _r(rng, E, E),
+              f"{b}.attention.output.dense.bias": np.zeros(E),
+              f"{b}.attention.output.LayerNorm.weight": np.ones(E),
+              f"{b}.attention.output.LayerNorm.bias": np.zeros(E),
+              f"{b}.mlp.gated_layers_w.weight": _r(rng, FF, E),
+              f"{b}.mlp.gated_layers_v.weight": _r(rng, FF, E),
+              f"{b}.mlp.wo.weight": _r(rng, E, FF),
+              f"{b}.mlp.wo.bias": np.zeros(E),
+              f"{b}.mlp.layernorm.weight": np.ones(E),
+              f"{b}.mlp.layernorm.bias": np.zeros(E)}
+    cfg = {"architectures": ["JinaBertModel"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "intermediate_size": FF,
+           "layer_norm_eps": 1e-12, "attn_implementation": "alibi",
+           "max_position_embeddings": 128, "type_vocab_size": 2}
+    from safetensors.numpy import save_file
+    d = tmp_path / "jina"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(cfg))
+    save_file({k: np.ascontiguousarray(v, dtype=np.float32)
+               for k, v in t.items()}, str(d / "model.safetensors"))
+    out = tmp_path / "jina.gguf"
+    convert(d, out, outtype="f32")
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    e = rt.embed([3, 5, 7, 9], "mean")
+    assert np.all(np.isfinite(e))
