@@ -547,7 +547,10 @@ def _ffn_dense(blk, h, cfg: ModelConfig, interpret=False, stats=None, il=0):
         both = blk["ffn_up"](h, interpret=interpret)
         if "ffn_up_bias" in blk:
             both = both + blk["ffn_up_bias"]
-        if both.shape[-1] == cfg.n_ff:
+        # per-layer FFN widths (openelm/deci): the no-gate test must use
+        # THIS layer's width, not the scalar n_ff
+        nf_l = cfg.n_ff_arr[il] if cfg.n_ff_arr else cfg.n_ff
+        if both.shape[-1] == nf_l:
             # no gate at all (starcoder2 GELU-SEQ, build_starcoder2.cpp:70)
             y = L.gelu(both.astype(jnp.float32)) if cfg.act == "gelu" \
                 else L.silu(both.astype(jnp.float32))

@@ -1486,6 +1486,273 @@ class JinaBertV2(ArchConverter):
               int(self.cfg.get("type_vocab_size", 2)))
 
 
+@register("BitnetForCausalLM", "BitNetForCausalLM")
+class Bitnet(ArchConverter):
+    """bitnet b1.58: projections ternarized at conversion (sign weights +
+    per-tensor absmax .scale companions, reference BitnetModel
+    weight_quant)."""
+    arch = "bitnet-25"      # transformers BitNet = 2B4T lineage (relu^2)
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+        ("model.layers.{i}.input_layernorm.weight", "blk.{i}.attn_norm.weight"),
+        ("model.layers.{i}.post_attention_layernorm.weight",
+         "blk.{i}.ffn_norm.weight"),
+        ("model.layers.{i}.self_attn.inner_attn_ln.weight",
+         "blk.{i}.attn_sub_norm.weight"),
+        ("model.layers.{i}.self_attn.attn_sub_norm.weight",
+         "blk.{i}.attn_sub_norm.weight"),
+        ("model.layers.{i}.mlp.ffn_layernorm.weight",
+         "blk.{i}.ffn_sub_norm.weight"),
+        ("model.layers.{i}.mlp.ffn_sub_norm.weight",
+         "blk.{i}.ffn_sub_norm.weight"),
+    ]
+    _TERN = {"q_proj": "attn_q", "k_proj": "attn_k", "v_proj": "attn_v",
+             "o_proj": "attn_output", "gate_proj": "ffn_gate",
+             "up_proj": "ffn_up", "down_proj": "ffn_down"}
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            for hf, gg in self._TERN.items():
+                for sub in ("self_attn", "mlp"):
+                    w = self.tensors.get(
+                        f"model.layers.{i}.{sub}.{hf}.weight")
+                    if w is None:
+                        continue
+                    a = np.asarray(w, np.float32)
+                    s = 1.0 / max(np.abs(a).mean(), 1e-5)
+                    q = np.clip(np.rint(a * s), -1, 1) / s
+                    scale = np.abs(q).max()
+                    tern = np.sign(np.where(np.abs(q) < 1e-6, 0.0, q))
+                    yield f"blk.{i}.{gg}.weight", tern.astype(np.float32)
+                    yield f"blk.{i}.{gg}.scale", \
+                        np.asarray([scale], np.float32)
+
+
+@register("OpenELMForCausalLM")
+class OpenELM(ArchConverter):
+    """openelm: per-layer head/kv/FFN width arrays, fused qkv, q/k norms,
+    proj_1 split into [gate; up] at each layer's own width (reference
+    OpenELMModel)."""
+    arch = "openelm"
+    strip_prefixes = ("transformer.",)
+    MAP = [
+        ("token_embeddings.weight", "token_embd.weight"),
+        ("norm.weight", "output_norm.weight"),
+    ] + [(f"layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("attn_norm", "attn_norm"),
+                      ("attn.qkv_proj", "attn_qkv"),
+                      ("attn.out_proj", "attn_output"),
+                      ("attn.q_norm", "attn_q_norm"),
+                      ("attn.k_norm", "attn_k_norm"),
+                      ("ffn_norm", "ffn_norm"),
+                      ("ffn.proj_2", "ffn_down"))]
+
+    @staticmethod
+    def _make_divisible(v, divisor):
+        new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        if new_v < 0.9 * v:
+            new_v += divisor
+        return new_v
+
+    def __init__(self, cfg, tensors):
+        cfg = dict(cfg)
+        cfg.setdefault("num_hidden_layers", cfg.get("num_transformer_layers"))
+        cfg.setdefault("hidden_size", cfg.get("model_dim"))
+        cfg["num_attention_heads"] = cfg["num_query_heads"][0]
+        cfg.setdefault("max_position_embeddings",
+                       cfg.get("max_context_length", 2048))
+        super().__init__(cfg, tensors)
+        self.head_dim = cfg["head_dim"]
+        self.ffn_dims = [self._make_divisible(m * self.n_embd,
+                                              cfg["ffn_dim_divisor"])
+                         for m in cfg["ffn_multipliers"]]
+
+    def metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        w.add(f"{a}.feed_forward_length",
+              np.asarray(self.ffn_dims, np.int32))
+        w.add(f"{a}.attention.head_count",
+              np.asarray(cfg["num_query_heads"], np.int32))
+        w.add(f"{a}.attention.head_count_kv",
+              np.asarray(cfg["num_kv_heads"], np.int32))
+        w.add(f"{a}.rope.freq_base",
+              float(cfg.get("rope_freq_constant", 10000.0)))
+        w.add(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+        w.add(f"{a}.rope.dimension_count", self.head_dim)
+        w.add(f"{a}.attention.key_length", self.head_dim)
+        w.add(f"{a}.attention.value_length", self.head_dim)
+        w.add(f"{a}.vocab_size", cfg["vocab_size"])
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            g = self.tensors.get(f"layers.{i}.ffn.proj_1.weight")
+            if g is not None:
+                a = np.asarray(g, np.float32)
+                ff = self.ffn_dims[i]
+                yield f"blk.{i}.ffn_gate.weight", a[:ff]
+                yield f"blk.{i}.ffn_up.weight", a[ff:]
+
+
+@register("DeciLMForCausalLM")
+class DeciLM(ArchConverter):
+    """deci / nemotron-51B: per-layer variable GQA from block_configs
+    (n_heads_in_group / replace_with_linear / ffn_mult), NORM rope
+    (reference DeciModel)."""
+    arch = "deci"
+    permute_qk = True
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.self_attn.linear_attn.weight",
+         "blk.{i}.attn_output.weight"),
+    ]
+
+    @staticmethod
+    def _ffn_size(mult, n_embd):
+        x = int(2 * mult * n_embd / 3)
+        return ((x + 255) // 256) * 256
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        bcs = cfg.get("block_configs")
+        self.kv_arr, self.head_arr, self.ffn_arr = [], [], []
+        for il in range(self.n_layer):
+            bc = bcs[il] if bcs else None
+            at = (bc or {}).get("attention", {})
+            fc = (bc or {}).get("ffn", {})
+            grp = at.get("n_heads_in_group") if bc else \
+                self.n_head // self.n_head_kv
+            if bc and grp is None:
+                self.kv_arr.append(0)
+                self.head_arr.append(self.n_head
+                                     if at.get("replace_with_linear") else 0)
+            else:
+                self.kv_arr.append(self.n_head // grp)
+                self.head_arr.append(self.n_head)
+            mult = fc.get("ffn_mult") if bc else None
+            self.ffn_arr.append(self._ffn_size(mult, self.n_embd)
+                                if mult else self.n_ff)
+
+    def fix(self, hf_name, arr):
+        # per-layer kv count for the k permute
+        if hf_name.endswith("k_proj.weight"):
+            il = int(hf_name.split(".")[2])
+            return permute_rotary(arr, self.kv_arr[il] or 1)
+        if hf_name.endswith("q_proj.weight"):
+            return permute_rotary(arr, self.n_head)
+        return arr
+
+    def metadata(self, w):
+        # per-layer arrays ride the STANDARD keys (the engine promotes
+        # head_count/head_count_kv/feed_forward_length to arrays)
+        a = self.arch
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        w.add(f"{a}.feed_forward_length",
+              np.asarray(self.ffn_arr, np.int32))
+        w.add(f"{a}.attention.head_count",
+              np.asarray(self.head_arr, np.int32))
+        w.add(f"{a}.attention.head_count_kv",
+              np.asarray(self.kv_arr, np.int32))
+        w.add(f"{a}.attention.layer_norm_rms_epsilon",
+              self.key("rms_norm_eps", default=1e-5))
+        w.add(f"{a}.rope.freq_base", float(self.key("rope_theta",
+                                                    default=10000.0)))
+        w.add(f"{a}.rope.dimension_count", int(self.head_dim))
+        w.add(f"{a}.vocab_size", self.cfg["vocab_size"])
+
+
+@register("PlamoForCausalLM")
+class Plamo(ArchConverter):
+    """plamo: parallel attn+FFN trunk at model.layers.layers.* with the
+    q / o head-interleave shuffles generalized from the reference's
+    hardcoded 13B shapes (PlamoModel.shuffle_attn_*_weight)."""
+    arch = "plamo"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"model.layers.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("norm", "attn_norm"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.k_proj", "attn_k"),
+                      ("self_attn.v_proj", "attn_v"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("mlp.gate_proj", "ffn_gate"),
+                      ("mlp.up_proj", "ffn_up"),
+                      ("mlp.down_proj", "ffn_down"))]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        # config's num_key_value_heads is unreliable in plamo-13b; the
+        # reference hardcodes 5 kv heads (n_head=40). Generalize: trust the
+        # config when it divides n_head, else fall back to n_head.
+        if self.n_head % max(self.n_head_kv, 1) or self.n_head_kv == 0:
+            self.n_head_kv = self.n_head
+
+    def fix(self, hf_name, arr):
+        kv, hd = self.n_head_kv, self.head_dim
+        rep = self.n_head // kv
+        if hf_name.endswith("q_proj.weight"):
+            a = arr.reshape(rep, kv, hd, arr.shape[-1])
+            return a.transpose(1, 0, 2, 3).reshape(arr.shape)
+        if hf_name.endswith("o_proj.weight"):
+            a = arr.reshape(arr.shape[0], rep, kv, hd)
+            return a.transpose(0, 2, 1, 3).reshape(arr.shape)
+        return arr
+
+
+@register("GrokForCausalLM", "Grok1ForCausalLM")
+class Grok(ArchConverter):
+    """grok: sandwich-normed MoE (pre/post attn + pre/post moe norms),
+    attention/router/final logit softcaps, embedding/output scales."""
+    arch = "grok"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("pre_attn_norm", "attn_norm"),
+                      ("attn.q_proj", "attn_q"),
+                      ("attn.k_proj", "attn_k"),
+                      ("attn.v_proj", "attn_v"),
+                      ("attn.o_proj", "attn_output"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.k_proj", "attn_k"),
+                      ("self_attn.v_proj", "attn_v"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("post_attn_norm", "attn_output_norm"),
+                      ("pre_moe_norm", "ffn_norm"),
+                      ("post_moe_norm", "layer_output_norm"),
+                      ("block_sparse_moe.gate", "ffn_gate_inp"))]
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.expert_count", cfg["num_local_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_feed_forward_length",
+              cfg.get("moe_intermediate_size", self.n_ff))
+        w.add(f"{a}.attn_logit_softcapping",
+              float(cfg.get("attn_logit_softcapping", 30.0)))
+        if cfg.get("embedding_multiplier_scale"):
+            w.add(f"{a}.embedding_scale",
+                  float(cfg["embedding_multiplier_scale"]))
+        if cfg.get("output_multiplier_scale"):
+            w.add(f"{a}.logit_scale", float(cfg["output_multiplier_scale"]))
+
+    def extra_rows(self):
+        ne = self.cfg["num_local_experts"]
+        for i in range(self.n_layer):
+            yield from self.stack_experts(
+                i, ne, base="model.layers.{i}.block_sparse_moe.experts",
+                projs=(("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                       ("w2", "ffn_down_exps")))
+
+
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
                        out_path, outtype: str) -> Path:
     """Generic driver for registered per-arch converters."""

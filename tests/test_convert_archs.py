@@ -902,3 +902,157 @@ def test_convert_jina_bert_synthetic(tmp_path):
     rt = Runtime.from_gguf(out)
     e = rt.embed([3, 5, 7, 9], "mean")
     assert np.all(np.isfinite(e))
+
+
+def test_convert_bitnet(tmp_path):
+    """HF BitNet (2B4T lineage): conversion ternarizes projections with
+    .scale companions; engine output finite + deterministic."""
+    d = tmp_path / "tiny-bitnet"
+    cfg = transformers.BitNetConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=128)
+    torch.manual_seed(3)
+    model = transformers.BitNetForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    out = tmp_path / "bitnet.gguf"
+    convert(d, out, outtype="f32")
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    gg = load_gguf(out)
+    assert "blk.0.attn_q.scale" in gg.tensors          # ternary companion
+    w = gg.tensors["blk.0.attn_q.weight"]
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    l1 = rt.all_position_logits([3, 5, 7, 9])
+    l2 = rt.all_position_logits([3, 5, 7, 9])
+    assert np.all(np.isfinite(l1)) and np.array_equal(l1, l2)
+
+
+def test_convert_openelm_synthetic(tmp_path):
+    rng = np.random.default_rng(15)
+    E, L, V, HD = 64, 2, 256, 16
+    qh, kvh = [4, 4], [2, 1]
+    ffm, div = [1.0, 2.0], 32
+    def mkdiv(v):
+        nv = max(div, int(v + div / 2) // div * div)
+        return nv + div if nv < 0.9 * v else nv
+    ffn = [mkdiv(m * E) for m in ffm]
+    t = {"transformer.token_embeddings.weight": _r(rng, V, E),
+         "transformer.norm.weight": np.ones(E)}
+    for i in range(L):
+        b = f"transformer.layers.{i}"
+        qkv = (qh[i] + 2 * kvh[i]) * HD
+        t |= {f"{b}.attn_norm.weight": np.ones(E),
+              f"{b}.attn.qkv_proj.weight": _r(rng, qkv, E),
+              f"{b}.attn.out_proj.weight": _r(rng, qh[i] * HD, E).T.copy(),
+              f"{b}.attn.q_norm.weight": np.ones(HD),
+              f"{b}.attn.k_norm.weight": np.ones(HD),
+              f"{b}.ffn_norm.weight": np.ones(E),
+              f"{b}.ffn.proj_1.weight": _r(rng, 2 * ffn[i], E),
+              f"{b}.ffn.proj_2.weight": _r(rng, E, ffn[i])}
+    cfg = {"architectures": ["OpenELMForCausalLM"], "vocab_size": V,
+           "num_transformer_layers": L, "model_dim": E, "head_dim": HD,
+           "num_query_heads": qh, "num_kv_heads": kvh,
+           "ffn_multipliers": ffm, "ffn_dim_divisor": div,
+           "rope_freq_constant": 10000.0, "max_context_length": 128}
+    _run_synth(tmp_path, "openelm", cfg, t)
+
+
+def test_convert_deci_synthetic(tmp_path):
+    rng = np.random.default_rng(16)
+    E, H, V = 64, 4, 256
+    bcs = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 2.0}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": True},
+         "ffn": {"ffn_mult": 2.0}},
+        {"attention": {"n_heads_in_group": 4, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+    ]
+    L = len(bcs)
+    def ffs(m):
+        x = int(2 * m * E / 3)
+        return ((x + 255) // 256) * 256
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i, bc in enumerate(bcs):
+        b = f"model.layers.{i}"
+        ff = ffs(bc["ffn"]["ffn_mult"])
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.mlp.gate_proj.weight": _r(rng, ff, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, ff, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, ff)}
+        grp = bc["attention"]["n_heads_in_group"]
+        if grp is None:
+            t[f"{b}.self_attn.linear_attn.weight"] = _r(rng, E, E)
+        else:
+            kv = H // grp
+            t |= {f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+                  f"{b}.self_attn.k_proj.weight": _r(rng, kv * 16, E),
+                  f"{b}.self_attn.v_proj.weight": _r(rng, kv * 16, E),
+                  f"{b}.self_attn.o_proj.weight": _r(rng, E, E)}
+    cfg = {"architectures": ["DeciLMForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "intermediate_size": 128,
+           "block_configs": bcs, "rms_norm_eps": 1e-5,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "deci", cfg, t)
+
+
+def test_convert_plamo_synthetic(tmp_path):
+    rng = np.random.default_rng(17)
+    E, H, L, FF, V = 64, 4, 2, 96, 256
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.layers.{i}"
+        t |= {f"{b}.norm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["PlamoForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": H,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "plamo", cfg, t)
+
+
+def test_convert_grok_synthetic(tmp_path):
+    rng = np.random.default_rng(18)
+    E, H, HKV, L, FF, V, NE = 64, 4, 2, 2, 96, 256, 4
+    hd = E // H
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.pre_attn_norm.weight": np.ones(E),
+              f"{b}.post_attn_norm.weight": np.ones(E),
+              f"{b}.pre_moe_norm.weight": np.ones(E),
+              f"{b}.post_moe_norm.weight": np.ones(E),
+              f"{b}.attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.block_sparse_moe.gate.weight": _r(rng, NE, E)}
+        for e in range(NE):
+            eb = f"{b}.block_sparse_moe.experts.{e}"
+            t |= {f"{eb}.w1.weight": _r(rng, FF, E),
+                  f"{eb}.w3.weight": _r(rng, FF, E),
+                  f"{eb}.w2.weight": _r(rng, E, FF)}
+    cfg = {"architectures": ["GrokForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "num_local_experts": NE, "num_experts_per_tok": 2,
+           "attn_logit_softcapping": 30.0,
+           "embedding_multiplier_scale": 1.0,
+           "output_multiplier_scale": 0.5,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "grok", cfg, t)
