@@ -1753,6 +1753,230 @@ class Grok(ArchConverter):
                        ("w2", "ffn_down_exps")))
 
 
+@register("OpenPanguV2ForCausalLM")
+class OpenPanguV2(ArchConverter):
+    """openPangu-2.0-Flash: MLA (with pre-split k_b/v_b), DSA/SWA hybrid
+    schedule, sigmoid MoE with correction bias, mHC hyper-connections and
+    MoME causal convs (reference OpenPanguV2Model; our engine fixture
+    make_tiny_openpangu_gguf defines the GGUF schema)."""
+    arch = "openpangu"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("lm_head.weight", "output.weight"),
+        ("model.merge_mhc_module.phi", "merge_mhc_phi.weight"),
+        ("model.merge_mhc_module.branch_alpha_pre", "merge_mhc_alpha"),
+        ("model.merge_mhc_module.branch_beta_pre", "merge_mhc_beta"),
+        ("model.merge_mhc_module.norm_gamma", "merge_mhc_gamma"),
+    ] + [(f"model.layers.{{i}}.{h}", f"blk.{{i}}.{g}")
+         for h, g in (
+             ("input_layernorm.weight", "attn_norm.weight"),
+             ("post_attention_layernorm.weight",
+              "post_attention_norm.weight"),
+             ("pre_mlp_layernorm.weight", "ffn_norm.weight"),
+             ("post_mlp_layernorm.weight", "post_ffw_norm.weight"),
+             ("block_post_layernorm.weight", "block_post_norm.weight"),
+             ("self_attn.q_a_proj.weight", "attn_q_a.weight"),
+             ("self_attn.q_a_layernorm.weight", "attn_q_a_norm.weight"),
+             ("self_attn.q_b_proj.weight", "attn_q_b.weight"),
+             ("self_attn.kv_a_proj_with_mqa.weight", "attn_kv_a_mqa.weight"),
+             ("self_attn.kv_a_layernorm.weight", "attn_kv_a_norm.weight"),
+             ("self_attn.o_proj.weight", "attn_output.weight"),
+             ("self_attn.qa_conv.weight", "attn_qa_conv.weight"),
+             ("self_attn.compresskv_conv.weight",
+              "attn_compresskv_conv.weight"),
+             ("self_attn.o_conv.weight", "attn_o_conv.weight"),
+             ("self_attn.param_sink_compressed_kv", "attn_param_sink_kv"),
+             ("self_attn.param_sink_k_pe", "attn_param_sink_k_pe"),
+             ("self_attn.indexer.k_norm.weight", "attn_indexer_k_norm.weight"),
+             ("self_attn.indexer.weights_proj.weight",
+              "attn_indexer_weights_proj.weight"),
+             ("self_attn.indexer.wk.weight", "attn_indexer_k.weight"),
+             ("self_attn.indexer.wq_b.weight", "attn_indexer_q_b.weight"),
+             ("mlp.gate_proj.weight", "ffn_gate.weight"),
+             ("mlp.up_proj.weight", "ffn_up.weight"),
+             ("mlp.down_proj.weight", "ffn_down.weight"),
+             ("mlp.gate.weight", "ffn_gate_inp.weight"),
+             ("mlp.shared_experts.gate_proj.weight", "ffn_gate_shexp.weight"),
+             ("mlp.shared_experts.up_proj.weight", "ffn_up_shexp.weight"),
+             ("mlp.shared_experts.down_proj.weight", "ffn_down_shexp.weight"),
+             ("attn_mhc_module.phi", "attn_mhc_phi.weight"),
+             ("attn_mhc_module.branch_alpha", "attn_mhc_alpha"),
+             ("attn_mhc_module.branch_beta", "attn_mhc_beta"),
+             ("attn_mhc_module.norm_gamma", "attn_mhc_gamma"),
+             ("mlp_mhc_module.phi", "mlp_mhc_phi.weight"),
+             ("mlp_mhc_module.branch_alpha", "mlp_mhc_alpha"),
+             ("mlp_mhc_module.branch_beta", "mlp_mhc_beta"),
+             ("mlp_mhc_module.norm_gamma", "mlp_mhc_gamma"))]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        # NextN/MTP layers are REAL blocks in this layout
+        self.n_layer += int(cfg.get("num_nextn_predict_layers", 0) or 0)
+        self.head_dim = cfg["qk_nope_head_dim"] + cfg["qk_rope_head_dim"]
+
+    def rope_dim(self):
+        return self.cfg["qk_rope_head_dim"]
+
+    def metadata(self, w):
+        super().metadata(w)
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.attention.key_length", self.head_dim)
+        w.add(f"{a}.attention.value_length", cfg["v_head_dim"])
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.attention.q_lora_rank", cfg["q_lora_rank"])
+        w.add(f"{a}.attention.kv_lora_rank", cfg["kv_lora_rank"])
+        w.add(f"{a}.leading_dense_block_count",
+              cfg.get("first_k_dense_replace", 0))
+        w.add(f"{a}.expert_count", cfg["n_routed_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_shared_count", cfg.get("n_shared_experts", 0))
+        w.add(f"{a}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+        w.add(f"{a}.expert_weights_scale",
+              float(cfg.get("routed_scaling_factor", 1.0)))
+        w.add(f"{a}.expert_weights_norm",
+              bool(cfg.get("norm_topk_prob", False)))
+        w.add(f"{a}.expert_gating_func", 2)
+        if cfg.get("num_nextn_predict_layers"):
+            w.add(f"{a}.nextn_predict_layers",
+                  int(cfg["num_nextn_predict_layers"]))
+        w.add(f"{a}.attention.indexer.head_count", cfg["index_n_heads"])
+        w.add(f"{a}.attention.indexer.key_length", cfg["index_head_dim"])
+        w.add(f"{a}.attention.indexer.top_k", cfg["index_topk"])
+        w.add(f"{a}.mhc_num_stream", cfg["mhc_num_stream"])
+        w.add(f"{a}.mhc_recur_norm", cfg["mhc_recur_norm"])
+        w.add(f"{a}.param_sink_number", cfg["param_sink_number"])
+        if cfg.get("sliding_window") is not None:
+            w.add(f"{a}.attention.sliding_window", cfg["sliding_window"])
+        if cfg.get("swa_layers") is not None:
+            w.add(f"{a}.swa_layers",
+                  np.asarray(cfg["swa_layers"], np.int32))
+        if cfg.get("sliding_window_list") is not None:
+            w.add(f"{a}.sliding_window_list",
+                  np.asarray(cfg["sliding_window_list"], np.int32))
+
+    def extra_rows(self):
+        cfg = self.cfg
+        h = self.n_head
+        d_nope, d_v = cfg["qk_nope_head_dim"], cfg["v_head_dim"]
+        for i in range(self.n_layer):
+            kv_b = self.tensors.get(
+                f"model.layers.{i}.self_attn.kv_b_proj.weight")
+            if kv_b is not None:
+                a = np.asarray(kv_b, np.float32)
+                lora = a.shape[-1]
+                kvb = a.reshape(h, d_nope + d_v, lora)
+                k_b = kvb[:, :d_nope].transpose(0, 2, 1).reshape(
+                    h * lora, d_nope)
+                v_b = kvb[:, d_nope:].reshape(h * d_v, lora)
+                yield f"blk.{i}.attn_k_b.weight", k_b
+                yield f"blk.{i}.attn_v_b.weight", v_b
+            b = self.tensors.get(
+                f"model.layers.{i}.mlp.e_score_correction_bias")
+            if b is None:
+                b = self.tensors.get(
+                    f"model.layers.{i}.mlp.e_score_correction.bias")
+            if b is not None:
+                yield f"blk.{i}.exp_probs_b.bias", \
+                    np.asarray(b, np.float32).reshape(-1)
+            yield from self.stack_experts(
+                i, cfg["n_routed_experts"])
+
+
+@register("LagunaForCausalLM")
+class Laguna(ArchConverter):
+    """laguna (poolside): step35-style body with SOFTPLUS attention gates
+    (g_proj squeezed), per-layer head counts, split full/SWA rope params,
+    sigmoid MoE with shared expert and correction bias (reference
+    LagunaModel)."""
+    arch = "laguna"
+    MAP = _LLAMA_STYLE + [
+        ("model.layers.{i}.self_attn.g_proj.weight", "blk.{i}.attn_gate.weight"),
+        ("model.layers.{i}.mlp.gate.weight", "blk.{i}.ffn_gate_inp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.gate_proj.weight",
+         "blk.{i}.ffn_gate_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.up_proj.weight",
+         "blk.{i}.ffn_up_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_experts.down_proj.weight",
+         "blk.{i}.ffn_down_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_expert.gate_proj.weight",
+         "blk.{i}.ffn_gate_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_expert.up_proj.weight",
+         "blk.{i}.ffn_up_shexp.weight"),
+        ("model.layers.{i}.mlp.shared_expert.down_proj.weight",
+         "blk.{i}.ffn_down_shexp.weight"),
+    ]
+
+    def fix(self, hf_name, arr):
+        if hf_name.endswith(".g_proj.weight"):
+            return np.squeeze(arr)
+        return arr
+
+    def metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        hd = self.head_dim
+        rp = cfg.get("rope_parameters", {}) or {}
+        full = rp.get("full_attention", rp)
+        swa = rp.get("sliding_attention", {}) or {}
+        prf = float(cfg.get("partial_rotary_factor", 1.0))
+        prf_full = float(full.get("partial_rotary_factor", prf))
+        prf_swa = float(swa.get("partial_rotary_factor", 1.0))
+        heads = cfg.get("num_attention_heads_per_layer")             or [self.n_head] * self.n_layer
+        kvs = cfg.get("num_key_value_heads_per_layer")             or [self.n_head_kv] * self.n_layer
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        w.add(f"{a}.feed_forward_length", self.n_ff)
+        w.add(f"{a}.attention.head_count", np.asarray(heads, np.int32)
+              if len(set(heads)) > 1 else heads[0])
+        w.add(f"{a}.attention.head_count_kv", np.asarray(kvs, np.int32)
+              if len(set(kvs)) > 1 else kvs[0])
+        w.add(f"{a}.attention.key_length", hd)
+        w.add(f"{a}.attention.value_length", hd)
+        w.add(f"{a}.attention.layer_norm_rms_epsilon",
+              self.key("rms_norm_eps", default=1e-5))
+        w.add(f"{a}.attention.sliding_window", cfg.get("sliding_window", 0))
+        if cfg.get("layer_types"):
+            w.add(f"{a}.attention.sliding_window_pattern",
+                  np.asarray([1 if t == "sliding_attention" else 0
+                              for t in cfg["layer_types"]], np.int32))
+        w.add(f"{a}.rope.dimension_count", int(hd * prf_full))
+        w.add(f"{a}.rope.dimension_count_swa", int(hd * prf_swa))
+        w.add(f"{a}.rope.freq_base", float(full.get("rope_theta", 500000.0)))
+        w.add(f"{a}.rope.freq_base_swa", float(swa.get("rope_theta",
+                                                       10000.0)))
+        w.add(f"{a}.expert_count", cfg["num_experts"])
+        w.add(f"{a}.expert_used_count", cfg.get("num_experts_per_tok", 2))
+        w.add(f"{a}.expert_feed_forward_length", cfg["moe_intermediate_size"])
+        sh = cfg.get("shared_expert_intermediate_size")
+        if sh:
+            w.add(f"{a}.expert_shared_feed_forward_length", int(sh))
+        if cfg.get("moe_routed_scaling_factor") is not None:
+            w.add(f"{a}.expert_weights_scale",
+                  float(cfg["moe_routed_scaling_factor"]))
+        w.add(f"{a}.expert_weights_norm", True)
+        w.add(f"{a}.expert_gating_func", 2)
+        lead = 0
+        for t in cfg.get("mlp_layer_types", []):
+            if t != "dense":
+                break
+            lead += 1
+        w.add(f"{a}.leading_dense_block_count", lead)
+        w.add(f"{a}.vocab_size", cfg["vocab_size"])
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            for nm in ("e_score_correction_bias", "e_score_correction"):
+                b = self.tensors.get(f"model.layers.{i}.mlp.experts.{nm}")
+                if b is not None:
+                    yield f"blk.{i}.exp_probs_b.bias", \
+                        np.asarray(b, np.float32).reshape(-1)
+                    break
+            yield from self.stack_experts(i, self.cfg["num_experts"])
+
+
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
                        out_path, outtype: str) -> Path:
     """Generic driver for registered per-arch converters."""

@@ -1056,3 +1056,144 @@ def test_convert_grok_synthetic(tmp_path):
            "output_multiplier_scale": 0.5,
            "max_position_embeddings": 128}
     _run_synth(tmp_path, "grok", cfg, t)
+
+
+def test_convert_openpangu_synthetic(tmp_path):
+    """OpenPanguV2: MLA split, mHC, MoME convs, sinks, DSA schedule."""
+    rng = np.random.default_rng(19)
+    E, H, L, V = 64, 4, 3, 256
+    d_nope, d_rope, d_v, q_lora, kv_lora = 32, 16, 32, 24, 32
+    NE, FF, FFE, lead = 4, 96, 48, 1
+    mhc_s, n_sink = 4, 32
+    idx_h, idx_d = 4, 32
+    dk = d_nope + d_rope
+    SH = mhc_s * E
+    phi_out = (mhc_s + 2) * mhc_s
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E),
+         "model.merge_mhc_module.phi": _r(rng, mhc_s, SH),
+         "model.merge_mhc_module.branch_alpha_pre": np.ones(1),
+         "model.merge_mhc_module.branch_beta_pre": _r(rng, mhc_s) * 0.1,
+         "model.merge_mhc_module.norm_gamma": np.ones(SH)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.pre_mlp_layernorm.weight": np.ones(E),
+              f"{b}.post_mlp_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_a_proj.weight": _r(rng, q_lora, E),
+              f"{b}.self_attn.q_a_layernorm.weight": np.ones(q_lora),
+              f"{b}.self_attn.q_b_proj.weight": _r(rng, H * dk, q_lora),
+              f"{b}.self_attn.kv_a_proj_with_mqa.weight":
+                  _r(rng, kv_lora + d_rope, E),
+              f"{b}.self_attn.kv_a_layernorm.weight": np.ones(kv_lora),
+              f"{b}.self_attn.kv_b_proj.weight":
+                  _r(rng, H * (d_nope + d_v), kv_lora),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, H * d_v),
+              f"{b}.self_attn.qa_conv.weight": _r(rng, q_lora, 3) * 0.1,
+              f"{b}.self_attn.compresskv_conv.weight":
+                  _r(rng, kv_lora, 3) * 0.1,
+              f"{b}.self_attn.o_conv.weight": _r(rng, H * d_v, 3) * 0.1,
+              f"{b}.self_attn.param_sink_compressed_kv":
+                  _r(rng, n_sink, kv_lora),
+              f"{b}.self_attn.param_sink_k_pe": _r(rng, n_sink, d_rope)}
+        if i == 1:   # DSA layer
+            t |= {f"{b}.self_attn.indexer.wq_b.weight":
+                      _r(rng, idx_h * idx_d, q_lora),
+                  f"{b}.self_attn.indexer.wk.weight": _r(rng, idx_d, E),
+                  f"{b}.self_attn.indexer.k_norm.weight": np.ones(idx_d),
+                  f"{b}.self_attn.indexer.weights_proj.weight":
+                      _r(rng, idx_h, E)}
+        for pre in ("attn_mhc_module", "mlp_mhc_module"):
+            t |= {f"{b}.{pre}.phi": _r(rng, phi_out, SH),
+                  f"{b}.{pre}.branch_alpha": np.ones(3),
+                  f"{b}.{pre}.branch_beta":
+                      _r(rng, 2 * mhc_s + mhc_s * mhc_s) * 0.1,
+                  f"{b}.{pre}.norm_gamma": np.ones(SH)}
+        if i == 2:
+            t[f"{b}.block_post_layernorm.weight"] = np.ones(SH)
+        if i < lead:
+            t |= {f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+        else:
+            t |= {f"{b}.mlp.gate.weight": _r(rng, NE, E),
+                  f"{b}.mlp.e_score_correction_bias": _r(rng, NE) * 0.1,
+                  f"{b}.mlp.shared_experts.gate_proj.weight": _r(rng, FFE, E),
+                  f"{b}.mlp.shared_experts.up_proj.weight": _r(rng, FFE, E),
+                  f"{b}.mlp.shared_experts.down_proj.weight": _r(rng, E, FFE)}
+            for e in range(NE):
+                eb = f"{b}.mlp.experts.{e}"
+                t |= {f"{eb}.gate_proj.weight": _r(rng, FFE, E),
+                      f"{eb}.up_proj.weight": _r(rng, FFE, E),
+                      f"{eb}.down_proj.weight": _r(rng, E, FFE)}
+    cfg = {"architectures": ["OpenPanguV2ForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": H,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "qk_nope_head_dim": d_nope, "qk_rope_head_dim": d_rope,
+           "v_head_dim": d_v, "q_lora_rank": q_lora,
+           "kv_lora_rank": kv_lora, "first_k_dense_replace": lead,
+           "n_routed_experts": NE, "num_experts_per_tok": 2,
+           "n_shared_experts": 1, "moe_intermediate_size": FFE,
+           "routed_scaling_factor": 1.5, "norm_topk_prob": True,
+           "index_n_heads": idx_h, "index_head_dim": idx_d,
+           "index_topk": 6, "mhc_num_stream": mhc_s,
+           "mhc_recur_norm": 20, "param_sink_number": n_sink,
+           "sliding_window": 8, "swa_layers": [0, 2],
+           "sliding_window_list": [8, 8], "rope_theta": 10000.0,
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "openpangu", cfg, t)
+
+
+def test_convert_laguna_synthetic(tmp_path):
+    rng = np.random.default_rng(20)
+    E, H, HKV, L, FF, FFE, SHE, V, NE = 64, 4, 2, 3, 96, 48, 32, 256, 4
+    hd = E // H
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        gate_w = H if i % 2 == 0 else E
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, E),
+              f"{b}.self_attn.q_norm.weight": np.ones(hd),
+              f"{b}.self_attn.k_norm.weight": np.ones(hd),
+              f"{b}.self_attn.g_proj.weight":
+                  _r(rng, gate_w, 1, E).reshape(gate_w, 1, E)}
+        if i == 0:
+            t |= {f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+                  f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+        else:
+            t |= {f"{b}.mlp.gate.weight": _r(rng, NE, E),
+                  f"{b}.mlp.experts.e_score_correction_bias": _r(rng, NE) * 0.1,
+                  f"{b}.mlp.shared_experts.gate_proj.weight": _r(rng, SHE, E),
+                  f"{b}.mlp.shared_experts.up_proj.weight": _r(rng, SHE, E),
+                  f"{b}.mlp.shared_experts.down_proj.weight": _r(rng, E, SHE)}
+            for e in range(NE):
+                eb = f"{b}.mlp.experts.{e}"
+                t |= {f"{eb}.gate_proj.weight": _r(rng, FFE, E),
+                      f"{eb}.up_proj.weight": _r(rng, FFE, E),
+                      f"{eb}.down_proj.weight": _r(rng, E, FFE)}
+    cfg = {"architectures": ["LagunaForCausalLM"], "vocab_size": V,
+           "num_hidden_layers": L, "hidden_size": E,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "num_experts": NE, "num_experts_per_tok": 2,
+           "moe_intermediate_size": FFE,
+           "shared_expert_intermediate_size": SHE,
+           "mlp_layer_types": ["dense", "moe", "moe"],
+           "layer_types": ["full_attention", "sliding_attention",
+                           "full_attention"],
+           "sliding_window": 32,
+           "rope_parameters": {
+               "full_attention": {"rope_theta": 10000.0,
+                                  "partial_rotary_factor": 0.5},
+               "sliding_attention": {"rope_theta": 50000.0}},
+           "max_position_embeddings": 128}
+    _run_synth(tmp_path, "laguna", cfg, t)
