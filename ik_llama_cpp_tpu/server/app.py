@@ -679,6 +679,9 @@ def main(argv=None):
     ap.add_argument("--ctx-size", type=int, default=2048)
     ap.add_argument("--swa-compress", action="store_true",
                     help="ring caches on sliding-window layers")
+    ap.add_argument("--i8-mxu", action="store_true",
+                    help="int8 x int8 MXU matmuls (Q8_K-activation "
+                         "analogue)")
     ap.add_argument("--cache-ram", "-cram", type=int, default=0,
                     help="RAM prompt-cache tier in MiB for evicted slot "
                          "states (0 = off, -1 = unlimited); the reference's "
@@ -715,6 +718,9 @@ def main(argv=None):
             args.tensor_parallel = jax.device_count() // max(
                 1, args.expert_parallel)
 
+    if args.i8_mxu:
+        from ..models.weights import set_i8_mxu
+        set_i8_mxu(True)
     # per-projection LoRA requires unfused q/k/v linears
     rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
                            fuse=not args.lora,

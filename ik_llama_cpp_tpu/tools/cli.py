@@ -31,12 +31,19 @@ def main(argv=None):
     ap.add_argument("--swa-compress", action="store_true",
                     help="ring caches on sliding-window layers "
                          "(llama.cpp --swa-compress)")
+    ap.add_argument("--i8-mxu", action="store_true",
+                    help="int8 x int8 MXU matmuls with on-the-fly "
+                         "activation quantization (Q8_K-activation "
+                         "analogue; supergroup-requantized weights)")
     ap.add_argument("--prompt-cache", help="session file: restore the KV state "
                     "if it exists, save it after generation (main.cpp "
                     "--prompt-cache parity)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
+    if args.i8_mxu:
+        from ..models.weights import set_i8_mxu
+        set_i8_mxu(True)
     rt = Runtime.from_gguf(args.model, kv_quant=args.cache_type == "q8",
                            swa_compress=args.swa_compress)
     print(f"model loaded in {time.time() - t0:.1f}s "
