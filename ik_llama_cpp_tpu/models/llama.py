@@ -23,7 +23,8 @@ from ..ops.moe import ExpertWeights, QuantExpertWeights, moe_ffn
 from ..ops.flash_attention import (flash_attention, flash_attention_q8,
                                    flash_attention_decode,
                                    flash_attention_decode_q8)
-from ..ops.kv_quant import dequantize_kv, quantize_kv_rows
+from ..ops.kv_quant import (dequantize_kv, quantize_kv_rows,
+                             dequantize_kv_q4, quantize_kv_rows_q4)
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
 from .weights import (DenseLinear, QLinear, dequant_tensor, fuse_linears,
@@ -50,8 +51,18 @@ class KVCache:
 
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, capacity: int,
-               dtype=jnp.bfloat16, quant: bool = False):
+               dtype=jnp.bfloat16, quant: "bool | str" = False):
+        """quant: False (bf16), True/'q8' (int8 per-row), 'q4' (packed
+        4-bit per-row — the -ctk/-ctv q4_0 analogue, half the KV memory
+        of q8)."""
         shape = (cfg.n_layer, batch, capacity, cfg.n_head_kv, cfg.head_dim)
+        if quant == "q4":
+            qshape = shape[:-1] + (cfg.head_dim // 2,)
+            sshape = shape[:-1]
+            return cls(jnp.zeros(qshape, jnp.uint8),
+                       jnp.zeros(qshape, jnp.uint8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
         if quant:
             sshape = shape[:-1]
             return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
@@ -664,9 +675,11 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         wr = jax.vmap(lambda c, new, ix: c.at[ix].set(new, mode="drop"))
         kv_k = wr(kv_k, k.astype(kv_k.dtype), ridx)
         kv_v = wr(kv_v, v.astype(kv_v.dtype), ridx)
-    elif quant:  # quantize-on-write (-ctk/-ctv q8 analogue)
-        kq, ks = quantize_kv_rows(k)
-        vq, vs = quantize_kv_rows(v)
+    elif quant:  # quantize-on-write (-ctk/-ctv q8 / q4 analogue)
+        _enc = (quantize_kv_rows_q4 if kv_k.dtype == jnp.uint8
+                else quantize_kv_rows)
+        kq, ks = _enc(k)
+        vq, vs = _enc(v)
         kv_k = upd(kv_k, kq, npv)
         kv_v = upd(kv_v, vq, npv)
         kv_ks = upd_s(kv_ks, ks, npv)
@@ -687,6 +700,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_vs_a = kv_vs if (kv_vs is None or kv_vs.shape[2] == hkv) else kv_vs[:, :, :hkv]
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
+    is_q4 = quant and kv_k_a.dtype == jnp.uint8
+    _deq = dequantize_kv_q4 if is_q4 else dequantize_kv
     # decode / spec-verify shapes: the native-layout kernel reads the cache
     # without per-step transpose copies, fetches each KV tile once for all q
     # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
@@ -706,7 +721,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       attn_chunk=attn_chunk, key_positions=key_pos)
     if attn is not None:
         pass
-    elif t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas():
+    elif t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas() \
+            and not is_q4:
         dec = (flash_attention_decode_q8 if quant else flash_attention_decode)
         kv_args = ((kv_k_a, kv_ks_a, kv_v_a, kv_vs_a) if quant
                    else (kv_k_a, kv_v_a))
@@ -718,8 +734,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     elif cfg.alibi_max_bias > 0:
         # ALiBi models (bloom/mpt/jais/refact/baichuan-13b): XLA attend path
         # with per-head position-bias slopes
-        attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
-                      kv_v_a if not quant else dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
+        attn = attend(qb, kv_k_a if not quant else _deq(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      kv_v_a if not quant else _deq(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       alibi=alibi_slopes(h, cfg.alibi_max_bias))
@@ -727,7 +743,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
                                attn_chunk=attn_chunk, sinks=sinks)
-    elif sinks is not None and _use_pallas():
+    elif sinks is not None and _use_pallas() and not is_q4:
         # quantized-KV + sinks: fused q8 FA kernel (the reference FA handles
         # sinks together with quantized caches, iqk_flash_attn.cpp:121-149)
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv,
@@ -736,18 +752,18 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                                   sinks=sinks)
     elif sinks is not None:
         # sinks without Pallas: XLA attend path (dequantize first if needed)
-        attn = attend(qb, kv_k_a if not quant else dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
-                      kv_v_a if not quant else dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
+        attn = attend(qb, kv_k_a if not quant else _deq(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      kv_v_a if not quant else _deq(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       sinks=sinks)
-    elif quant and _use_pallas():
+    elif quant and _use_pallas() and not is_q4:
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
                                   swa_window=swa_window, attn_chunk=attn_chunk)
     elif quant:
-        attn = attend(qb, dequantize_kv(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
-                      dequantize_kv(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
+        attn = attend(qb, _deq(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      _deq(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       attn_chunk=attn_chunk)

@@ -153,7 +153,7 @@ class Runtime:
     tokenizer: Tokenizer
     params: Any
     interpret: bool = False
-    kv_quant: bool = False  # int8 KV cache (-ctk/-ctv q8 analogue)
+    kv_quant: "bool | str" = False  # KV codec: False | True/'q8' | 'q4' 
     swa_compress: bool = False  # ring caches on SWA layers (--swa-compress)
     mesh: Any = None        # jax Mesh for tensor/expert-parallel serving
 

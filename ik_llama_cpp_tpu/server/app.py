@@ -686,7 +686,8 @@ def main(argv=None):
                     help="RAM prompt-cache tier in MiB for evicted slot "
                          "states (0 = off, -1 = unlimited); the reference's "
                          "--cache-ram similarity-matched restore")
-    ap.add_argument("--cache-type", choices=["bf16", "q8"], default="bf16",
+    ap.add_argument("--cache-type", choices=["bf16", "q8", "q4"],
+                    default="bf16",
                     help="KV cache type (-ctk/-ctv analogue)")
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
@@ -722,7 +723,9 @@ def main(argv=None):
         from ..models.weights import set_i8_mxu
         set_i8_mxu(True)
     # per-projection LoRA requires unfused q/k/v linears
-    rt = Runtime.from_gguf(args.gguf, kv_quant=args.cache_type == "q8",
+    rt = Runtime.from_gguf(
+        args.gguf,
+        kv_quant=False if args.cache_type == "bf16" else args.cache_type,
                            fuse=not args.lora,
                            swa_compress=args.swa_compress,
                            tensor_parallel=args.tensor_parallel,

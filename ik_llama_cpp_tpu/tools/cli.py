@@ -27,7 +27,8 @@ def main(argv=None):
     ap.add_argument("--repeat-penalty", type=float, default=1.0)
     ap.add_argument("-s", "--seed", type=int, default=-1)
     ap.add_argument("-i", "--interactive", action="store_true")
-    ap.add_argument("-ctk", "--cache-type", choices=["bf16", "q8"], default="bf16")
+    ap.add_argument("-ctk", "--cache-type", choices=["bf16", "q8", "q4"],
+                    default="bf16")
     ap.add_argument("--swa-compress", action="store_true",
                     help="ring caches on sliding-window layers "
                          "(llama.cpp --swa-compress)")
@@ -44,7 +45,8 @@ def main(argv=None):
     if args.i8_mxu:
         from ..models.weights import set_i8_mxu
         set_i8_mxu(True)
-    rt = Runtime.from_gguf(args.model, kv_quant=args.cache_type == "q8",
+    kvq = False if args.cache_type == "bf16" else args.cache_type
+    rt = Runtime.from_gguf(args.model, kv_quant=kvq,
                            swa_compress=args.swa_compress)
     print(f"model loaded in {time.time() - t0:.1f}s "
           f"(arch={rt.cfg.arch}, n_layer={rt.cfg.n_layer}, "

@@ -233,3 +233,41 @@ def test_fa_decode_unsupported_returns_none():
     q, k, v = make(1, 1, 128, 4, 2, 80, seed=1)
     assert flash_attention_decode(q, k, v, 0, 10, scale=0.1,
                                   interpret=True) is None
+
+
+def test_kv_q4_codec_roundtrip():
+    from ik_llama_cpp_tpu.ops.kv_quant import (quantize_kv_rows_q4,
+                                               dequantize_kv_q4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 3, 64)), jnp.float32)
+    q, s = quantize_kv_rows_q4(x)
+    assert q.shape == (2, 5, 3, 32) and q.dtype == jnp.uint8
+    back = dequantize_kv_q4(q, s)
+    # 4-bit absmax codec: error bounded by scale/2 per element
+    err = np.abs(np.asarray(back - x))
+    bound = np.asarray(s)[..., None] / 2 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_q4_kv_cache_end_to_end():
+    """-ctk/-ctv q4: packed 4-bit KV cache tracks the bf16 engine."""
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    p = make_tiny_llama_gguf("/tmp/kvq4_tiny.gguf", seed=7, n_embd=128,
+                             n_head=4, n_head_kv=2, n_ff=256)
+    rt_f = Runtime.from_gguf(p)
+    rt_q = Runtime.from_gguf(p, kv_quant="q4")
+    kv = rt_q.new_cache(1, 64)
+    assert kv.k.dtype == jnp.uint8 and kv.k.shape[-1] == 16
+    ids = list(range(10, 34))
+    lf = rt_f.all_position_logits(ids)
+    lq = rt_q.all_position_logits(ids)
+    assert np.all(np.isfinite(lq))
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree > 0.7, f"argmax agreement {agree:.2%}"
+    # logit structure preserved despite 4-bit loss
+    c = np.corrcoef(lf.ravel(), np.asarray(lq).ravel())[0, 1]
+    assert c > 0.97, f"logit correlation {c:.4f}"
+    # memory: codes half of q8
+    kv8 = rt_f.new_cache(1, 64)
+    assert kv.k.size * 2 == kv8.k.size
