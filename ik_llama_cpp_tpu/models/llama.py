@@ -721,8 +721,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       attn_chunk=attn_chunk, key_positions=key_pos)
     if attn is not None:
         pass
-    elif t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas() \
-            and not is_q4:
+    elif t <= 16 and cfg.alibi_max_bias <= 0 and _use_pallas():
         dec = (flash_attention_decode_q8 if quant else flash_attention_decode)
         kv_args = ((kv_k_a, kv_ks_a, kv_v_a, kv_vs_a) if quant
                    else (kv_k_a, kv_v_a))

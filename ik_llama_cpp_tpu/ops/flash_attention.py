@@ -410,7 +410,7 @@ def _pow2_tile(s: int, cap: int = 1024, floor: int = 128) -> int:
 
 def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
                    hkv, g, rows, rows_pad, d, dv, has_sinks=False,
-                   quant=False, attn_chunk=0):
+                   quant="none", attn_chunk=0, dh=0):
     """TG/spec-verify attention kernel reading (S, Hkv, D) cache tiles.
 
     One DMA per KV tile serves every q head: the GQA groups are packed into
@@ -420,7 +420,7 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
     (B, S/ts) instead of (B*H, ..) — the analogue of the reference's TG fattn
     path (iqk_flash_attn.cpp) which also walks the cache once per kv head.
     """
-    if quant:
+    if quant != "none":
         if has_sinks:
             (sinkrow_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
              acc_ref, m_ref, l_ref) = rest
@@ -475,10 +475,24 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
         # per-head scores: K tile is (ts, hkv, D); unrolled over kv heads
         parts = []
         for hh in range(hkv):
-            kh = k_ref[0, :, hh, :].astype(jnp.float32)   # (ts, D)
-            if quant:
-                kh = kh * ks_ref[0, :, hh][:, None]
             qh = q[hh * g:(hh + 1) * g] if hkv > 1 else q
+            if quant == "q4":
+                # packed nibbles: low = dims [0, dh), high = [dh, 2*dh)
+                pk = k_ref[0, :, hh, :].astype(jnp.int32)
+                sc = ks_ref[0, :, hh][:, None]
+                lo = ((pk & 0x0F) - 8).astype(jnp.float32) * sc
+                hi = ((pk >> 4) - 8).astype(jnp.float32) * sc
+                parts.append(
+                    jax.lax.dot_general(qh[:, :dh], lo,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(qh[:, dh:2 * dh], hi,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32))
+                continue
+            kh = k_ref[0, :, hh, :].astype(jnp.float32)   # (ts, D)
+            if quant == "q8":
+                kh = kh * ks_ref[0, :, hh][:, None]
             parts.append(jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))      # (g, ts)
@@ -497,11 +511,24 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
         l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + p.sum(axis=1, keepdims=True)
         outs = []
         for hh in range(hkv):
-            vh = v_ref[0, :, hh, :].astype(jnp.float32)
-            if quant:
-                vh = vh * vs_ref[0, :, hh][:, None]
             ph = p[hh * g:(hh + 1) * g] if hkv > 1 else p[:rows_pad]
-            if quant:
+            if quant == "q4":
+                pv = v_ref[0, :, hh, :].astype(jnp.int32)
+                sv = vs_ref[0, :, hh][:, None]
+                vlo = ((pv & 0x0F) - 8).astype(jnp.float32) * sv
+                vhi = ((pv >> 4) - 8).astype(jnp.float32) * sv
+                pb = ph.astype(jnp.bfloat16)
+                outs.append(jnp.concatenate(
+                    [jax.lax.dot(pb, vlo.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32),
+                     jax.lax.dot(pb, vhi.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)],
+                    axis=1))
+                continue
+            vh = v_ref[0, :, hh, :].astype(jnp.float32)
+            if quant == "q8":
+                vh = vh * vs_ref[0, :, hh][:, None]
+            if quant == "q8":
                 outs.append(jax.lax.dot(ph.astype(jnp.bfloat16),
                                         vh.astype(jnp.bfloat16),
                                         preferred_element_type=jnp.float32))
@@ -529,12 +556,21 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     g = (h // hkv) * t                      # q rows per kv head
     rows = h * t
     rows_pad = max(8, -(-rows // 8) * 8)
-    quant = k_s is not None
+    if k_s is None:
+        qmode = "none"
+    elif k.dtype == jnp.uint8:
+        qmode = "q4"            # packed nibbles: D stored as D/2 bytes
+        dv = 2 * dv             # v.shape[-1] is the packed width
+        if d != dv or d % 2:
+            return None
+    else:
+        qmode = "q8"
 
     dp0 = -(-max(d, 128) // 128) * 128
     dvp0 = -(-max(dv, 128) // 128) * 128
     # VMEM guard: K+V tiles (double-buffered) must stay under ~6 MB
-    per_row = hkv * (dp0 + dvp0) * (1 if quant else 2)
+    bytes_pp = {"none": 2, "q8": 1, "q4": 0.5}[qmode]
+    per_row = hkv * (dp0 + dvp0) * bytes_pp
     cap = block_kv
     while cap > 128 and cap * per_row * 2 > 6 * 2**20:
         cap //= 2
@@ -592,18 +628,20 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
         args.append(sinkrow.reshape(1, rows_pad))
     in_specs.append(pl.BlockSpec((1, rows_pad, dp), q_map))
     args.append(qr)
-    if quant:
+    kd = d // 2 if qmode == "q4" else dp     # stored K width per row
+    vd = dv // 2 if qmode == "q4" else dvp
+    if qmode != "none":
         in_specs += [
-            pl.BlockSpec((1, ts, hkv, dp), kv_map),
+            pl.BlockSpec((1, ts, hkv, kd), kv_map),
             pl.BlockSpec((1, ts, hkv), kvs_map),
-            pl.BlockSpec((1, ts, hkv, dvp), kv_map),
+            pl.BlockSpec((1, ts, hkv, vd), kv_map),
             pl.BlockSpec((1, ts, hkv), kvs_map),
         ]
         args += [k, k_s, v, v_s]
     else:
         in_specs += [
-            pl.BlockSpec((1, ts, hkv, dp), kv_map),
-            pl.BlockSpec((1, ts, hkv, dvp), kv_map),
+            pl.BlockSpec((1, ts, hkv, kd), kv_map),
+            pl.BlockSpec((1, ts, hkv, vd), kv_map),
         ]
         args += [k, v]
 
@@ -612,7 +650,7 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
                           swa=swa_window, attn_chunk=attn_chunk, t=t, ts=ts,
                           hkv=hkv, g=g, rows=rows, rows_pad=rows_pad,
                           d=dp, dv=dvp, has_sinks=sinks is not None,
-                          quant=quant),
+                          quant=qmode, dh=d // 2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

@@ -271,3 +271,27 @@ def test_q4_kv_cache_end_to_end():
     # memory: codes half of q8
     kv8 = rt_f.new_cache(1, 64)
     assert kv.k.size * 2 == kv8.k.size
+
+
+def test_fa_decode_q4_matches_oracle():
+    """q4-packed KV decode kernel vs the dequantize-then-attend oracle."""
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode_q8
+    from ik_llama_cpp_tpu.ops.kv_quant import (quantize_kv_rows_q4,
+                                               dequantize_kv_q4)
+    b, t, s, h, hkv, d = 1, 2, 256, 8, 2, 128
+    q, k, v = make(b, t, s, h, hkv, d, seed=15)
+    kq, ks = quantize_kv_rows_q4(k)
+    vq, vs = quantize_kv_rows_q4(v)
+    n_past = 100
+    kv_len = jnp.full((b,), n_past + t, jnp.int32)
+    npv = jnp.full((b,), n_past, jnp.int32)
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    scale = 1.0 / np.sqrt(d)
+    ref = attend(q, dequantize_kv_q4(kq, ks), dequantize_kv_q4(vq, vs),
+                 q_pos=q_pos, kv_len=kv_len, scale=scale)
+    got = flash_attention_decode_q8(q, kq, ks, vq, vs, npv, kv_len,
+                                    scale=scale, block_kv=128,
+                                    interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
