@@ -336,8 +336,36 @@ def bench_moe(tm, on_tpu):
     }
 
 
+def _tunnel_alive(timeout_s: int = 180) -> bool:
+    """Probe the axon TPU tunnel in a SUBPROCESS with a hard timeout.
+
+    When the tunnel is down, ANY jax backend init in this process hangs
+    forever (even under JAX_PLATFORMS=cpu: the axon sitecustomize hooks
+    get_backend). Probing out-of-process keeps this interpreter clean so
+    it can fall back to a CPU run and still emit the JSON line."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
+    import sys
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" \
+            and not _tunnel_alive():
+        # tunnel down: re-exec on CPU (tiny config) so the bench still
+        # produces an artifact instead of hanging the driver
+        print("bench: TPU tunnel unresponsive, falling back to CPU",
+              file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+        os.execve(sys.executable, [sys.executable, __file__], env)
     import jax
     on_tpu = jax.default_backend() not in ("cpu",)
     tm = Timer()
