@@ -806,20 +806,30 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             tp_axis: str | None = None, ep_axis: str | None = None,
             collect_stats: bool = False, n_valid=None,
             return_hidden: bool = False, return_layer_hiddens: bool = False,
-            return_mtp_hidden: bool = False, inputs_embeds=None):
+            return_mtp_hidden: bool = False, inputs_embeds=None,
+            layer_offset: int = 0, return_raw_stream: bool = False):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
     Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
     hidden states (B, T, E) f32 are returned instead of logits (embedding
     extraction — the analogue of llama_get_embeddings, llama.h).
     ``inputs_embeds`` (B, T, E) replaces the token-embedding lookup — the
-    llama_batch.embd input path used for multimodal image tokens."""
+    llama_batch.embd input path used for multimodal image tokens.
+
+    ``layer_offset``/``return_raw_stream`` serve the layer-split pipeline
+    (-sm layer analogue, parallel/pp.py): a stage holds a contiguous slice
+    of blocks and a matching KV slice, but per-layer config lookups (SWA
+    masks, per-layer head/ffn/rope arrays, nope schedule) must use the
+    ABSOLUTE layer index — local index + layer_offset. Non-final stages
+    return the raw residual stream (pre-output-norm) for the next stage."""
     b, t = tokens.shape
     if inputs_embeds is not None:
         x = inputs_embeds.astype(jnp.bfloat16)
     else:
         x = params["tok_embd"][tokens]  # (B, T, E) bf16
-    if cfg.embd_scale > 0:   # gemma input scaling (build_gemma*.cpp inp_scaled)
+    if cfg.embd_scale > 0 and layer_offset == 0:
+        # gemma input scaling (build_gemma*.cpp inp_scaled); later pipeline
+        # stages receive the already-scaled stream via inputs_embeds
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
 
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
@@ -874,26 +884,27 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
     layer_hiddens = []
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
+        iabs = i + layer_offset   # absolute layer index for config lookups
         x_layer_in = x    # arctic's parallel MoE branch reads the layer input
-        is_swa = cfg.layer_is_swa(i)
+        is_swa = cfg.layer_is_swa(iabs)
         rope_arr = (cfg.extra or {}).get("rope_dim_arr")
         if rope_arr:
             # step35 per-layer rotary dims (rope_dim_per_layer,
             # llama-hparams.cpp:1587-1591). NOTE: an n_rot-dim rope has its
             # OWN frequency progression base^(-2i/n_rot) — tables are built
             # per distinct rot width, not sliced from the widest one
-            dim_l = int(rope_arr[i])
+            dim_l = int(rope_arr[iabs])
             cos_l, sin_l = _rope_by_dim[dim_l]
             cos_swa_l, sin_swa_l = _rope_swa_by_dim[dim_l]
         else:
             cos_l, sin_l, cos_swa_l, sin_swa_l = cos, sin, cos_swa, sin_swa
         nope = (not cfg.use_rope) or \
-            (cfg.no_rope_step > 0 and (i + 1) % cfg.no_rope_step == 0) or \
-            (bool(cfg.nope_layer_mask) and cfg.nope_layer_mask[i])
+            (cfg.no_rope_step > 0 and (iabs + 1) % cfg.no_rope_step == 0) or \
+            (bool(cfg.nope_layer_mask) and cfg.nope_layer_mask[iabs])
         # deci/openelm per-layer head/ffn widths
-        n_head_l = cfg.n_head_arr[i] if cfg.n_head_arr else cfg.n_head
-        n_head_kv_l = cfg.n_head_kv_arr[i] if cfg.n_head_kv_arr else cfg.n_head_kv
-        n_ff_l = cfg.n_ff_arr[i] if cfg.n_ff_arr else None
+        n_head_l = cfg.n_head_arr[iabs] if cfg.n_head_arr else cfg.n_head
+        n_head_kv_l = cfg.n_head_kv_arr[iabs] if cfg.n_head_kv_arr else cfg.n_head_kv
+        n_ff_l = cfg.n_ff_arr[iabs] if cfg.n_ff_arr else None
         h = _norm(x, blk.get("attn_norm"), blk.get("attn_norm_bias"), cfg) \
             if ("attn_norm" in blk or cfg.norm_type == "layer"
                 or n_head_l > 0) else x
@@ -918,12 +929,12 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         else:
             chunk_l = cfg.attn_chunk if (
                 cfg.attn_chunk > 0 and (not cfg.swa_layer_mask
-                                        or cfg.swa_layer_mask[i])) else 0
+                                        or cfg.swa_layer_mask[iabs])) else 0
             attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
                 blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
                 None if nope else (cos_swa_l if is_swa else cos_l),
                 None if nope else (sin_swa_l if is_swa else sin_l), interpret,
-                tp_axis=tp_axis, stats=stats, il=i,
+                tp_axis=tp_axis, stats=stats, il=iabs,
                 kv_ks=None if kv.k_scale is None else kv.k_scale[i],
                 kv_vs=None if kv.v_scale is None else kv.v_scale[i],
                 swa_window=cfg.swa_window if is_swa else 0,
@@ -949,8 +960,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                 h_ffn = _norm(x, blk["ffn_norm"], blk.get("ffn_norm_bias"), cfg)
             else:
                 h_ffn = h
-            ff = _ffn(blk, h_ffn, cfg, interpret=interpret, stats=stats, il=i,
-                      ep_axis=ep_axis)
+            ff = _ffn(blk, h_ffn, cfg, interpret=interpret, stats=stats,
+                      il=iabs, ep_axis=ep_axis)
             if tp_axis is not None:
                 ff = jax.lax.psum(ff, tp_axis)
             if cfg.residual_branch_scale > 0:
@@ -988,9 +999,9 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             # parallel over the LAYER INPUT under its own RMS norm and adds
             # into the residual afterwards (build_arctic.cpp:70-98)
             ff = _ffn_dense(blk, h, cfg, interpret=interpret, stats=stats,
-                            il=i)
+                            il=iabs)
         else:
-            ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=i,
+            ff = _ffn(blk, h, cfg, interpret=interpret, stats=stats, il=iabs,
                       ep_axis=ep_axis)
         if tp_axis is not None:
             ff = jax.lax.psum(ff, tp_axis)
@@ -1010,7 +1021,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         if "ffn_norm_exps" in blk:
             hx = L.rms_norm(x_layer_in, blk["ffn_norm_exps"], cfg.rms_eps)
             moe_y = _ffn(blk, hx, cfg, interpret=interpret, stats=stats,
-                         il=i, ep_axis=ep_axis)
+                         il=iabs, ep_axis=ep_axis)
             if tp_axis is not None:
                 moe_y = jax.lax.psum(moe_y, tp_axis)
             x = x + moe_y.astype(x.dtype)
@@ -1033,6 +1044,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                      None if new_vs[0] is None else jnp.stack(new_vs))
     if return_layer_hiddens:
         return jnp.stack(layer_hiddens), kv
+    if return_raw_stream:
+        # pipeline stage output: the residual stream, pre-output-norm,
+        # handed to the next stage's inputs_embeds (parallel/pp.py)
+        return x.astype(jnp.float32), kv
     mtp_hidden = x    # pre-output-norm stream ("result_mtp_embd")
     x = _norm(x, params.get("output_norm"), params.get("output_norm_b"), cfg)
     if return_hidden:

@@ -156,6 +156,7 @@ class Runtime:
     kv_quant: "bool | str" = False  # KV codec: False | True/'q8' | 'q4' 
     swa_compress: bool = False  # ring caches on SWA layers (--swa-compress)
     mesh: Any = None        # jax Mesh for tensor/expert-parallel serving
+    pp_runner: Any = None   # -sm layer: PipelineRunner (parallel/pp.py)
 
     _step_fns: dict = field(default_factory=dict)
 
@@ -163,10 +164,16 @@ class Runtime:
     def from_gguf(cls, path, *, use_quant: bool = True, interpret: bool = False,
                   kv_quant: bool = False, fuse: bool = True,
                   swa_compress: bool = False, track_reload: bool = False,
-                  tensor_parallel: int = 0, expert_parallel: int = 1):
+                  tensor_parallel: int = 0, expert_parallel: int = 1,
+                  layer_split: int = 0):
         """``tensor_parallel`` > 1 shards the model over a (1[, ep], tp)
         device mesh — the reference's -sm graph, expressed as pjit shardings
-        (parallel/mesh.py). 0/1 = single chip."""
+        (parallel/mesh.py). 0/1 = single chip.
+
+        ``layer_split`` > 1 instead splits CONTIGUOUS layer ranges across
+        that many devices — the reference's -sm layer (one activation hop
+        per stage boundary, no collectives; parallel/pp.py). Mutually
+        exclusive with tensor_parallel."""
         gg = load_gguf(path)
         cfg = config_from_gguf(gg.metadata)
         tok = tokenizer_from_gguf(gg.metadata)
@@ -186,7 +193,22 @@ class Runtime:
             # head axis with a replicated latent cache (the reference's
             # distribute_mla_tensors_for_split_mode_graph design)
             kw["mla"] = True
+        if layer_split and layer_split > 1:
+            if tensor_parallel and tensor_parallel > 1:
+                raise ValueError("-sm layer and -sm graph are exclusive "
+                                 "(pick tensor_parallel OR layer_split)")
+            if FORWARDS.get(cfg.arch) is not llama_mod.forward:
+                raise NotImplementedError(
+                    f"layer_split supports the standard attention graph; "
+                    f"arch {cfg.arch!r} has a specialized forward")
         params = loader(gg, cfg, use_quant=use_quant, **kw)
+        pp_runner = None
+        if layer_split and layer_split > 1:
+            from ..parallel.pp import PipelineRunner
+            pp_runner = PipelineRunner(cfg, params, n_stages=layer_split)
+            # stage copies own the weights now; drop the staging params so
+            # device 0 does not hold a full duplicate
+            params = {}
         if tensor_parallel and tensor_parallel > 1:
             from ..parallel.mesh import make_mesh, shard_params
             shape = ((1, tensor_parallel) if expert_parallel <= 1
@@ -196,7 +218,8 @@ class Runtime:
             params = shard_params(params, mesh)
         _log_model_load(gg, cfg)
         rt = cls(cfg=cfg, tokenizer=tok, params=params, interpret=interpret,
-                 kv_quant=kv_quant, swa_compress=swa_compress, mesh=mesh)
+                 kv_quant=kv_quant, swa_compress=swa_compress, mesh=mesh,
+                 pp_runner=pp_runner)
         if track_reload:
             # on-demand tensor reload (llama-reload analogue): snapshot
             # per-tensor CRCs so reload_changed_tensors() can patch the
@@ -230,7 +253,14 @@ class Runtime:
             fwd = FORWARDS[self.cfg.arch]
             cfg, interp = self.cfg, self.interpret
 
-            if self.mesh is not None:
+            if self.pp_runner is not None:
+                # -sm layer: host-chained per-stage jits; kv is the list of
+                # per-stage caches from new_cache()
+                runner = self.pp_runner
+
+                def step(params, tokens, kv, n_past, n_valid=None):
+                    return runner(tokens, kv, n_past)
+            elif self.mesh is not None:
                 from ..parallel.tp import make_tp_forward
                 tp_fwd = make_tp_forward(cfg, self.mesh, self.params,
                                          fwd=fwd, logits_last_only=last_only)
@@ -332,6 +362,10 @@ class Runtime:
         return (np.concatenate(out_l), np.concatenate(out_h), kv, n_past)
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
+        if self.pp_runner is not None:
+            # list of per-stage caches, each resident on its stage's device
+            return self.pp_runner.init_cache(batch, capacity,
+                                             quant=self.kv_quant)
         if self.cfg.arch in ("deepseek2", "glm-dsa"):
             absorb = "wk_b" in self.params["blocks"][0]
             return ds2_mod.make_cache(self.cfg, batch, capacity, mla=absorb)
@@ -452,6 +486,10 @@ class Runtime:
         inside ONE executable (lax.scan), so token generation never pays a
         host round-trip per token — the TPU-native answer to the reference's
         tight llama_decode loop."""
+        if self.pp_runner is not None:
+            raise NotImplementedError(
+                "-sm layer decodes via eval_tokens/generate (per-stage "
+                "devices cannot share one on-device scan); use generate()")
         key = ("loop", n_steps)
         if key not in self._step_fns:
             fwd = FORWARDS[self.cfg.arch]
@@ -479,6 +517,9 @@ class Runtime:
         """Greedy generation with the whole decode loop on device.
 
         Returns (prompt_ids, generated_ids) like generate()."""
+        if self.pp_runner is not None:   # no shared on-device scan across stages
+            return self.generate(prompt, max_new_tokens, capacity=capacity,
+                                 stop_at_eos=stop_at_eos)
         ids = self.tokenizer.encode(prompt) if isinstance(prompt, str) \
             else list(prompt)
         capacity = max(capacity, len(ids) + max_new_tokens + 8)

@@ -21,7 +21,19 @@ from ..models.llama import KVCache
 MAGIC = b"IKTPUST1"
 
 
+def _merge_stage_list(kv: list) -> KVCache:
+    """-sm layer sessions carry a list of per-stage caches on different
+    devices; gather to the default device and merge to the full-model
+    layout so state files are interchangeable with single-chip runs."""
+    import jax
+    from ..parallel.pp import merge_cache
+    dev = jax.devices()[0]
+    return merge_cache([jax.device_put(c, dev) for c in kv])
+
+
 def save_state(path, tokens: list[int], n_past: int, kv: KVCache) -> None:
+    if isinstance(kv, list):
+        kv = _merge_stage_list(kv)
     buf = io.BytesIO()
     buf.write(MAGIC)
     meta = {
@@ -57,6 +69,24 @@ def save_state(path, tokens: list[int], n_past: int, kv: KVCache) -> None:
 
 
 def load_state(path, kv: KVCache):
+    if isinstance(kv, list):
+        # restore through the merged layout, then re-split to the stages'
+        # layer ranges and home devices (state files are layout-neutral)
+        import jax
+        from ..parallel.pp import split_cache
+        bounds, devs, lo = [], [], 0
+        for c in kv:
+            n = c.k.shape[0]
+            bounds.append((lo, lo + n))
+            devs.append(next(iter(c.k.devices())))
+            lo += n
+        tokens, n_past, full = load_state(path, _merge_stage_list(kv))
+        return tokens, n_past, [jax.device_put(c, d) for c, d in
+                                zip(split_cache(full, bounds), devs)]
+    return _load_state_single(path, kv)
+
+
+def _load_state_single(path, kv: KVCache):
     """Restore into a fresh cache of at least the saved length.
 
     Returns (tokens, n_past, kv)."""

@@ -703,7 +703,16 @@ def main(argv=None):
                     help="shard the model over N chips (-sm graph analogue)")
     ap.add_argument("-ep", "--expert-parallel", type=int, default=1,
                     help="whole-expert sharding factor (MoE)")
+    ap.add_argument("-sml", "--layer-split", type=int, default=0,
+                    help="split contiguous layer ranges over N chips "
+                    "(-sm layer analogue: capacity over collectives; "
+                    "exclusive with -tp)")
     args = ap.parse_args(argv)
+    if args.layer_split and args.layer_split > 1:
+        ap.error("-sml/--layer-split is available through the CLI "
+                 "(python -m ik_llama_cpp_tpu.tools.cli) and the Runtime "
+                 "API; the batched multi-slot server engine does not run "
+                 "under -sm layer yet — use -tp for sharded serving")
 
     if args.distributed:
         import jax
@@ -729,7 +738,8 @@ def main(argv=None):
                            fuse=not args.lora,
                            swa_compress=args.swa_compress,
                            tensor_parallel=args.tensor_parallel,
-                           expert_parallel=args.expert_parallel)
+                           expert_parallel=args.expert_parallel,
+                           layer_split=args.layer_split)
     loras = []
     for spec in args.lora:
         from ..runtime.lora import apply_lora, load_lora_gguf

@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--prompt-cache", help="session file: restore the KV state "
                     "if it exists, save it after generation (main.cpp "
                     "--prompt-cache parity)")
+    ap.add_argument("-sml", "--layer-split", type=int, default=0,
+                    help="-sm layer analogue: contiguous layer ranges over "
+                    "N chips, one activation hop per boundary "
+                    "(parallel/pp.py; capacity over collectives)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -47,7 +51,8 @@ def main(argv=None):
         set_i8_mxu(True)
     kvq = False if args.cache_type == "bf16" else args.cache_type
     rt = Runtime.from_gguf(args.model, kv_quant=kvq,
-                           swa_compress=args.swa_compress)
+                           swa_compress=args.swa_compress,
+                           layer_split=args.layer_split)
     print(f"model loaded in {time.time() - t0:.1f}s "
           f"(arch={rt.cfg.arch}, n_layer={rt.cfg.n_layer}, "
           f"n_embd={rt.cfg.n_embd}, vocab={rt.cfg.n_vocab})", file=sys.stderr)
