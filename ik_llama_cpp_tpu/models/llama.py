@@ -589,8 +589,12 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 interpret=False, tp_axis=None, stats=None, il=0,
                 kv_ks=None, kv_vs=None, swa_window=None,
                 n_head=None, n_head_kv=None, attn_chunk=0,
-                attn_scale_vec=None, ring=0, n_valid=None):
-    """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v)."""
+                attn_scale_vec=None, ring=0, n_valid=None, sp_axis=None):
+    """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v).
+
+    ``sp_axis``: sequence-parallel prefill — x/kv hold this shard's T/P
+    chunk, q_pos is already absolute; attention runs as ring attention over
+    the freshly projected local k/v (ops/ring_attention.py)."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
     if n_head is not None:       # deci/openelm per-layer head counts
@@ -706,7 +710,18 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     # without per-step transpose copies, fetches each KV tile once for all q
     # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
     attn = None
-    if ring > 0:
+    if sp_axis is not None:
+        # context-parallel prefill: ring attention over the fresh local
+        # chunk's k/v (the cache holds this shard's rows for later decode).
+        # Sinks/alibi/chunked-attn are not sequence-sharded yet.
+        assert ring == 0 and cfg.alibi_max_bias <= 0 and attn_chunk == 0 \
+            and sinks is None, "unsupported feature under sequence parallel"
+        from ..ops.ring_attention import ring_attend
+        attn = ring_attend(qb, k.astype(jnp.bfloat16),
+                           v.astype(jnp.bfloat16), sp_axis, scale=scale,
+                           softcap=cfg.attn_softcap,
+                           swa_window=swa_window or 0).astype(qb.dtype)
+    elif ring > 0:
         # compacted SWA layer: recover each slot's absolute position (the
         # LAST position congruent to the slot index below the fill level);
         # unwritten slots get -1. The window bound keeps older-wrapped rows
@@ -807,7 +822,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             collect_stats: bool = False, n_valid=None,
             return_hidden: bool = False, return_layer_hiddens: bool = False,
             return_mtp_hidden: bool = False, inputs_embeds=None,
-            layer_offset: int = 0, return_raw_stream: bool = False):
+            layer_offset: int = 0, return_raw_stream: bool = False,
+            sp_axis: str | None = None):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
     Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
@@ -834,6 +850,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
 
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
     q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    if sp_axis is not None:
+        # sequence-parallel prefill (parallel/sp.py): this shard holds the
+        # shard_index-th contiguous T-chunk; positions offset accordingly
+        q_pos = q_pos + jax.lax.axis_index(sp_axis) * t
     if "pos_embd" in params:   # gpt2/starcoder learned absolute positions
         x = x + params["pos_embd"][q_pos].astype(x.dtype)
     if "tok_norm" in params:   # bloom embedding LayerNorm (build_bloom.cpp:20)
@@ -943,7 +963,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                 attn_chunk=chunk_l,
                 attn_scale_vec=attn_temp if nope else None,
                 ring=kv.ring(i) if isinstance(kv, SwaKVCache) else 0,
-                n_valid=n_valid)
+                n_valid=n_valid, sp_axis=sp_axis)
         if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch
