@@ -74,6 +74,68 @@ def _softmax(logits: np.ndarray) -> np.ndarray:
     return e / e.sum()
 
 
+def _top_sorted(logits: np.ndarray, k: int):
+    """Indices of the top-k logits, sorted descending — argpartition +
+    small sort instead of a full-vocab argsort (llama.cpp's top-k uses a
+    partial sort for exactly this reason, llama-sampling.cpp)."""
+    part = np.argpartition(-logits, k - 1)[:k]
+    return part[np.argsort(-logits[part])]
+
+
+def _initial_candidates(logits: np.ndarray, p: SamplerParams):
+    """Build the (order, lg, probs) candidate view the stage loop consumes.
+
+    A full argsort of a 100k+ vocab costs ~3 ms/token — more than half the
+    host-side sampling budget at production decode rates. When the FIRST
+    enabled truncating stage is top-k (the default chain order), only the
+    top-k entries can ever survive, so a partial selection is exact. When
+    it is top-p, one top-2048 partial selection almost always covers the
+    requested mass on real (peaked) LLM distributions; full-softmax
+    probabilities (log-sum-exp over the whole vocab) make the cumulative
+    mass identical to the full-sort path, and a distribution flat enough
+    to miss falls through to the full argsort.
+    min_p may precede either: its keep rule (prob >= min_p * max prob) is a
+    ratio, independent of the candidate set. Anything else enabled before
+    the truncator (dry, tfs, typical, xtc, top-n-sigma, temperature with
+    dynatemp) needs the full distribution: fall back to the full argsort.
+    """
+    n = len(logits)
+    first = None   # first enabled stage that shapes the candidate set
+    for stage in p.samplers:
+        enabled = (
+            (stage == "dry" and p.dry_multiplier > 0.0)
+            or (stage == "top_k" and p.top_k > 0)
+            or (stage == "tfs_z" and p.tfs_z < 1.0)
+            or (stage == "typical_p" and p.typical_p < 1.0)
+            or (stage == "top_p" and p.top_p < 1.0)
+            or (stage == "xtc" and p.xtc_probability > 0.0)
+            or (stage == "top_n_sigma" and p.top_n_sigma > 0.0)
+            or (stage == "temperature" and p.dynatemp_range > 0.0))
+        if stage == "min_p":
+            continue     # set-size invariant (pure ratio vs max)
+        if enabled:
+            first = stage
+            break
+    if first == "top_k" and p.top_k < n:
+        order = _top_sorted(logits, p.top_k)
+        lg = logits[order]
+        return order, lg, _softmax(lg)
+    if first == "top_p" and n > 2048:
+        # one partial attempt: real LLM distributions concentrate top_p mass
+        # in far fewer than 2048 tokens; a flat distribution (mass not
+        # reached) falls through to the full sort without iterating
+        m = np.max(logits)
+        z = m + np.log(np.sum(np.exp(logits - m)))   # log-sum-exp, full vocab
+        order = _top_sorted(logits, 2048)
+        lg = logits[order]
+        probs = np.exp(lg - z)                       # full-softmax masses
+        if probs.sum() >= min(p.top_p + 1e-6, 1.0):
+            return order, lg, probs
+    order = np.argsort(-logits)
+    lg = logits[order]
+    return order, lg, _softmax(lg)
+
+
 def apply_penalties(logits, history, p: SamplerParams):
     if not history or (p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
                        and p.penalty_present == 0.0):
@@ -81,11 +143,11 @@ def apply_penalties(logits, history, p: SamplerParams):
     logits = logits.copy()
     recent = history[-p.penalty_last_n:] if p.penalty_last_n > 0 else history
     uniq, counts = np.unique(np.asarray(recent), return_counts=True)
-    for tok, cnt in zip(uniq, counts):
-        l = logits[tok]
-        if p.penalty_repeat != 1.0:
-            logits[tok] = l / p.penalty_repeat if l > 0 else l * p.penalty_repeat
-        logits[tok] -= cnt * p.penalty_freq + (cnt > 0) * p.penalty_present
+    l = logits[uniq]
+    if p.penalty_repeat != 1.0:
+        l = np.where(l > 0, l / p.penalty_repeat, l * p.penalty_repeat)
+    logits[uniq] = l - (counts * p.penalty_freq
+                        + (counts > 0) * p.penalty_present)
     return logits
 
 
@@ -239,9 +301,7 @@ def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
             return tok, np.array([tok]), np.array([1.0], np.float32)
         return tok
 
-    order = np.argsort(-logits)
-    lg = logits[order]
-    probs = _softmax(lg)
+    order, lg, probs = _initial_candidates(logits, p)
 
     for stage in p.samplers:
         if stage == "dry":

@@ -128,3 +128,49 @@ def test_return_probs():
     tok, ids, probs = sample(logits, p, rng(), return_probs=True)
     assert len(ids) == len(probs) == 2
     assert abs(probs.sum() - 1.0) < 1e-5
+
+
+def test_fast_candidate_selection_matches_full_sort():
+    """The partial-selection fast paths (_initial_candidates) must pick the
+    same token as a full argsort across chain configurations and
+    distribution shapes (llama.cpp's partial-sort top-k equivalence)."""
+    import ik_llama_cpp_tpu.runtime.sampling as S
+
+    rng0 = np.random.default_rng(7)
+    flat = rng0.standard_normal(64000).astype(np.float32)
+    peaked = flat.copy()
+    peaked[:100] += np.linspace(12, 4, 100).astype(np.float32)
+
+    def full_init(logits, p):
+        order = np.argsort(-logits)
+        lg = logits[order]
+        return order, lg, S._softmax(lg)
+
+    combos = [
+        dict(temp=0.8, top_k=40, top_p=0.95, min_p=0.05, penalty_repeat=1.1),
+        dict(temp=0.7, top_k=0, top_p=0.9),
+        dict(temp=1.0, top_k=0, top_p=0.999),
+        dict(temp=0.8, top_k=100, top_p=0.95, xtc_probability=0.5,
+             xtc_threshold=0.1),
+        dict(temp=0.8, top_k=0, top_p=1.0, min_p=0.1),
+        dict(temp=0.8, top_k=0, top_p=1.0, tfs_z=0.95),
+        dict(temp=0.8, top_k=64, dynatemp_range=0.3),
+        dict(temp=0.8, top_k=40, mirostat=2),
+        dict(temp=0.8, top_k=40, penalty_freq=0.2, penalty_present=0.3),
+    ]
+    hist = list(rng0.integers(0, 64000, 256))
+    orig = S._initial_candidates
+    try:
+        for logits in (flat, peaked):
+            for kw in combos:
+                p = S.SamplerParams(**kw)
+                for seed in range(3):
+                    S._initial_candidates = orig
+                    t1 = S.sample(logits, p, np.random.default_rng(seed),
+                                  history=hist, state=S.SamplerState())
+                    S._initial_candidates = full_init
+                    t2 = S.sample(logits, p, np.random.default_rng(seed),
+                                  history=hist, state=S.SamplerState())
+                    assert t1 == t2, (kw, seed, t1, t2)
+    finally:
+        S._initial_candidates = orig
