@@ -188,6 +188,12 @@ class PipelineRunner:
             stream = out
         return out, kvs
 
+    def split_row_cache(self, row: KVCache) -> list[KVCache]:
+        """Slice a full-model single-row cache into per-stage layer ranges
+        placed on the stage devices (slot restore interop)."""
+        return [jax.device_put(c, d) for c, d in
+                zip(split_cache(row, self.bounds), self.devices)]
+
     def prefill_chunked(self, tokens, kvs: list[KVCache], n_past: int,
                         chunk: int):
         """Pipelined long-prompt prefill: feed `chunk`-token slices through
@@ -204,3 +210,71 @@ class PipelineRunner:
             piece = tokens[:, c * chunk:(c + 1) * chunk]
             logits, kvs = self(piece, kvs, n_past + c * chunk)
         return logits, kvs
+
+
+class PipelineBatchFwd:
+    """Batched-server steps under -sm layer (server/engine.py adapter).
+
+    Reproduces the engine's three jit families — batched decode / spec
+    verify (full batch, per-row n_past), and slot-row prefill (gather rows
+    by slot index, run the stack, scatter rows back) — as per-stage jits
+    chained across the stage devices, the same host-hop scheme as
+    PipelineRunner. Each stage's gather/scatter runs on that stage's chip;
+    only the (rows, T, E) activation stream crosses devices.
+    """
+
+    def __init__(self, runner: PipelineRunner):
+        self.r = runner
+        self._jits: dict = {}
+
+    def _fn(self, stage: int, gather: bool):
+        key = (stage, gather)
+        if key in self._jits:
+            return self._jits[key]
+        r = self.r
+        lo, hi = r.bounds[stage]
+        last = stage == len(r.bounds) - 1
+        fwd = partial(llama_mod.forward, cfg=r.cfg, layer_offset=lo,
+                      return_raw_stream=not last)
+
+        if not gather:
+            def step(params, tokens, kv, n_past, stream=None):
+                return fwd(params, tokens=tokens, kv=kv, n_past=n_past,
+                           inputs_embeds=stream)
+        else:
+            def step(params, tokens, kv, slot_idx, n_past, last_ix,
+                     stream=None):
+                kv_rows = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, slot_idx, axis=1), kv)
+                out, kv_rows = fwd(params, tokens=tokens, kv=kv_rows,
+                                   n_past=n_past, inputs_embeds=stream)
+                kv2 = jax.tree_util.tree_map(
+                    lambda a, rr: a.at[:, slot_idx].set(rr.astype(a.dtype)),
+                    kv, kv_rows)
+                if last:
+                    out = jnp.take_along_axis(
+                        out, last_ix[:, None, None], axis=1)[:, 0]
+                return out, kv2
+
+        self._jits[key] = jax.jit(step)
+        return self._jits[key]
+
+    def _chain(self, gather: bool, tokens, kvs, *args):
+        stream = None
+        out = None
+        for s in range(len(self.r.bounds)):
+            fn = self._fn(s, gather)
+            if stream is not None:
+                stream = jax.device_put(stream, self.r.devices[s])
+            out, kvs[s] = fn(self.r.stage_params[s], tokens, kvs[s], *args,
+                             stream=stream)
+            stream = out
+        return out, kvs
+
+    def decode(self, tokens, kvs, n_past):
+        """(B, T) batch, per-row n_past -> (logits (B, T, V), kvs)."""
+        return self._chain(False, tokens, kvs, n_past)
+
+    def prefill_rows(self, tokens, kvs, slot_idx, n_past, last_ix):
+        """Gathered slot rows -> (last-position logits (rows, V), kvs)."""
+        return self._chain(True, tokens, kvs, slot_idx, n_past, last_ix)

@@ -708,11 +708,6 @@ def main(argv=None):
                     "(-sm layer analogue: capacity over collectives; "
                     "exclusive with -tp)")
     args = ap.parse_args(argv)
-    if args.layer_split and args.layer_split > 1:
-        ap.error("-sml/--layer-split is available through the CLI "
-                 "(python -m ik_llama_cpp_tpu.tools.cli) and the Runtime "
-                 "API; the batched multi-slot server engine does not run "
-                 "under -sm layer yet — use -tp for sharded serving")
 
     if args.distributed:
         import jax

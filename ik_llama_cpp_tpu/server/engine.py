@@ -152,6 +152,12 @@ class BatchEngine:
         self.spec = spec
         self.spec_n = spec_n
         self.kv = runtime.new_cache(n_slots, capacity)
+        # -sm layer: per-stage jits replace the single-graph jits; self.kv
+        # is then the LIST of per-stage caches on the stage devices
+        self._pp_fwd = None
+        if getattr(runtime, "pp_runner", None) is not None:
+            from ..parallel.pp import PipelineBatchFwd
+            self._pp_fwd = PipelineBatchFwd(runtime.pp_runner)
         # RAM prompt-cache tier (0 = disabled, -1 = unlimited, else MiB)
         self.prompt_cache = (HostPromptCache(cache_ram_mib)
                              if cache_ram_mib != 0 else None)
@@ -224,6 +230,16 @@ class BatchEngine:
         (rows, vocab) instead of (rows, bucket, vocab)."""
         key = ("many", n_rows, bucket)
         if key not in self._prefill_fns:
+            if self._pp_fwd is not None:
+                pp = self._pp_fwd
+
+                def prefill_rows_pp(params, tokens, kv, slot_idx, n_past,
+                                    last_ix):
+                    return pp.prefill_rows(tokens, kv, slot_idx, n_past,
+                                           last_ix)
+
+                self._prefill_fns[key] = prefill_rows_pp
+                return self._prefill_fns[key]
             cfg = self.cfg
             fwd = self._engine_fwd()
 
@@ -247,6 +263,18 @@ class BatchEngine:
 
     def _prefill(self, bucket: int):
         if bucket not in self._prefill_fns:
+            if self._pp_fwd is not None:
+                pp = self._pp_fwd
+
+                def prefill_slot_pp(params, tokens, kv, slot_idx, n_past,
+                                    last_ix):
+                    return pp.prefill_rows(
+                        tokens, kv, jnp.reshape(slot_idx, (1,)),
+                        jnp.reshape(n_past, (1,)),
+                        jnp.reshape(last_ix, (1,)))
+
+                self._prefill_fns[bucket] = prefill_slot_pp
+                return self._prefill_fns[bucket]
             cfg = self.cfg
             fwd = self._engine_fwd()
 
@@ -269,6 +297,12 @@ class BatchEngine:
 
     def _decode(self):
         if self._decode_fn is None:
+            if self._pp_fwd is not None:
+                pp = self._pp_fwd
+                self._decode_fn = (
+                    lambda params, tokens, kv, n_past:
+                        pp.decode(tokens, kv, n_past))
+                return self._decode_fn
             cfg = self.cfg
             fwd = self._engine_fwd()
 
@@ -283,6 +317,12 @@ class BatchEngine:
         """Batched verify step: (n_slots, 1+spec_n) tokens per row (last
         sampled token + draft), logits at every position."""
         if self._spec_decode_fn is None:
+            if self._pp_fwd is not None:
+                pp = self._pp_fwd
+                self._spec_decode_fn = (
+                    lambda params, tokens, kv, n_past:
+                        pp.decode(tokens, kv, n_past))
+                return self._spec_decode_fn
             cfg = self.cfg
             fwd = self._engine_fwd()
 
@@ -643,7 +683,8 @@ class BatchEngine:
         kept = (slot.tokens[:n_keep]
                 + slot.tokens[n_keep + n_discard:])
         slot.n_shifts += 1
-        if can_shift(self.rt.cfg) and n_discard > 0 and not self.rt.kv_quant:
+        if can_shift(self.rt.cfg) and n_discard > 0 and not self.rt.kv_quant \
+                and self._pp_fwd is None:
             # per-slot in-place K-shift on the shared batch cache
             from ..models.llama import KVCache
             b = slot.idx
@@ -668,31 +709,44 @@ class BatchEngine:
         /slots/{id}?action=save)."""
         from ..runtime.state import save_state
         slot = self.slots[idx]
-        row = KVCache(
-            self.kv.k[:, idx:idx + 1], self.kv.v[:, idx:idx + 1],
-            None if self.kv.k_scale is None else self.kv.k_scale[:, idx:idx + 1],
-            None if self.kv.v_scale is None else self.kv.v_scale[:, idx:idx + 1])
+        row = self._slot_row(idx)
         n = len(slot.cache_tokens)
         save_state(path, slot.cache_tokens, n, row)
         return {"id_slot": idx, "n_saved": n, "filename": str(path)}
+
+    def _slot_row(self, idx: int):
+        """One slot's KV rows: a KVCache view, or the per-stage list under
+        -sm layer (runtime/state.py handles both layouts)."""
+        def rows(kv):
+            return KVCache(
+                kv.k[:, idx:idx + 1], kv.v[:, idx:idx + 1],
+                None if kv.k_scale is None else kv.k_scale[:, idx:idx + 1],
+                None if kv.v_scale is None else kv.v_scale[:, idx:idx + 1])
+        if isinstance(self.kv, list):
+            return [rows(c) for c in self.kv]
+        return rows(self.kv)
 
     def restore_slot(self, idx: int, path: str) -> dict:
         """Restore a saved slot state into slot idx (action=restore)."""
         from ..runtime.state import load_state
         slot = self.slots[idx]
-        row = KVCache(
-            self.kv.k[:, idx:idx + 1], self.kv.v[:, idx:idx + 1],
-            None if self.kv.k_scale is None else self.kv.k_scale[:, idx:idx + 1],
-            None if self.kv.v_scale is None else self.kv.v_scale[:, idx:idx + 1])
-        tokens, n_past, row = load_state(path, row)
-        import jax
-        k = jax.lax.dynamic_update_slice_in_dim(self.kv.k, row.k, idx, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(self.kv.v, row.v, idx, axis=1)
-        ks, vs = self.kv.k_scale, self.kv.v_scale
-        if ks is not None and row.k_scale is not None:
-            ks = jax.lax.dynamic_update_slice_in_dim(ks, row.k_scale, idx, axis=1)
-            vs = jax.lax.dynamic_update_slice_in_dim(vs, row.v_scale, idx, axis=1)
-        self.kv = KVCache(k, v, ks, vs)
+        tokens, n_past, row = load_state(path, self._slot_row(idx))
+
+        def put(kv, row):
+            k = jax.lax.dynamic_update_slice_in_dim(kv.k, row.k, idx, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(kv.v, row.v, idx, axis=1)
+            ks, vs = kv.k_scale, kv.v_scale
+            if ks is not None and row.k_scale is not None:
+                ks = jax.lax.dynamic_update_slice_in_dim(ks, row.k_scale,
+                                                         idx, axis=1)
+                vs = jax.lax.dynamic_update_slice_in_dim(vs, row.v_scale,
+                                                         idx, axis=1)
+            return KVCache(k, v, ks, vs)
+
+        if isinstance(self.kv, list):
+            self.kv = [put(c, r) for c, r in zip(self.kv, row)]
+        else:
+            self.kv = put(self.kv, row)
         slot.cache_tokens = list(tokens)
         return {"id_slot": idx, "n_restored": len(tokens), "filename": str(path)}
 
