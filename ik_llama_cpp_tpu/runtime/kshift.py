@@ -37,9 +37,10 @@ def can_shift(cfg: ModelConfig) -> bool:
                                  "gemma4", "openpangu", "t5", "t5encoder"))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard",
+                                             "layer_offset"))
 def k_shift(kv: KVCache, cfg: ModelConfig, n_keep: int, n_discard: int,
-            n_past):
+            n_past, layer_offset: int = 0):
     """Discard rows [n_keep, n_keep + n_discard); move the tail down and
     re-rotate the MOVED rows' roped dims by -n_discard (kept head rows
     stay untouched). Returns (kv, new_n_past).
@@ -70,7 +71,9 @@ def k_shift(kv: KVCache, cfg: ModelConfig, n_keep: int, n_discard: int,
 
     new_k, new_ks = [], []
     for i in range(kv.k.shape[0]):
-        is_swa = cfg.layer_is_swa(i)
+        # layer_offset: kv may be one -sm layer stage's slice; per-layer
+        # config lookups (SWA rope base) need the absolute index
+        is_swa = cfg.layer_is_swa(i + layer_offset)
         c, s = (cos_swa, sin_swa) if is_swa else (cos, sin)
         tail = kv.k[i][:, n_keep + n_discard:]
         if kv.quantized:

@@ -683,16 +683,29 @@ class BatchEngine:
         kept = (slot.tokens[:n_keep]
                 + slot.tokens[n_keep + n_discard:])
         slot.n_shifts += 1
-        if can_shift(self.rt.cfg) and n_discard > 0 and not self.rt.kv_quant \
-                and self._pp_fwd is None:
+        if can_shift(self.rt.cfg) and n_discard > 0 and not self.rt.kv_quant:
             # per-slot in-place K-shift on the shared batch cache
             from ..models.llama import KVCache
             b = slot.idx
-            row = KVCache(self.kv.k[:, b:b + 1], self.kv.v[:, b:b + 1])
-            row, new_past = k_shift(row, self.rt.cfg, n_keep, n_discard,
-                                    jnp.int32(slot.n_past))
-            self.kv.k = self.kv.k.at[:, b:b + 1].set(row.k)
-            self.kv.v = self.kv.v.at[:, b:b + 1].set(row.v)
+            if self._pp_fwd is not None:
+                # -sm layer: shift each stage's row slice on its own device
+                # (layer_offset keeps SWA rope-base lookups absolute)
+                new_kv = []
+                for (lo, _hi), kv_s in zip(self.rt.pp_runner.bounds, self.kv):
+                    row = KVCache(kv_s.k[:, b:b + 1], kv_s.v[:, b:b + 1])
+                    row, new_past = k_shift(row, self.rt.cfg, n_keep,
+                                            n_discard, jnp.int32(slot.n_past),
+                                            layer_offset=lo)
+                    new_kv.append(KVCache(
+                        kv_s.k.at[:, b:b + 1].set(row.k),
+                        kv_s.v.at[:, b:b + 1].set(row.v)))
+                self.kv = new_kv
+            else:
+                row = KVCache(self.kv.k[:, b:b + 1], self.kv.v[:, b:b + 1])
+                row, new_past = k_shift(row, self.rt.cfg, n_keep, n_discard,
+                                        jnp.int32(slot.n_past))
+                self.kv.k = self.kv.k.at[:, b:b + 1].set(row.k)
+                self.kv.v = self.kv.v.at[:, b:b + 1].set(row.v)
             slot.tokens = kept
             slot.cache_tokens = kept[:int(new_past)]
             slot.n_past = int(new_past)

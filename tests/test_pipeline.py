@@ -218,3 +218,34 @@ def test_pipeline_state_save_restore(tmp_path):
     l1, kv1, _ = rt1.eval_tokens([123], kv1, n1)
     np.testing.assert_array_equal(np.asarray(l1).argmax(-1),
                                   np.asarray(lr).argmax(-1))
+
+
+def test_kshift_per_stage_matches_full():
+    """Context-shift under -sm layer: shifting each stage's layer slice with
+    layer_offset equals shifting the whole cache (SWA layers rope-shift at
+    their own base, so the absolute index matters)."""
+    from ik_llama_cpp_tpu.runtime.kshift import k_shift
+
+    cfg, params = _load(make_tiny_gemma_gguf, "pp_tiny_gemma.gguf", seed=5)
+    if not (cfg.swa_window > 0 and cfg.swa_layer_mask):
+        pytest.skip("fixture lacks SWA layers")
+    rng = np.random.default_rng(0)
+    L, B, S, H, D = cfg.n_layer, 1, 32, cfg.n_head_kv, cfg.head_dim
+    kv = KVCache(
+        jnp.asarray(rng.standard_normal((L, B, S, H, D)), jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((L, B, S, H, D)), jnp.bfloat16))
+    full, np_full = k_shift(kv, cfg, 4, 8, jnp.int32(28))
+
+    bounds = pp.stage_bounds(L, 2)
+    parts = pp.split_cache(kv, bounds)
+    shifted = []
+    for (lo, _hi), part in zip(bounds, parts):
+        out, np_part = k_shift(part, cfg, 4, 8, jnp.int32(28),
+                               layer_offset=lo)
+        shifted.append(out)
+    assert int(np_part) == int(np_full)
+    merged = pp.merge_cache(shifted)
+    np.testing.assert_array_equal(
+        np.asarray(merged.k, np.float32), np.asarray(full.k, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(merged.v, np.float32), np.asarray(full.v, np.float32))
