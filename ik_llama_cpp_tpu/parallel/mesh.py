@@ -180,6 +180,8 @@ def _pad_axis(x, axis: int, mult: int):
 def pad_output_head(params: Any, tp: int) -> Any:
     """Pad the vocab-sharded lm head's output dim to a multiple of tp
     (Megatron-style vocab padding); forward slices logits back to n_vocab."""
+    if "output" not in params:   # non-final pipeline stage (pp × tp)
+        return params
     out = params["output"]
     if isinstance(out, QLinear):
         params = dict(params)

@@ -125,54 +125,116 @@ class PipelineRunner:
     __call__(tokens, kvs, n_past) -> (logits, kvs) mirrors the single-chip
     forward contract so the surrounding runtime (sampling, speculative,
     server slots) is oblivious to the split.
+
+    ``tp`` > 1 composes layer split with tensor parallelism: each stage is a
+    (1, tp) submesh running the shard_map TP forward over its layer slice
+    (heads/FFN columns split, psum at reduction points — parallel/tp.py's
+    scheme), so a model can span n_stages × tp chips — the 2-D
+    (pipe, model) sharding of the scaling-book recipe. The activation
+    stream is replicated within a stage and hops between stage meshes.
     """
 
     def __init__(self, cfg: ModelConfig, params: dict, *,
                  n_stages: int | None = None, devices=None,
                  split: list[float] | None = None,
-                 logits_last_only: bool = False, donate_kv: bool = True):
+                 logits_last_only: bool = False, donate_kv: bool = True,
+                 tp: int = 1):
         if devices is None:
             devices = jax.devices()
             if n_stages is not None:
-                devices = devices[:n_stages]
+                devices = devices[:n_stages * tp]
         self.devices = list(devices)
-        n_stages = len(self.devices)
+        assert len(self.devices) % tp == 0, (len(self.devices), tp)
+        n_stages = len(self.devices) // tp
+        self.tp = tp
         self.cfg = cfg
         self.bounds = stage_bounds(cfg.n_layer, n_stages, split)
-        self.stage_params = [
-            jax.device_put(sp, d)
-            for sp, d in zip(split_stage_params(params, self.bounds),
-                             self.devices)]
+        stage_dicts = split_stage_params(params, self.bounds)
         last = n_stages - 1
+
+        if tp == 1:
+            self.meshes = [None] * n_stages
+            self._placements = list(self.devices)
+            self.stage_params = [jax.device_put(sp, d)
+                                 for sp, d in zip(stage_dicts, self.devices)]
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .mesh import make_mesh, shard_params
+            self.meshes = [
+                make_mesh((1, tp), devices=self.devices[s * tp:(s + 1) * tp])
+                for s in range(n_stages)]
+            self._placements = [NamedSharding(m, P()) for m in self.meshes]
+            self.stage_params = [shard_params(sp, m)
+                                 for sp, m in zip(stage_dicts, self.meshes)]
+
         self._fns = []
         for s, (lo, hi) in enumerate(self.bounds):
-            fwd = partial(
-                llama_mod.forward, cfg=cfg,
-                layer_offset=lo,
-                return_raw_stream=(s != last),
-                logits_last_only=(logits_last_only and s == last))
+            fkw = dict(layer_offset=lo, return_raw_stream=(s != last),
+                       logits_last_only=(logits_last_only and s == last))
+            if tp == 1:
+                fwd = partial(llama_mod.forward, cfg=cfg, **fkw)
 
-            if s == 0:
-                def f0(params, tokens, kv, n_past, _fwd=fwd):
-                    return _fwd(params, tokens=tokens, kv=kv, n_past=n_past)
-                fn = f0
+                if s == 0:
+                    def f0(params, tokens, kv, n_past, _fwd=fwd):
+                        return _fwd(params, tokens=tokens, kv=kv,
+                                    n_past=n_past)
+                    fn = f0
+                else:
+                    def fs(params, tokens, kv, n_past, stream, _fwd=fwd):
+                        return _fwd(params, tokens=tokens, kv=kv,
+                                    n_past=n_past, inputs_embeds=stream)
+                    fn = fs
             else:
-                def fs(params, tokens, kv, n_past, stream, _fwd=fwd):
-                    return _fwd(params, tokens=tokens, kv=kv, n_past=n_past,
-                                inputs_embeds=stream)
-                fn = fs
+                fn = self._make_tp_stage(s, fkw)
             donate = (2,) if donate_kv else ()
             self._fns.append(jax.jit(fn, donate_argnums=donate))
 
+    def _make_tp_stage(self, s: int, fkw: dict):
+        """shard_map TP forward over stage s's (1, tp) submesh."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from .mesh import MODEL_AXIS, kv_spec, param_specs
+        from .tp import local_config
+
+        cfg_local = local_config(self.cfg, self.tp)
+        mesh = self.meshes[s]
+        pspecs = param_specs(self.stage_params[s])
+        cache_spec = KVCache(kv_spec(), kv_spec())
+        rep3 = P(None, None, None)
+
+        def per_shard(params, tokens, kv, n_past, stream=None):
+            return llama_mod.forward(params, cfg_local, tokens, kv, n_past,
+                                     tp_axis=MODEL_AXIS,
+                                     inputs_embeds=stream, **fkw)
+
+        first = s == 0
+        in_specs = (pspecs, P(None, None), cache_spec, P()) + \
+            (() if first else (rep3,))
+        sharded = shard_map(per_shard, mesh=mesh,
+                            in_specs=in_specs,
+                            out_specs=(rep3, cache_spec),
+                            check_rep=False)
+        if first:
+            return lambda params, tokens, kv, n_past: \
+                sharded(params, tokens, kv, n_past)
+        return lambda params, tokens, kv, n_past, stream: \
+            sharded(params, tokens, kv, n_past, stream)
+
     @property
     def n_stages(self) -> int:
-        return len(self.devices)
+        return len(self.devices) // self.tp
 
     def init_cache(self, batch: int = 1, capacity: int = 512,
                    quant: bool | str = False) -> list[KVCache]:
         full = KVCache.create(self.cfg, batch, capacity, quant=quant)
-        return [jax.device_put(c, d)
-                for c, d in zip(split_cache(full, self.bounds), self.devices)]
+        parts = split_cache(full, self.bounds)
+        if self.tp == 1:
+            return [jax.device_put(c, d)
+                    for c, d in zip(parts, self._placements)]
+        from jax.sharding import NamedSharding
+        from .mesh import kv_spec
+        return [jax.device_put(c, NamedSharding(m, kv_spec()))
+                for c, m in zip(parts, self.meshes)]
 
     def __call__(self, tokens, kvs: list[KVCache], n_past):
         """One forward over all stages. kvs is updated in place (list)."""
@@ -182,7 +244,7 @@ class PipelineRunner:
             if s == 0:
                 out, kvs[s] = fn(self.stage_params[s], tokens, kvs[s], n_past)
             else:
-                stream = jax.device_put(stream, self.devices[s])
+                stream = jax.device_put(stream, self._placements[s])
                 out, kvs[s] = fn(self.stage_params[s], tokens, kvs[s],
                                  n_past, stream)
             stream = out
@@ -224,6 +286,8 @@ class PipelineBatchFwd:
     """
 
     def __init__(self, runner: PipelineRunner):
+        assert runner.tp == 1, \
+            "batched-server pp x tp composition not wired yet"
         self.r = runner
         self._jits: dict = {}
 

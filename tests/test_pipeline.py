@@ -249,3 +249,26 @@ def test_kshift_per_stage_matches_full():
         np.asarray(merged.k, np.float32), np.asarray(full.k, np.float32))
     np.testing.assert_array_equal(
         np.asarray(merged.v, np.float32), np.asarray(full.v, np.float32))
+
+
+@pytest.mark.parametrize("n_stages,tp", [(2, 2), (4, 2)])
+def test_pipeline_tp_composition(n_stages, tp):
+    """pp x tp: layer ranges across stage submeshes, tensors split within
+    each stage (2-D pipe x model sharding)."""
+    cfg, params = _llama8()
+    tokens = jnp.array([[3, 17, 9, 200, 42, 7, 11, 5]], dtype=jnp.int32)
+
+    kv_ref = KVCache.create(cfg, 1, 32)
+    ref_logits, kv_ref = llama_mod.forward(params, cfg, tokens, kv_ref,
+                                           jnp.int32(0))
+    runner = pp.PipelineRunner(cfg, params, n_stages=n_stages, tp=tp)
+    assert runner.n_stages == n_stages
+    kvs = runner.init_cache(1, 32)
+    got, kvs = runner(tokens, kvs, jnp.int32(0))
+    _close(got, ref_logits)
+
+    # decode step continues from the stage caches
+    step = jnp.array([[123]], dtype=jnp.int32)
+    ref2, _ = llama_mod.forward(params, cfg, step, kv_ref, jnp.int32(8))
+    got2, kvs = runner(step, kvs, jnp.int32(8))
+    _close(got2, ref2)
