@@ -349,21 +349,56 @@ class GrammarSampler:
         self.grammar = grammar
         self.tok = tokenizer
 
+    def _allows(self, tok: int) -> "str | None":
+        """Decoded piece if the grammar allows this token, else None."""
+        if tok == self.tok.eos_id:
+            return "" if self.grammar.done else None
+        piece = self.tok.decode([int(tok)])
+        return piece if piece and self.grammar.allows_text(piece) else None
+
     def filter_and_pick(self, logits, sampler_params, rng, history=None) -> int:
+        """One sampler-chain run, then a grammar mask over the SURVIVING
+        candidate set (renormalize, pick) — the reference's lazy grammar
+        sampler (llama_sampler_grammar: sample first; on a reject, apply
+        the grammar to the candidate array and resample) instead of a
+        rejection loop that reruns the whole chain per banned token."""
         import numpy as np
         from .sampling import sample as sample_token
         logits = np.array(logits, np.float32)
-        eos = self.tok.eos_id
-        for _ in range(512):  # bounded rejection loop
-            tok = sample_token(logits, sampler_params, rng, history=history)
-            if tok == eos:
-                if self.grammar.done:
+
+        if sampler_params.temp <= 0.0 and sampler_params.mirostat == 0:
+            for _ in range(2048):   # greedy: ban-and-retry is one argmax
+                tok = int(np.argmax(logits))
+                if logits[tok] == -np.inf:
+                    break
+                piece = self._allows(tok)
+                if piece is not None:
+                    if piece:
+                        self.grammar.accept_text(piece)
                     return tok
                 logits[tok] = -np.inf
-                continue
-            piece = self.tok.decode([int(tok)])
-            if piece and self.grammar.allows_text(piece):
-                self.grammar.accept_text(piece)
+            raise RuntimeError("no grammar-conforming token found")
+
+        for _ in range(64):   # rounds of candidate sets (vocab/top_k bound)
+            tok, order, probs = sample_token(logits, sampler_params, rng,
+                                             history=history,
+                                             return_probs=True)
+            piece = self._allows(int(tok))
+            if piece is not None:          # fast path: first pick conforms
+                if piece:
+                    self.grammar.accept_text(piece)
                 return int(tok)
-            logits[tok] = -np.inf
+            pieces = {int(t): self._allows(int(t)) for t in order}
+            ok = [i for i, t in enumerate(order) if pieces[int(t)] is not None]
+            if ok:
+                pk = probs[ok] / probs[ok].sum()
+                tok = int(order[ok[int(rng.choice(len(ok), p=pk))]])
+                piece = pieces[tok]
+                if piece:
+                    self.grammar.accept_text(piece)
+                return tok
+            # every candidate rejected: ban them and rerun the chain
+            logits[np.asarray(order, np.int64)] = -np.inf
+            if not np.isfinite(logits).any():
+                break
         raise RuntimeError("no grammar-conforming token found")
