@@ -229,6 +229,13 @@ class Runtime:
             rt._loader_kw = dict(use_quant=use_quant, **kw)
         return rt
 
+    def _no_pp(self, what: str):
+        if self.pp_runner is not None:
+            raise NotImplementedError(
+                f"{what} is not available under -sm layer yet "
+                f"(generate/eval_tokens/server paths are; load without "
+                f"layer_split for this feature)")
+
     @property
     def recurrent(self) -> bool:
         return self.cfg.arch in ("mamba", "qwen3next", "qwen35", "qwen35moe")
@@ -336,6 +343,7 @@ class Runtime:
         """eval_tokens variant returning per-position PRE-output-norm hidden
         states (the MTP input, 'result_mtp_embd'). Returns
         (logits_all (n, V), hidden (n, E), kv, n_past)."""
+        self._no_pp("eval_tokens_hidden (MTP hidden extraction)")
         fwd = FORWARDS[self.cfg.arch]
         cfg, interp = self.cfg, self.interpret
         key = ("hidden-step",)
@@ -461,6 +469,7 @@ class Runtime:
         llama_pooling_type NONE/MEAN/CLS/LAST; examples/embedding).
 
         Returns (E,) for pooled modes, (T, E) for pooling='none'."""
+        self._no_pp("embedding extraction")
         n = len(ids)
         b = _bucket(n) if n <= PREFILL_BUCKETS[-1] else n
         kv = self.new_cache(1, max(b + 8, 64))
@@ -539,6 +548,7 @@ class Runtime:
     def layer_hiddens(self, ids: list[int]) -> np.ndarray:
         """Per-layer hidden states (n_layer, T, E) f32 at each position —
         feeds the control-vector generator (cvector-generator analogue)."""
+        self._no_pp("layer_hiddens (control-vector generator)")
         n = len(ids)
         b = _bucket(n) if n <= PREFILL_BUCKETS[-1] else n
         key = ("layers", b)

@@ -230,7 +230,14 @@ def _sample_mirostat_v1(lg, order, p, rng, state: SamplerState, n_vocab: int):
     bi = np.log(probs[:m - 1] / (probs[1:m] + 1e-30) + 1e-30)
     s_hat = float(np.sum(ti * bi) / max(np.sum(ti * ti), 1e-12))
     eps = s_hat - 1.0
-    k = ((eps * (2.0 ** state.mu)) / max(1.0 - n_vocab ** (-eps), 1e-12)) ** (1.0 / max(s_hat, 1e-6))
+    den = 1.0 - float(n_vocab) ** (-eps)
+    # eps < 0 (sub-Zipfian estimate) makes numerator and denominator both
+    # negative; a sign-destroying clamp here used to produce a negative
+    # base and a complex fractional power
+    base = (eps * (2.0 ** state.mu)) / (den if abs(den) > 1e-12
+                                        else np.copysign(1e-12, den or 1.0))
+    k = abs(base) ** (1.0 / max(s_hat, 1e-6)) if np.isfinite(base) \
+        else float(len(probs))
     k = int(np.clip(k, 1, len(probs)))
     lg2, order2 = lg[:k], order[:k]
     probs2 = _softmax(lg2 / max(p.temp, 1e-6))
