@@ -142,6 +142,8 @@ class Server:
         r.add_post("/completions", self.completion)
         r.add_post("/v1/completions", self.oai_completions)
         r.add_post("/v1/chat/completions", self.oai_chat)
+        r.add_post("/v1/responses", self.oai_responses)
+        r.add_post("/responses", self.oai_responses)
         r.add_post("/v1/messages", self.anthropic_messages)
         r.add_post("/v1/messages/count_tokens", self.anthropic_count_tokens)
         r.add_post("/embedding", self.embeddings)
@@ -492,17 +494,7 @@ class Server:
             await resp.write_eof()
             return resp
         toks, text = await self._run(ids, body, False)
-        if self.chat_analysis is not None and (
-                self.chat_analysis.has_tools()
-                or self.chat_analysis.reasoning_open):
-            from ..runtime.chat_autoparser import parse_auto
-            reasoning, content, calls = parse_auto(text, self.chat_analysis)
-            if not calls and not reasoning:   # fall back to named parsers
-                reasoning, content = split_reasoning(text)
-                content, calls = parse_tool_calls(content)
-        else:
-            reasoning, content = split_reasoning(text)
-            content, calls = parse_tool_calls(content)
+        reasoning, content, calls = self._parse_chat_output(text)
         message = {"role": "assistant", "content": content or None}
         if reasoning:
             message["reasoning_content"] = reasoning
@@ -518,6 +510,78 @@ class Server:
             "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
                       "total_tokens": len(ids) + len(toks)},
         })
+
+    def _parse_chat_output(self, text: str):
+        """Shared reasoning/tool-call extraction (auto-parser first, named
+        parsers as fallback) — the tail of the oai_chat non-stream path."""
+        if self.chat_analysis is not None and (
+                self.chat_analysis.has_tools()
+                or self.chat_analysis.reasoning_open):
+            from ..runtime.chat_autoparser import parse_auto
+            reasoning, content, calls = parse_auto(text, self.chat_analysis)
+            if not calls and not reasoning:
+                reasoning, content = split_reasoning(text)
+                content, calls = parse_tool_calls(content)
+        else:
+            reasoning, content = split_reasoning(text)
+            content, calls = parse_tool_calls(content)
+        return reasoning, content, calls
+
+    async def oai_responses(self, request):
+        """POST /v1/responses — OpenAI Responses API (server.cpp:2138;
+        request conversion server-chat.cpp:6, output builders
+        server-task.cpp:236/473/544). Converted to a chat-completions body,
+        run through the same engine path, rebuilt in Responses shape."""
+        from .responses import (ResponsesStream, build_response, new_ids,
+                                responses_to_chatcmpl, sse)
+        body = await request.json()
+        try:
+            chat_body = responses_to_chatcmpl(body)
+        except ValueError as e:
+            return web.json_response(
+                {"error": {"message": str(e),
+                           "type": "invalid_request_error"}}, status=400)
+        messages = chat_body.get("messages", [])
+        if self.clip is not None or self.audio is not None:
+            messages, images = self._extract_images(messages)
+            if images:
+                return web.json_response(
+                    {"error": {"message":
+                               "input_image is not supported on /v1/responses"
+                               " yet; use /v1/chat/completions",
+                               "type": "invalid_request_error"}}, status=400)
+        prompt = self._chat_prompt(messages, tools=chat_body.get("tools"))
+        ids_tok = self.rt.tokenizer.encode(prompt)
+        ids = new_ids()
+        if chat_body.get("stream"):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+            stream = ResponsesStream(ids, self.model_name)
+            for ev in stream.open_events():
+                await resp.write(sse(ev))
+
+            async def on_token(piece, done):
+                for ev in stream.delta_events(piece):
+                    await resp.write(sse(ev))
+
+            toks, text = await self._run(ids_tok, chat_body, True, on_token)
+            reasoning, content, calls = self._parse_chat_output(text)
+            for ev in stream.final_events(
+                    reasoning=reasoning, content=content,
+                    tool_calls=[{"id": c.id, "name": c.name,
+                                 "arguments": c.arguments} for c in calls],
+                    n_prompt=len(ids_tok), n_decoded=len(toks)):
+                await resp.write(sse(ev))
+            await resp.write_eof()   # no [DONE] sentinel (server.cpp:1250)
+            return resp
+        toks, text = await self._run(ids_tok, chat_body, False)
+        reasoning, content, calls = self._parse_chat_output(text)
+        return web.json_response(build_response(
+            ids, self.model_name, reasoning=reasoning, content=content,
+            tool_calls=[{"id": c.id, "name": c.name,
+                         "arguments": c.arguments} for c in calls],
+            n_prompt=len(ids_tok), n_decoded=len(toks)))
 
     async def _chat_multimodal(self, body, messages, images):
         """Image-bearing chat: runs the mtmd path (vision encode + embedding

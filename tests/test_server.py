@@ -93,6 +93,40 @@ def test_oai_chat_completion(server):
     assert r["usage"]["completion_tokens"] >= 1
 
 
+def test_responses_api(server):
+    r = req(server, "/v1/responses",
+            {"input": "Hi", "max_output_tokens": 5, "temperature": 0})
+    assert r["object"] == "response" and r["status"] == "completed"
+    msg = [o for o in r["output"] if o["type"] == "message"]
+    assert msg and msg[0]["role"] == "assistant"
+    assert msg[0]["content"][0]["type"] == "output_text"
+    assert r["usage"]["output_tokens"] >= 1
+
+
+def test_responses_api_stream(server):
+    url = f"http://127.0.0.1:{server}/v1/responses"
+    body = json.dumps({"input": [{"role": "user", "content": "Hi"}],
+                       "max_output_tokens": 4, "stream": True}).encode()
+    r = urllib.request.urlopen(urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}),
+        timeout=60)
+    events = [e for e in r.read().decode().split("\n\n") if e.strip()]
+    names = [e.split("\n", 1)[0].removeprefix("event: ") for e in events]
+    assert names[0] == "response.created"
+    assert "response.output_text.delta" in names
+    assert names[-1] == "response.completed"   # no [DONE] for this API
+    for e in events:                            # every data line is json
+        json.loads(e.split("data: ", 1)[1])
+
+
+def test_responses_api_error(server):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        req(server, "/v1/responses",
+            {"input": "x", "previous_response_id": "r_1"})
+    assert ei.value.code == 400
+
+
 def test_anthropic_messages(server):
     r = req(server, "/v1/messages",
             {"messages": [{"role": "user", "content": "Hi"}], "max_tokens": 4})
