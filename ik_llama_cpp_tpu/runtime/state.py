@@ -68,6 +68,23 @@ def save_state(path, tokens: list[int], n_past: int, kv: KVCache) -> None:
     Path(path).write_bytes(buf.getvalue())
 
 
+def read_state_meta(path) -> dict | None:
+    """Read just the header (tokens, n_past, capacity, …) of a state file
+    without materializing the KV payload — used by the server's saved-prompt
+    listing (server.cpp list_saved_prompts reads magic+count+tokens only).
+    Returns None if the file is not a state file."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(8) != MAGIC:
+                return None
+            (mlen,) = struct.unpack("<I", f.read(4))
+            if mlen > 1 << 24:
+                return None
+            return json.loads(f.read(mlen))
+    except (OSError, ValueError, struct.error):
+        return None
+
+
 def load_state(path, kv: KVCache):
     if isinstance(kv, list):
         # restore through the merged layout, then re-split to the stages'

@@ -133,15 +133,35 @@ class Server:
         r.add_get("/", self.webui)
         r.add_get("/health", self.health)
         r.add_get("/props", self.props)
+        r.add_get("/v1/props", self.props_simple)
+        r.add_get("/version", self.version)
         r.add_get("/metrics", self.metrics)
         r.add_get("/v1/models", self.models)
+        r.add_get("/models", self.models)
         r.add_get("/slots", self.slots)
+        r.add_get("/slots/list", self.slots_list)
+        r.add_get("/list", self.saved_prompts_list)
+        r.add_post("/delete_prompt", self.delete_prompt)
+        r.add_post("/rename_prompt", self.rename_prompt)
+        r.add_post("/load", self.db_load)
+        r.add_post("/save", self.db_save)
+        r.add_post("/rename", self.db_rename)
+        r.add_post("/all", self.db_all)
+        r.add_post("/sessions", self.db_sessions)
+        r.add_get("/sessions", self.db_sessions)
+        r.add_post("/delete", self.db_delete)
+        r.add_get("/vacuum", self.db_vacuum)
+        r.add_get("/control-vectors", self.cvec_list)
+        r.add_post("/control-vectors/load", self.cvec_load)
+        r.add_post("/control-vectors/unload", self.cvec_unload)
+        r.add_post("/control-vectors/apply", self.cvec_apply)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_post("/completion", self.completion)
         r.add_post("/completions", self.completion)
         r.add_post("/v1/completions", self.oai_completions)
         r.add_post("/v1/chat/completions", self.oai_chat)
+        r.add_post("/chat/completions", self.oai_chat)
         r.add_post("/v1/responses", self.oai_responses)
         r.add_post("/responses", self.oai_responses)
         r.add_post("/v1/messages", self.anthropic_messages)
@@ -161,6 +181,10 @@ class Server:
         self.audio = None           # AudioEncoder when the mmproj has one
         self._mm_lock = asyncio.Lock()
         self.slot_save_path = "/tmp"
+        # control_vectors: [{"path","scale","layer_start","layer_end",
+        #                    "applied"}] (server-context.cpp:3081 task state)
+        self.control_vectors: list[dict] = []
+        self.session_db = None      # SessionDB when --sql-save-file given
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
@@ -349,6 +373,272 @@ class Server:
         else:
             return web.json_response({"error": "unknown action"}, status=400)
         return web.json_response(r)
+
+    async def version(self, request):
+        """GET /version (server.cpp:1921): API version + optional-feature
+        flags. zstd transparent compression is a sqlite-extension feature of
+        the reference build; the Python session DB stores plain text."""
+        return web.json_response({
+            "version": 4,
+            "features": {"sql": self.session_db is not None,
+                         "zstd_compression": False}})
+
+    async def props_simple(self, request):
+        """GET /v1/props (server.cpp:1068 handle_props_simple): trimmed
+        props + the most-advanced slot's position."""
+        n_past, slot_id = 0, 0
+        for i, s in enumerate(self.engine.slots):
+            if len(s.cache_tokens) > n_past:
+                n_past, slot_id = len(s.cache_tokens), i
+        return web.json_response({
+            "model_name": Path(self.model_name).stem,
+            "model_path": self.model_name,
+            "modalities": {"vision": self.clip is not None,
+                           "audio": self.audio is not None},
+            "n_past": n_past,
+            "slot_id": slot_id,
+        })
+
+    async def slots_list(self, request):
+        """GET /slots/list (server.cpp list_slot_prompts): each slot's
+        cached prompt."""
+        out = []
+        for i, s in enumerate(self.engine.slots):
+            toks = list(s.cache_tokens)
+            out.append({"slot_id": i, "token_count": len(toks),
+                        "prompt": self.rt.tokenizer.decode(toks)})
+        return web.json_response(out)
+
+    async def saved_prompts_list(self, request):
+        """GET /list (server.cpp list_saved_prompts): enumerate state files
+        in slot_save_path with their cached prompt text."""
+        from ..runtime.state import read_state_meta
+        out = []
+        try:
+            for p in sorted(Path(self.slot_save_path).iterdir()):
+                if not p.is_file():
+                    continue
+                meta = read_state_meta(p)
+                if meta is None:
+                    continue
+                toks = meta.get("tokens", [])
+                out.append({
+                    "filename": p.name,
+                    "filesize": p.stat().st_size,
+                    "mtime": time.strftime("%Y-%m-%d %H:%M:%S",
+                                           time.localtime(p.stat().st_mtime)),
+                    "token_count": len(toks),
+                    "prompt": self.rt.tokenizer.decode(toks),
+                })
+        except OSError as e:
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response(out)
+
+    @staticmethod
+    def _safe_name(name) -> str | None:
+        """Directory-traversal guard shared by the saved-prompt file
+        endpoints (server.cpp delete_saved_prompt)."""
+        if not isinstance(name, str) or not name or ".." in name \
+                or "/" in name or "\\" in name:
+            return None
+        return name
+
+    async def delete_prompt(self, request):
+        """POST /delete_prompt {"filename"} (server.cpp:1807)."""
+        body = await request.json()
+        name = self._safe_name(body.get("filename"))
+        if name is None:
+            return web.json_response({"error": "Invalid filename format."},
+                                     status=400)
+        p = Path(self.slot_save_path) / name
+        if not p.is_file():
+            return web.json_response({"error": "File not found."}, status=404)
+        p.unlink()
+        return web.json_response({"status": "deleted", "filename": name})
+
+    async def rename_prompt(self, request):
+        """POST /rename_prompt {"old_filename","new_filename"}."""
+        body = await request.json()
+        old = self._safe_name(body.get("old_filename"))
+        new = self._safe_name(body.get("new_filename"))
+        if old is None or new is None:
+            return web.json_response({"error": "Invalid filename format."},
+                                     status=400)
+        src = Path(self.slot_save_path) / old
+        if not src.is_file():
+            return web.json_response({"error": "File not found."}, status=404)
+        src.rename(Path(self.slot_save_path) / new)
+        return web.json_response({"status": "renamed", "filename": new})
+
+    # ----------------------------------------------- control vectors
+    def _reapply_cvec(self):
+        """Rebuild the summed dense steering tensor from every loaded
+        vector with scale != 0 (SERVER_TASK_TYPE_SET_CONTROL_VECTOR,
+        server-context.cpp:3081+; layer range is 1-indexed inclusive like
+        the reference's direction.<il> tensor names)."""
+        from ..runtime.cvector import (apply_control_vector,
+                                       load_control_vector,
+                                       remove_control_vector)
+        cfg = self.rt.cfg
+        total = None
+        for cv in self.control_vectors:
+            cv["applied"] = cv["scale"] != 0.0
+            if not cv["applied"]:
+                continue
+            dense = load_control_vector(
+                cv["path"], cfg.n_layer, cfg.n_embd, scale=cv["scale"],
+                layer_start=cv["layer_start"] - 1, layer_end=cv["layer_end"])
+            total = dense if total is None else total + dense
+        # the engine passes rt.params into the jitted step each call; adding
+        # or removing the "cvec" leaf changes the pytree structure and
+        # triggers a re-trace on the next step automatically
+        if total is None:
+            remove_control_vector(self.rt.params)
+        else:
+            apply_control_vector(self.rt.params, total)
+
+    async def cvec_list(self, request):
+        """GET /control-vectors (server.cpp:1639)."""
+        return web.json_response([
+            {"id": i, "path": cv["path"], "scale": cv["scale"],
+             "layer_start": cv["layer_start"], "layer_end": cv["layer_end"],
+             "applied": cv["applied"]}
+            for i, cv in enumerate(self.control_vectors)])
+
+    async def cvec_load(self, request):
+        """POST /control-vectors/load {"path", "scale"?, "layer_start"?,
+        "layer_end"?} (server-context.cpp:3081). Re-loading a path updates
+        its parameters instead of duplicating."""
+        body = await request.json()
+        path = body.get("path")
+        if not path or not Path(path).is_file():
+            return web.json_response(
+                {"success": False, "error": "control vector file not found"},
+                status=400)
+        entry = {"path": path, "scale": float(body.get("scale", 1.0)),
+                 "layer_start": int(body.get("layer_start", 1)),
+                 "layer_end": int(body.get("layer_end",
+                                           self.rt.cfg.n_layer)),
+                 "applied": False}
+        try:
+            for cv in self.control_vectors:
+                if cv["path"] == path:
+                    cv.update(entry)
+                    break
+            else:
+                self.control_vectors.append(entry)
+            self._reapply_cvec()
+        except Exception as e:
+            return web.json_response({"success": False, "error": str(e)},
+                                     status=400)
+        return web.json_response(
+            {"success": True,
+             "id": [cv["path"] for cv in self.control_vectors].index(path)})
+
+    async def cvec_unload(self, request):
+        """POST /control-vectors/unload {"id"} (server-context.cpp:3158)."""
+        body = await request.json()
+        cid = body.get("id")
+        if not isinstance(cid, int) or not \
+                (0 <= cid < len(self.control_vectors)):
+            return web.json_response(
+                {"success": False, "error": "Missing or invalid 'id' field"},
+                status=400)
+        self.control_vectors.pop(cid)
+        self._reapply_cvec()
+        return web.json_response({"success": True})
+
+    async def cvec_apply(self, request):
+        """POST /control-vectors/apply [{"id","scale","layer_start"?,
+        "layer_end"?}] — resets every scale to 0 then sets the given ones
+        (server.cpp:1690)."""
+        body = await request.json()
+        for cv in self.control_vectors:
+            cv["scale"] = 0.0
+        for entry in body if isinstance(body, list) else [body]:
+            cid = entry.get("id")
+            if not isinstance(cid, int) or not \
+                    (0 <= cid < len(self.control_vectors)):
+                return web.json_response(
+                    {"success": False, "error": "Invalid control vector id"},
+                    status=400)
+            cv = self.control_vectors[cid]
+            cv["scale"] = float(entry.get("scale", 0.0))
+            if "layer_start" in entry:
+                cv["layer_start"] = int(entry["layer_start"])
+            if "layer_end" in entry:
+                cv["layer_end"] = int(entry["layer_end"])
+        self._reapply_cvec()
+        return web.json_response({"success": True})
+
+    # -------------------------------------------- session DB endpoints
+    def _db_or_503(self):
+        if self.session_db is None:
+            return web.json_response(
+                {"ok": False,
+                 "message": "session store disabled; start the server with "
+                            "--sql-save-file"}, status=500)
+        return None
+
+    async def db_load(self, request):
+        """POST /load {"storeName","key"} (server.cpp:1987)."""
+        if (err := self._db_or_503()) is not None:
+            return err
+        body = await request.json()
+        data = self.session_db.load(body.get("storeName"), body.get("key"))
+        if data is None:
+            return web.json_response({"ok": False, "message": "Key not found"},
+                                     status=404)
+        return web.json_response({"ok": True, "result": data})
+
+    async def db_save(self, request):
+        """POST /save {"storeName","key","data"}."""
+        if (err := self._db_or_503()) is not None:
+            return err
+        body = await request.json()
+        self.session_db.save(body.get("storeName"), body.get("key"),
+                             body.get("data"))
+        return web.json_response({"ok": True,
+                                  "result": "Data saved successfully"})
+
+    async def db_rename(self, request):
+        """POST /rename {"key","newName"}."""
+        if (err := self._db_or_503()) is not None:
+            return err
+        body = await request.json()
+        self.session_db.rename(body.get("key"), str(body.get("newName", "")))
+        return web.json_response({"ok": True,
+                                  "result": "Session renamed successfully"})
+
+    async def db_all(self, request):
+        """POST /all {"storeName"} — every document in a store."""
+        if (err := self._db_or_503()) is not None:
+            return err
+        body = await request.json()
+        return web.json_response(
+            {"ok": True, "result": self.session_db.all(body.get("storeName"))})
+
+    async def db_sessions(self, request):
+        """GET|POST /sessions — {key: display name} listing."""
+        if (err := self._db_or_503()) is not None:
+            return err
+        return web.json_response({"ok": True,
+                                  "result": self.session_db.sessions()})
+
+    async def db_delete(self, request):
+        """POST /delete {"storeName","key"}."""
+        if (err := self._db_or_503()) is not None:
+            return err
+        body = await request.json()
+        self.session_db.delete(body.get("storeName"), body.get("key"))
+        return web.json_response({"ok": True,
+                                  "result": "Session deleted successfully"})
+
+    async def db_vacuum(self, request):
+        if (err := self._db_or_503()) is not None:
+            return err
+        self.session_db.vacuum()
+        return web.json_response({"ok": True})
 
     async def lora_list(self, request):
         """GET /lora-adapters (server.cpp /lora-adapters)."""
@@ -756,6 +1046,14 @@ def main(argv=None):
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
     ap.add_argument("--mmproj", help="CLIP mmproj GGUF for image input")
+    ap.add_argument("--sql-save-file",
+                    help="sqlite file for the WebUI session store "
+                         "(/load /save /sessions …)")
+    ap.add_argument("--slot-save-path", default="/tmp",
+                    help="directory for slot save/restore state files")
+    ap.add_argument("--control-vector", action="append", default=[],
+                    help="control-vector GGUF (repeatable); PATH or "
+                         "PATH:SCALE, applied at startup")
     ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
     ap.add_argument("--distributed", metavar="COORD[,NPROC,PID]",
                     help="jax.distributed multi-host init: coordinator "
@@ -831,6 +1129,22 @@ def main(argv=None):
     engine.start()
     srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
     srv.loras = loras
+    srv.slot_save_path = args.slot_save_path
+    if args.sql_save_file:
+        from .sessions import SessionDB
+        srv.session_db = SessionDB(args.sql_save_file)
+    for spec in args.control_vector:
+        path, _, s = spec.rpartition(":")
+        scale = 1.0
+        if path and s.replace(".", "").replace("-", "").isdigit():
+            scale = float(s)
+        else:
+            path = spec
+        srv.control_vectors.append(
+            {"path": path, "scale": scale, "layer_start": 1,
+             "layer_end": rt.cfg.n_layer, "applied": False})
+    if srv.control_vectors:
+        srv._reapply_cvec()
     if args.mmproj:
         from ..gguf.reader import load_gguf
         from ..models.clip import AudioEncoder, ClipEncoder

@@ -37,7 +37,8 @@ def req(port, path, body=None, raw=False):
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
-    model = make_tiny_llama_gguf(tmp_path_factory.mktemp("srv") / "m.gguf", seed=1)
+    work = tmp_path_factory.mktemp("srv")
+    model = make_tiny_llama_gguf(work / "m.gguf", seed=1)
     port = free_port()
     env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
@@ -45,7 +46,9 @@ def server(tmp_path_factory):
            "PYTHONPATH": str(REPO)}
     proc = subprocess.Popen(
         [sys.executable, "-m", "ik_llama_cpp_tpu.server", "--gguf", str(model),
-         "--port", str(port), "--parallel", "2", "--ctx-size", "256"],
+         "--port", str(port), "--parallel", "2", "--ctx-size", "256",
+         "--slot-save-path", str(work),
+         "--sql-save-file", str(work / "sessions.db")],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
     for _ in range(120):
         try:
@@ -125,6 +128,71 @@ def test_responses_api_error(server):
         req(server, "/v1/responses",
             {"input": "x", "previous_response_id": "r_1"})
     assert ei.value.code == 400
+
+
+def test_version_and_props_simple(server):
+    v = req(server, "/version")
+    assert v["version"] == 4 and v["features"]["sql"] is True
+    p = req(server, "/v1/props")
+    assert p["model_name"] and "modalities" in p
+    assert req(server, "/models")["data"][0]["object"] == "model"
+
+
+def test_saved_prompt_management(server):
+    req(server, "/completion", {"prompt": "Saved prompt", "n_predict": 2})
+    req(server, "/slots/0?action=save", {"filename": "t_mgmt.bin"})
+    names = [f["filename"] for f in req(server, "/list")]
+    assert "t_mgmt.bin" in names
+    listing = req(server, "/slots/list")
+    assert any(s["token_count"] > 0 for s in listing)
+    req(server, "/rename_prompt", {"old_filename": "t_mgmt.bin",
+                                   "new_filename": "t_mgmt2.bin"})
+    names = [f["filename"] for f in req(server, "/list")]
+    assert "t_mgmt2.bin" in names and "t_mgmt.bin" not in names
+    r = req(server, "/delete_prompt", {"filename": "t_mgmt2.bin"})
+    assert r["status"] == "deleted"
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        req(server, "/delete_prompt", {"filename": "../etc/passwd"})
+    assert ei.value.code == 400
+
+
+def test_session_db(server):
+    req(server, "/save", {"storeName": "sessions", "key": "s1",
+                          "data": {"msgs": [1, 2]}})
+    req(server, "/save", {"storeName": "names", "key": "s1",
+                          "data": "My chat"})
+    assert req(server, "/load", {"storeName": "sessions",
+                                 "key": "s1"})["result"] == {"msgs": [1, 2]}
+    assert req(server, "/sessions", {})["result"] == {"s1": "My chat"}
+    req(server, "/rename", {"key": "s1", "newName": "Renamed"})
+    assert req(server, "/sessions", {})["result"]["s1"] == "Renamed"
+    assert "s1" in req(server, "/all", {"storeName": "sessions"})["result"]
+    req(server, "/delete", {"storeName": "sessions", "key": "s1"})
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        req(server, "/load", {"storeName": "sessions", "key": "s1"})
+    assert req(server, "/vacuum")["ok"] is True
+
+
+def test_control_vectors(server, tmp_path):
+    import numpy as np
+    from ik_llama_cpp_tpu.runtime.cvector import write_control_vector
+    props = req(server, "/props")
+    dirs = np.ones((props["n_layer"], props["n_embd"]), np.float32) * 0.01
+    cv_path = str(write_control_vector(tmp_path / "cv.gguf", dirs))
+    r = req(server, "/control-vectors/load", {"path": cv_path, "scale": 0.5})
+    assert r["success"] is True
+    lst = req(server, "/control-vectors")
+    assert lst[0]["scale"] == 0.5 and lst[0]["applied"] is True
+    # steering changes the generated logits path but must not crash decode
+    out = req(server, "/completion",
+              {"prompt": "steered", "n_predict": 2, "temperature": 0})
+    assert out["tokens_predicted"] >= 1
+    req(server, "/control-vectors/apply", [{"id": 0, "scale": 0.0}])
+    assert req(server, "/control-vectors")[0]["applied"] is False
+    assert req(server, "/control-vectors/unload", {"id": 0})["success"]
+    assert req(server, "/control-vectors") == []
 
 
 def test_anthropic_messages(server):
