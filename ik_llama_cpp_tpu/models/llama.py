@@ -589,7 +589,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 interpret=False, tp_axis=None, stats=None, il=0,
                 kv_ks=None, kv_vs=None, swa_window=None,
                 n_head=None, n_head_kv=None, attn_chunk=0,
-                attn_scale_vec=None, ring=0, n_valid=None, sp_axis=None):
+                attn_scale_vec=None, ring=0, n_valid=None, sp_axis=None,
+                block_mask=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v).
 
     ``sp_axis``: sequence-parallel prefill — x/kv hold this shard's T/P
@@ -710,7 +711,38 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     # without per-step transpose copies, fetches each KV tile once for all q
     # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
     attn = None
-    if sp_axis is not None:
+    if block_mask is not None:
+        # tree/lookahead probe (the llama_batch seq_id mask of
+        # examples/lookahead): queries may be at non-contiguous positions and
+        # in-block visibility is branch-structured, so route to the XLA
+        # attend path with explicit per-slot key positions + an allow mask.
+        # The committed prefix (slots < n_past) is contiguous (slot == pos);
+        # block slots npv+j carry position q_pos[:, j].
+        assert ring == 0 and sp_axis is None, \
+            "block_mask probe unsupported under ring cache / seq parallel"
+        s_cap = kv_k_a.shape[1]
+        slots = jnp.arange(s_cap, dtype=jnp.int32)[None, :]        # (1, S)
+        blk_j = slots - npv[:, None]                               # (B, S)
+        in_blk = (blk_j >= 0) & (blk_j < t)
+        blk_jc = jnp.clip(blk_j, 0, t - 1)
+        grid_pos = jnp.take_along_axis(q_pos, blk_jc, axis=1)      # (B, S)
+        key_pos = jnp.where(slots < npv[:, None], slots,
+                            jnp.where(in_blk, grid_pos, -1))
+        bm = jnp.broadcast_to(block_mask[None].astype(bool), (b, t, t))
+        bm_g = jnp.take_along_axis(
+            bm, jnp.broadcast_to(blk_jc[:, None, :], (b, t, s_cap)), axis=2)
+        allow = (slots < npv[:, None])[:, None, :] | \
+            (in_blk[:, None, :] & bm_g)
+        attn = attend(qb,
+                      kv_k_a if not quant
+                      else _deq(kv_k_a, kv_ks_a).astype(jnp.bfloat16),
+                      kv_v_a if not quant
+                      else _deq(kv_v_a, kv_vs_a).astype(jnp.bfloat16),
+                      q_pos=q_pos, kv_len=kv_len, scale=scale,
+                      softcap=cfg.attn_softcap, swa_window=swa_window,
+                      sinks=sinks, attn_chunk=attn_chunk,
+                      key_positions=key_pos, allow_mask=allow)
+    elif sp_axis is not None:
         # context-parallel prefill: ring attention over the fresh local
         # chunk's k/v (the cache holds this shard's rows for later decode).
         # Sinks/alibi/chunked-attn are not sequence-sharded yet.
@@ -823,7 +855,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
             return_hidden: bool = False, return_layer_hiddens: bool = False,
             return_mtp_hidden: bool = False, inputs_embeds=None,
             layer_offset: int = 0, return_raw_stream: bool = False,
-            sp_axis: str | None = None):
+            sp_axis: str | None = None,
+            positions=None, block_mask=None):
     """tokens: (B, T) int32; n_past: scalar or (B,) int32 (per-sequence fill).
 
     Returns (logits f32, KVCache); with ``return_hidden`` the final-norm
@@ -849,7 +882,13 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
 
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
-    q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    if positions is not None:
+        # tree/lookahead probe (llama_batch.pos): explicit, possibly
+        # non-contiguous absolute positions; rope + causal masking follow
+        q_pos = jnp.broadcast_to(
+            jnp.asarray(positions, jnp.int32).reshape(-1, t), (b, t))
+    else:
+        q_pos = npv[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
     if sp_axis is not None:
         # sequence-parallel prefill (parallel/sp.py): this shard holds the
         # shard_index-th contiguous T-chunk; positions offset accordingly
@@ -963,7 +1002,7 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                 attn_chunk=chunk_l,
                 attn_scale_vec=attn_temp if nope else None,
                 ring=kv.ring(i) if isinstance(kv, SwaKVCache) else 0,
-                n_valid=n_valid, sp_axis=sp_axis)
+                n_valid=n_valid, sp_axis=sp_axis, block_mask=block_mask)
         if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch

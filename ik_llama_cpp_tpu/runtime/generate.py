@@ -427,6 +427,38 @@ class Runtime:
         final = np.asarray(logits[0, last_len - 1:last_len])
         return final, kv, n_past
 
+    def eval_probe(self, tokens, positions, block_mask, kv, n_past: int):
+        """Tree/lookahead probe: evaluate a block whose tokens sit at
+        explicit (possibly non-contiguous) ``positions`` with an in-block
+        visibility ``block_mask`` (T, T) — the analogue of a multi-seq-id
+        llama_batch (examples/lookahead/lookahead.cpp:182-259). Returns all
+        T logit rows. The cache is NOT advanced: jax arrays are immutable,
+        so the caller's ``kv`` stays the committed state (free rollback)."""
+        self._no_pp("eval_probe (lookahead/tree decoding)")
+        fwd = FORWARDS[self.cfg.arch]
+        if fwd is not llama_mod.forward:
+            raise NotImplementedError(
+                f"eval_probe: arch {self.cfg.arch} uses a custom graph "
+                "without block-mask support")
+        cfg, interp = self.cfg, self.interpret
+        t = len(tokens)
+        key = ("probe", t)
+        if key not in self._step_fns:
+            @jax.jit
+            def step(params, toks, pos, mask, kv, n_past):
+                logits, _ = fwd(params, cfg, toks, kv, n_past,
+                                interpret=interp, positions=pos,
+                                block_mask=mask)
+                return logits
+            self._step_fns[key] = step
+        step = self._step_fns[key]
+        logits = step(self.params,
+                      jnp.asarray(np.asarray(tokens, np.int32)[None]),
+                      jnp.asarray(np.asarray(positions, np.int32)[None]),
+                      jnp.asarray(np.asarray(block_mask, bool)),
+                      kv, jnp.int32(n_past))
+        return np.asarray(logits[0])
+
     def generate(self, prompt: str | list[int], max_new_tokens: int = 32,
                  sampler: SamplerParams | None = None, seed: int = 0,
                  capacity: int = 512, stop_at_eos: bool = True):

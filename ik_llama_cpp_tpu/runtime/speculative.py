@@ -425,7 +425,9 @@ def generate_speculative(
 
     kv = target.new_cache(1, capacity)
     logits, kv, n_past = target.eval_tokens(ids, kv, 0)
-    if isinstance(stage, DFlashDraft):
+    if not isinstance(stage, str) and hasattr(stage, "propose"):
+        # pre-built drafter instance (DFlashDraft, a NgramCacheDraft primed
+        # with static/dynamic caches from tools/lookup.py, ...)
         ngram = stage
     else:
         ngram = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
