@@ -1,8 +1,12 @@
 """JSON-schema -> GBNF converter — analogue of common/json-schema-to-grammar.cpp.
 
 Supports: object (properties/required/additionalProperties=false), array
-(items, minItems/maxItems small), string (enum/const), number, integer,
-boolean, null, anyOf/oneOf, $ref (local #/definitions and #/$defs).
+(items, minItems/maxItems), string (enum/const/pattern/minLength/maxLength),
+number, integer, boolean, null, anyOf/oneOf, $ref (local #/definitions and
+#/$defs).  ``regex_to_gbnf`` is the examples/regex_to_grammar.py analogue:
+a regex subset (literals, ., classes, groups, alternation, * + ?
+{m}/{m,}/{m,n} quantifiers, \\d \\w \\s escapes, trimmed ^ $ anchors)
+compiled to GBNF — json-schema-to-grammar.cpp _visit_pattern.
 """
 from __future__ import annotations
 
@@ -27,6 +31,120 @@ PRIMITIVES = {
 def _lit(s: str) -> str:
     out = s.replace("\\", "\\\\").replace('"', '\\"')
     return f'"{out}"'
+
+
+_CLASS_ESC = {"d": "0-9", "D": "^0-9", "w": "0-9A-Za-z_", "W": "^0-9A-Za-z_",
+              "s": " \\t\\n\\r", "S": "^ \\t\\n\\r"}
+
+
+class _RegexParser:
+    """Regex-subset -> GBNF expression (json-schema-to-grammar.cpp
+    _visit_pattern). Raises ValueError on unsupported constructs."""
+
+    def __init__(self, pattern: str):
+        self.p = pattern
+        self.i = 0
+
+    def _peek(self):
+        return self.p[self.i] if self.i < len(self.p) else ""
+
+    def parse(self) -> str:
+        out = self._alternation()
+        if self.i != len(self.p):
+            raise ValueError(f"regex: unexpected '{self._peek()}' at {self.i}")
+        return out
+
+    def _alternation(self) -> str:
+        alts = [self._sequence()]
+        while self._peek() == "|":
+            self.i += 1
+            alts.append(self._sequence())
+        return " | ".join(a or '""' for a in alts)
+
+    def _sequence(self) -> str:
+        parts = []
+        while self.i < len(self.p) and self._peek() not in ("|", ")"):
+            parts.append(self._quantified())
+        return " ".join(parts)
+
+    def _quantified(self) -> str:
+        atom = self._atom()
+        c = self._peek()
+        if c and c in "*+?":
+            self.i += 1
+            return f"{atom}{c}"
+        if c == "{":
+            j = self.p.index("}", self.i)
+            spec = self.p[self.i + 1: j]
+            if not re.fullmatch(r"\d+(,\d*)?", spec):
+                raise ValueError(f"regex: bad quantifier {{{spec}}}")
+            self.i = j + 1
+            return f"{atom}{{{spec}}}"
+        return atom
+
+    def _atom(self) -> str:
+        c = self._peek()
+        if c == "(":
+            self.i += 1
+            if self.p[self.i: self.i + 2] == "?:":
+                self.i += 2
+            elif self._peek() == "?":
+                raise ValueError("regex: lookarounds are not supported")
+            inner = self._alternation()
+            if self._peek() != ")":
+                raise ValueError("regex: unbalanced group")
+            self.i += 1
+            return f"({inner})"
+        if c == "[":
+            j = self.i + 1
+            if self.p[j: j + 1] == "^":
+                j += 1
+            if self.p[j: j + 1] == "]":
+                j += 1
+            while j < len(self.p) and self.p[j] != "]":
+                j += 2 if self.p[j] == "\\" else 1
+            if j >= len(self.p):
+                raise ValueError("regex: unterminated class")
+            body = self.p[self.i + 1: j]
+            self.i = j + 1
+            for k, v in _CLASS_ESC.items():
+                if not v.startswith("^"):
+                    body = body.replace("\\" + k, v)
+            return f"[{body}]"
+        if c == ".":
+            self.i += 1
+            return "[^\\n]"
+        if c == "\\":
+            e = self.p[self.i + 1: self.i + 2]
+            self.i += 2
+            if e in _CLASS_ESC:
+                cls = _CLASS_ESC[e]
+                return f"[{cls}]"
+            if e and e in "nrt":
+                return f'"\\{e}"'
+            return _lit(e)
+        if c in ("^", "$"):
+            # anchors: a GBNF rule is whole-string anyway
+            self.i += 1
+            return ""
+        self.i += 1
+        return _lit(c)
+
+
+def regex_to_gbnf_expr(pattern: str) -> str:
+    """Compile a regex to a GBNF expression fragment (no root wrapper)."""
+    expr = _RegexParser(pattern).parse()
+    # drop empties produced by stripped anchors
+    return " ".join(t for t in expr.split(" ") if t) or '""'
+
+
+def regex_to_gbnf(pattern: str, *, raw: bool = True) -> str:
+    """examples/regex_to_grammar.py analogue.  raw=False wraps the match in
+    JSON string quotes (the schema {"type": "string", "pattern": ...})."""
+    expr = regex_to_gbnf_expr(pattern)
+    if raw:
+        return f"root ::= {expr}"
+    return f'root ::= "\\"" {expr} "\\"" space\nspace ::= " "?'
 
 
 class SchemaConverter:
@@ -106,8 +224,31 @@ class SchemaConverter:
         if t == "array":
             rn = self._name(name or "arr")
             item = self.visit(schema.get("items", {}), f"{rn}-item")
-            self.rules[rn] = (f'{rn} ::= "[" space ({item} ("," space {item})*)? '
-                              f'"]" space')
+            mn = int(schema.get("minItems", 0))
+            mx = schema.get("maxItems")
+            if mn == 0 and mx is None:
+                body = f'({item} ("," space {item})*)?'
+            else:
+                # first item + bounded tail repetitions
+                tail = f'("," space {item})'
+                hi = "" if mx is None else str(max(0, int(mx) - 1))
+                rep = f"{tail}{{{max(0, mn - 1)},{hi}}}"
+                body = f"{item} {rep}" if mn >= 1 else f"({item} {rep})?"
+            self.rules[rn] = f'{rn} ::= "[" space {body} "]" space'
+            return rn
+        if t == "string" and "pattern" in schema:
+            rn = self._name(name or "pat")
+            expr = regex_to_gbnf_expr(schema["pattern"])
+            self.rules[rn] = f'{rn} ::= "\\"" {expr} "\\"" space'
+            return rn
+        if t == "string" and ("minLength" in schema or "maxLength" in schema):
+            rn = self._name(name or "str")
+            mn = int(schema.get("minLength", 0))
+            mx = schema.get("maxLength")
+            hi = "" if mx is None else str(int(mx))
+            char = r'([^"\\] | "\\" (["\\/bfnrt] | "u" [0-9a-fA-F]{4}))'
+            self.rules[rn] = \
+                f'{rn} ::= "\\"" {char}{{{mn},{hi}}} "\\"" space'
             return rn
         if t in ("string", "number", "integer", "boolean", "null"):
             return self._prim(t)
