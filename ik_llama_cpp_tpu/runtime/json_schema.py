@@ -265,3 +265,17 @@ def json_schema_to_gbnf(schema: dict | str) -> str:
     if isinstance(schema, str):
         schema = json.loads(schema)
     return SchemaConverter(schema).grammar()
+
+
+def pydantic_models_to_gbnf(*models) -> str:
+    """examples/pydantic_models_to_grammar.py analogue: constrain output to
+    any of the given pydantic models' JSON shapes (anyOf over their
+    model_json_schema(), $defs resolved by the converter)."""
+    schemas = [m.model_json_schema() for m in models]
+    if len(schemas) == 1:
+        return json_schema_to_gbnf(schemas[0])
+    merged_defs = {}
+    for s in schemas:
+        merged_defs.update(s.pop("$defs", {}))
+    return json_schema_to_gbnf(
+        {"anyOf": schemas, "$defs": merged_defs})

@@ -104,6 +104,27 @@ def test_schema_pattern_and_bounds():
     assert not toomany.allows_text('{"code": "AB-123", "tags": [1, 2, 3]}')
 
 
+def test_pydantic_models_to_gbnf():
+    pydantic = pytest.importorskip("pydantic")
+    from ik_llama_cpp_tpu.runtime.grammar import Grammar
+    from ik_llama_cpp_tpu.runtime.json_schema import pydantic_models_to_gbnf
+
+    class Point(pydantic.BaseModel):
+        x: int
+        y: int
+
+    class Label(pydantic.BaseModel):
+        name: str
+
+    g = Grammar(pydantic_models_to_gbnf(Point, Label))
+    ok = g.copy()
+    assert ok.accept_text('{"x": 1, "y": -2}') and ok.done
+    ok2 = g.copy()
+    assert ok2.accept_text('{"name": "hi"}') and ok2.done
+    bad = g.copy()
+    assert not (bad.accept_text('{"x": 1}') and bad.done)
+
+
 def test_train_baby_loss_decreases(tmp_path):
     from ik_llama_cpp_tpu.tools.train_baby import train
     p = make_tiny_llama_gguf(tmp_path / "f32.gguf", seed=6,
