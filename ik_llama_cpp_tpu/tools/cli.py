@@ -36,6 +36,9 @@ def main(argv=None):
                     help="int8 x int8 MXU matmuls with on-the-fly "
                          "activation quantization (Q8_K-activation "
                          "analogue; supergroup-requantized weights)")
+    ap.add_argument("--lookahead", action="store_true",
+                    help="lookahead decoding (Jacobi window + n-gram "
+                         "verification, examples/lookahead)")
     ap.add_argument("--prompt-cache", help="session file: restore the KV state "
                     "if it exists, save it after generation (main.cpp "
                     "--prompt-cache parity)")
@@ -66,6 +69,19 @@ def main(argv=None):
         import numpy as np
         from ..runtime.sampling import SamplerState, sample as sample_token
         from ..runtime.state import load_state, save_state
+        if args.lookahead:
+            from ..runtime.lookahead import generate_lookahead
+            t1 = time.time()
+            _, out, st = generate_lookahead(
+                rt, prompt, args.n_predict, sampler=sampler, seed=seed,
+                capacity=args.ctx_size)
+            dt = time.time() - t1
+            print(rt.tokenizer.decode(out))
+            print(f"\n[lookahead: {len(out)} tokens, {len(out) / dt:.2f} "
+                  f"tok/s, {st.n_rounds} rounds, "
+                  f"{100 * st.accept_rate:.1f}% gram-accepted]",
+                  file=sys.stderr)
+            return
         t1 = time.time()
         ids = rt.tokenizer.encode(prompt)
         kv = rt.new_cache(1, args.ctx_size)

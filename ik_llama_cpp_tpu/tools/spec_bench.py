@@ -49,6 +49,21 @@ def main(argv=None):
 
     print(f"| {'stage':10s} | {'t/s':>8s} | {'accept%':>8s} | {'drafted':>8s} |")
     print(f"|{'-' * 12}|{'-' * 10}|{'-' * 10}|{'-' * 10}|")
+
+    # lookahead rides its own generator (Jacobi window probe, not the
+    # propose/verify loop) but reports through the same table
+    from ..runtime.lookahead import generate_lookahead
+    total_tok, total_t, acc = 0, 0.0, 0
+    for p in prompts:
+        t0 = time.perf_counter()
+        _, out, st = generate_lookahead(target, p, args.n_predict,
+                                        stop_at_eos=False)
+        total_t += time.perf_counter() - t0
+        total_tok += len(out)
+        acc += st.n_accept
+    print(f"| {'lookahead':10s} | {total_tok / total_t:8.2f} |"
+          f" {100.0 * acc / max(total_tok, 1):8.2f} | {'-':>8s} |")
+
     for name, kw in stages:
         use_draft = draft if name == "draft" else None
         total_tok, total_t = 0, 0.0

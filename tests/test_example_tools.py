@@ -104,6 +104,26 @@ def test_schema_pattern_and_bounds():
     assert not toomany.allows_text('{"code": "AB-123", "tags": [1, 2, 3]}')
 
 
+def test_template_debug_cli(tmp_path, capsys):
+    from ik_llama_cpp_tpu.tools.template_debug import main
+    t = tmp_path / "t.jinja"
+    t.write_text(
+        "{% for message in messages %}<|im_start|>{{ message.role }}\n"
+        "{{ message.content }}"
+        "{% if message.tool_calls %}{% for tc in message.tool_calls %}"
+        '<tool_call>\n{"name": "{{ tc.function.name }}", '
+        '"arguments": {{ tc.function.arguments | tojson }}}\n'
+        "</tool_call>{% endfor %}{% endif %}<|im_end|>\n{% endfor %}"
+        "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}")
+    rc = main(["--template-file", str(t), "--render", "--parse",
+               '<tool_call>\n{"name": "f", "arguments": {"x": 1}}\n'
+               "</tool_call>"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "call_lead" in out and 'tool_call = f({"x": 1})' in out
+    assert "get_weather" in out          # sample conversation rendered
+
+
 def test_pydantic_models_to_gbnf():
     pydantic = pytest.importorskip("pydantic")
     from ik_llama_cpp_tpu.runtime.grammar import Grammar
