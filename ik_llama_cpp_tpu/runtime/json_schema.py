@@ -110,6 +110,18 @@ class _RegexParser:
             for k, v in _CLASS_ESC.items():
                 if not v.startswith("^"):
                     body = body.replace("\\" + k, v)
+            # negated escapes (\D \W \S) cannot be expressed inside a GBNF
+            # class — fail here rather than at Grammar() parse time
+            k = 0
+            while k < len(body):
+                if body[k] == "\\":
+                    if body[k + 1: k + 2] in ("D", "W", "S"):
+                        raise ValueError(
+                            "regex: \\D/\\W/\\S inside a character class "
+                            "is not supported")
+                    k += 2
+                else:
+                    k += 1
             return f"[{body}]"
         if c == ".":
             self.i += 1
@@ -124,7 +136,13 @@ class _RegexParser:
                 return f'"\\{e}"'
             return _lit(e)
         if c in ("^", "$"):
-            # anchors: a GBNF rule is whole-string anyway
+            # anchors: a GBNF rule is whole-string anyway, so a leading ^ /
+            # trailing $ is a no-op — but an INTERIOR anchor changes the
+            # language (e.g. 'a$b' matches nothing) and must not be dropped
+            if (c == "^" and self.i != 0) or \
+                    (c == "$" and self.i != len(self.p) - 1):
+                raise ValueError(
+                    f"regex: interior '{c}' anchor is not supported")
             self.i += 1
             return ""
         self.i += 1
@@ -225,13 +243,16 @@ class SchemaConverter:
             rn = self._name(name or "arr")
             item = self.visit(schema.get("items", {}), f"{rn}-item")
             mn = int(schema.get("minItems", 0))
-            mx = schema.get("maxItems")
-            if mn == 0 and mx is None:
+            mx = None if schema.get("maxItems") is None \
+                else int(schema["maxItems"])
+            if mx == 0:
+                body = '""'                 # only the empty array
+            elif mn == 0 and mx is None:
                 body = f'({item} ("," space {item})*)?'
             else:
                 # first item + bounded tail repetitions
                 tail = f'("," space {item})'
-                hi = "" if mx is None else str(max(0, int(mx) - 1))
+                hi = "" if mx is None else str(mx - 1)
                 rep = f"{tail}{{{max(0, mn - 1)},{hi}}}"
                 body = f"{item} {rep}" if mn >= 1 else f"({item} {rep})?"
             self.rules[rn] = f'{rn} ::= "[" space {body} "]" space'

@@ -182,9 +182,16 @@ def generate_lookahead(
             for j in range(N - 2):
                 tokens_j[j] = tokens_j[j + 1]
             if v == 0:
-                tokens_j[N - 2] = [
-                    int(np.argmax(logits_all[lay.level_row(N - 2, i)]))
-                    for i in range(W)]
+                # new deepest level: argmax at each column of the current
+                # deepest level.  For N == 2 that level is level 0, whose
+                # column-0 token is the probe input itself (row 0) —
+                # level_row(0, 0) is undefined.
+                if N == 2:
+                    rows = [0] + [lay.level_row(0, i) for i in range(1, W)]
+                else:
+                    rows = [lay.level_row(N - 2, i) for i in range(W)]
+                tokens_j[N - 2] = [int(np.argmax(logits_all[r]))
+                                   for r in rows]
             else:
                 tokens_j[N - 2] = list(tokens_j[0])
 
@@ -197,10 +204,12 @@ def generate_lookahead(
                     if body not in ring:
                         ring.append(body)
 
-        # ---- commit: re-evaluate the accepted tokens causally (the probe
+        # ---- commit: re-evaluate the consumed tokens causally (the probe
         # cache is discarded; this is the TPU-shaped replacement for
-        # kv_cache_seq_keep)
-        _, kv, n_past = target.eval_tokens(accepted, kv, n_past)
+        # kv_cache_seq_keep).  The cache slot at n_past belongs to `cur`
+        # (the probe's row 0); the newly accepted tokens follow it, and the
+        # LAST accepted token becomes next round's probe input.
+        _, kv, n_past = target.eval_tokens([cur] + accepted[:-1], kv, n_past)
         cur = accepted[-1]
 
     return ids, out[:max_new_tokens], stats

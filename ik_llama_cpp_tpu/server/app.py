@@ -491,11 +491,16 @@ class Server:
             total = dense if total is None else total + dense
         # the engine passes rt.params into the jitted step each call; adding
         # or removing the "cvec" leaf changes the pytree structure and
-        # triggers a re-trace on the next step automatically
+        # triggers a re-trace on the next step automatically.  Mutate a COPY
+        # and rebind atomically: the engine thread may be flattening the old
+        # dict for a step at this very moment (handler runs on the aiohttp
+        # thread), and in-place insertion would race that iteration.
+        params = dict(self.rt.params)
         if total is None:
-            remove_control_vector(self.rt.params)
+            remove_control_vector(params)
         else:
-            apply_control_vector(self.rt.params, total)
+            apply_control_vector(params, total)
+        self.rt.params = params
 
     async def cvec_list(self, request):
         """GET /control-vectors (server.cpp:1639)."""
@@ -553,16 +558,20 @@ class Server:
         "layer_end"?}] — resets every scale to 0 then sets the given ones
         (server.cpp:1690)."""
         body = await request.json()
-        for cv in self.control_vectors:
-            cv["scale"] = 0.0
-        for entry in body if isinstance(body, list) else [body]:
+        entries = body if isinstance(body, list) else [body]
+        # validate BEFORE mutating any state: a bad id must leave both the
+        # bookkeeping and the applied steering tensor untouched
+        for entry in entries:
             cid = entry.get("id")
             if not isinstance(cid, int) or not \
                     (0 <= cid < len(self.control_vectors)):
                 return web.json_response(
                     {"success": False, "error": "Invalid control vector id"},
                     status=400)
-            cv = self.control_vectors[cid]
+        for cv in self.control_vectors:
+            cv["scale"] = 0.0
+        for entry in entries:
+            cv = self.control_vectors[entry["id"]]
             cv["scale"] = float(entry.get("scale", 0.0))
             if "layer_start" in entry:
                 cv["layer_start"] = int(entry["layer_start"])

@@ -70,6 +70,14 @@ def responses_to_chatcmpl(body: dict) -> dict:
             item = dict(raw)
             role = item.get("role")
             typ = item.get("type")
+            # assistant turns replayed as plain strings (valid per the
+            # Responses API) pass through untouched — _as_parts would turn
+            # them into input_text parts the assistant branch rejects
+            if role == "assistant" and typ in (None, "message") \
+                    and isinstance(item.get("content"), str):
+                messages.append({"role": "assistant",
+                                 "content": item["content"]})
+                continue
             content = _as_parts(item)
             if isinstance(content, list) and role in (
                     "user", "system", "developer"):
@@ -96,7 +104,7 @@ def responses_to_chatcmpl(body: dict) -> dict:
                 item["content"] = parts
                 messages.append(item)
             elif (isinstance(content, list) and role == "assistant"
-                  and typ == "message"):
+                  and typ in (None, "message")):
                 parts = []
                 for p in content:
                     if not isinstance(p, dict) or \
@@ -143,6 +151,7 @@ def responses_to_chatcmpl(body: dict) -> dict:
             elif typ == "reasoning" and isinstance(item.get("summary"), list):
                 c = item.get("content")
                 if not isinstance(c, list) or not c or \
+                        not isinstance(c[0], dict) or \
                         not isinstance(c[0].get("text"), str):
                     raise ValueError("reasoning item requires content[0].text")
                 messages.append({"role": "assistant", "content": [],

@@ -41,11 +41,19 @@ class SessionDB:
     def _key(k) -> str:
         return k if isinstance(k, str) else json.dumps(k)
 
+    def _ensure(self, store: str) -> None:
+        """Create a store's table on first use (normalize_store_name admits
+        any alphabetic name, not just the two pre-created tables); caller
+        holds self.lock."""
+        self.conn.execute(f"CREATE TABLE IF NOT EXISTS {store} "
+                          "(key TEXT PRIMARY KEY, data TEXT)")
+
     def load(self, store, key):
         """Returns the parsed document, the raw name string for the names
         store, or None when absent."""
         store = normalize_store_name(store)
         with self.lock:
+            self._ensure(store)
             row = self.conn.execute(
                 f"SELECT data FROM {store} WHERE key = ?",
                 (self._key(key),)).fetchone()
@@ -58,6 +66,7 @@ class SessionDB:
         text = data if store == "names" and isinstance(data, str) \
             else json.dumps(data)
         with self.lock:
+            self._ensure(store)
             self.conn.execute(
                 f"INSERT OR REPLACE INTO {store} (key, data) VALUES (?, ?)",
                 (self._key(key), text))
@@ -72,6 +81,7 @@ class SessionDB:
     def all(self, store) -> dict:
         store = normalize_store_name(store)
         with self.lock:
+            self._ensure(store)
             rows = self.conn.execute(
                 f"SELECT key, data FROM {store}").fetchall()
         return {k: json.loads(d) for k, d in rows}
@@ -85,6 +95,7 @@ class SessionDB:
     def delete(self, store, key) -> None:
         store = normalize_store_name(store)
         with self.lock:
+            self._ensure(store)
             self.conn.execute(f"DELETE FROM {store} WHERE key = ?",
                               (self._key(key),))
             self.conn.commit()

@@ -153,11 +153,14 @@ def convert(model_dir: str, output: str, *, vocab_model: str | None = None,
     w.add("tokenizer.ggml.eos_token_id", 2)
 
     for name, arr in wt.items():
+        if name.endswith("rope.freqs") or "inner_attention" in name:
+            continue                      # derived / inference-only extras
         if name.startswith("layers."):
             il = int(name.split(".")[1])
-            out_name = f"blk.{il}." + _NAME_MAP[_stem(name)]
-        elif name.endswith("rope.freqs") or "inner_attention" in name:
-            continue                      # derived / inference-only extras
+            stem = _NAME_MAP.get(_stem(name))
+            if stem is None:
+                continue                  # unknown per-layer extra
+            out_name = f"blk.{il}." + stem
         else:
             out_name = _NAME_MAP.get(name)
             if out_name is None:

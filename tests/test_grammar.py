@@ -141,3 +141,38 @@ def test_reference_arithmetic_grammar():
     m = g.copy()
     for ch in "1+2*(3-4)\n":
         assert m.accept_char(ord(ch)), ch
+
+
+def test_regex_interior_anchor_rejected():
+    """'a$b' matches nothing; dropping the anchor silently would accept
+    'ab'. Interior anchors must raise (regression)."""
+    from ik_llama_cpp_tpu.runtime.json_schema import regex_to_gbnf_expr
+    with pytest.raises(ValueError, match="anchor"):
+        regex_to_gbnf_expr("a$b")
+    with pytest.raises(ValueError, match="anchor"):
+        regex_to_gbnf_expr("a^b")
+    # leading ^ / trailing $ remain no-ops
+    assert regex_to_gbnf_expr("^ab$") == '"a" "b"'
+
+
+def test_regex_negated_class_escape_rejected():
+    """\\D inside [...] can't be expressed in GBNF — must fail at convert
+    time with a clear error, not at Grammar() parse time (regression)."""
+    from ik_llama_cpp_tpu.runtime.json_schema import regex_to_gbnf_expr
+    with pytest.raises(ValueError, match="character class"):
+        regex_to_gbnf_expr(r"[\D]+")
+    # non-negated class escapes still expand
+    assert "0-9" in regex_to_gbnf_expr(r"[\d]+")
+    # negated escapes OUTSIDE a class are fine ([^0-9])
+    assert regex_to_gbnf_expr(r"\D") == "[^0-9]"
+
+
+def test_array_max_items_zero():
+    """maxItems=0 must admit ONLY the empty array (regression: {0,0} tail
+    still allowed one item)."""
+    g_text = json_schema_to_gbnf(
+        {"type": "array", "items": {"type": "integer"}, "maxItems": 0})
+    g = Grammar(g_text)
+    assert g.accept_text("[] ") or (g.accept_text("[]") and True)
+    g2 = Grammar(g_text)
+    assert not g2.accept_text("[1")

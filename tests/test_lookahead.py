@@ -84,6 +84,29 @@ def test_lookahead_matches_greedy(rt):
     assert st.n_accept > 0
 
 
+@pytest.mark.parametrize("prompt", [
+    "once upon a time in a land far away there lived",
+    "the cat sat on the mat while the dog",
+    "a b c a b c a b",
+])
+def test_lookahead_greedy_parity_prompts(rt, prompt):
+    """Position-sensitive parity: the KV commit must place `cur` at n_past
+    (a one-slot shift diverges on these prompts; regression for the
+    accepted-tokens-only commit bug)."""
+    _, base = rt.generate(prompt, 20, seed=0)
+    _, out, _ = generate_lookahead(rt, prompt, 20, W=4, N=3, G=4, seed=0)
+    assert out == base
+
+
+def test_lookahead_n2_window(rt):
+    """N=2 degenerates to a single window level seeded from row 0 / level-0
+    rows; must still match greedy exactly and not crash."""
+    prompt = "alpha beta gamma alpha beta gamma alpha"
+    _, base = rt.generate(prompt, 16, seed=0)
+    _, out, _ = generate_lookahead(rt, prompt, 16, W=4, N=2, G=4, seed=0)
+    assert out == base
+
+
 def test_lookup_cache_roundtrip(tmp_path):
     from ik_llama_cpp_tpu.tools.lookup import (
         build_cache_from_tokens, load_ngram_cache, merge_ngram_caches,

@@ -137,3 +137,23 @@ def test_stream_event_sequence():
     assert wire.startswith("event: response.created\ndata: {")
     assert wire.endswith("\n\n")
     json.loads(wire.split("data: ", 1)[1])
+
+
+def test_assistant_plain_string_content():
+    """Prior assistant turns replayed as plain strings (valid OpenAI shape)
+    must convert, not 400 (regression: _as_parts turned them into
+    input_text parts the assistant branch rejected)."""
+    out = responses_to_chatcmpl({"input": [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "earlier reply"},
+        {"role": "user", "content": "again"}]})
+    assert out["messages"][1] == {"role": "assistant",
+                                  "content": "earlier reply"}
+
+
+def test_reasoning_non_dict_content_is_valueerror():
+    """A malformed reasoning content entry must raise ValueError (-> 400),
+    not AttributeError (-> 500)."""
+    with pytest.raises(ValueError, match="reasoning item requires"):
+        responses_to_chatcmpl({"input": [
+            {"type": "reasoning", "summary": [], "content": ["x"]}]})

@@ -449,3 +449,22 @@ def test_engine_speculative_recurrent_matches_plain(tmp_path):
     accepted, eng_a = run(lambda: OracleDraft(), "ngram")
     assert accepted == plain, (accepted, plain)
     assert eng_a.n_draft_accepted > 0
+
+
+def test_session_db_custom_store(server):
+    """Any normalized store name gets its table created on demand instead
+    of an unhandled sqlite OperationalError (regression)."""
+    r = req(server, "/save", {"storeName": "mydata", "key": "k",
+                              "data": {"v": 1}})
+    assert r["ok"]
+    assert req(server, "/load", {"storeName": "mydata",
+                                 "key": "k"})["result"] == {"v": 1}
+
+
+def test_cvec_apply_invalid_id_leaves_state(server):
+    """A bad id in /control-vectors/apply must not zero the scales of the
+    loaded vectors before failing (regression)."""
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req(server, "/control-vectors/apply", [{"id": 99, "scale": 1.0}])
+    assert e.value.code == 400
