@@ -154,3 +154,25 @@ def test_train_baby_loss_decreases(tmp_path):
     _, losses = train(rt, ids, steps=25, batch=4, seq_len=16, lr=2e-3,
                       log=lambda *_: None)
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_embedding_cli(tmp_path, capsys):
+    """examples/embedding analogue: pooled + normalized vectors, cosine
+    matrix, json output mode."""
+    import json as _json
+    from ik_llama_cpp_tpu.tools.embedding import main, normalize
+    import numpy as np
+    v = np.array([3.0, 4.0], np.float32)
+    np.testing.assert_allclose(normalize(v, 2), [0.6, 0.8])
+    np.testing.assert_allclose(normalize(v, 0), [0.75, 1.0])
+    np.testing.assert_allclose(normalize(v, -1), v)
+
+    tiny = make_tiny_llama_gguf(tmp_path / "emb.gguf", seed=5)
+    main(["-m", str(tiny), "-p", "hello world", "-p", "hello world",
+          "--sim"])
+    out = capsys.readouterr().out
+    assert "embedding 0:" in out and "1.00" in out
+
+    main(["-m", str(tiny), "-p", "hi", "--embd-output-format", "json"])
+    doc = _json.loads(capsys.readouterr().out)
+    assert doc["object"] == "list" and len(doc["data"][0]["embedding"]) > 0
