@@ -56,6 +56,28 @@ def _bucket(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
+def _chunk_limit(kv, n_past: int) -> int:
+    """Largest token chunk whose bucket-padded cache write still fits.
+
+    Prefill writes round the chunk up to a PREFILL_BUCKETS size, so a write
+    at n_past touches rows [n_past, n_past + bucket) — which must stay inside
+    a plain fixed-capacity cache (ring/recurrent caches wrap instead and are
+    not constrained here)."""
+    if not isinstance(kv, KVCache):
+        return PREFILL_BUCKETS[-1]
+    room = kv.capacity - n_past
+    fit = 0
+    for b in PREFILL_BUCKETS:
+        if b <= room:
+            fit = b
+    if fit == 0:
+        raise ValueError(
+            f"KV cache full: capacity {kv.capacity}, n_past {n_past}; "
+            f"writes are padded to >={PREFILL_BUCKETS[0]}-token buckets — "
+            "allocate headroom (Runtime.new_cache rounds this up for you)")
+    return fit
+
+
 _DENSE_FAMILY = ("llama", "llama4", "granitemoe", "qwen2vl", "step35",
                  "qwen3vl", "qwen3vlmoe",
                  "qwen2", "qwen3", "mistral", "gemma",
@@ -357,7 +379,7 @@ class Runtime:
         out_l, out_h = [], []
         i = 0
         while i < len(ids):
-            chunk = ids[i:i + PREFILL_BUCKETS[-1]]
+            chunk = ids[i:i + _chunk_limit(kv, n_past)]
             b = _bucket(len(chunk))
             padded = np.zeros((1, b), np.int32)
             padded[0, :len(chunk)] = chunk
@@ -370,6 +392,10 @@ class Runtime:
         return (np.concatenate(out_l), np.concatenate(out_h), kv, n_past)
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
+        # pad so bucket-rounded writes near the end fit: a decode at
+        # n_past = capacity-1 still writes a PREFILL_BUCKETS[0]-row slab
+        b0 = PREFILL_BUCKETS[0]
+        capacity = -(-(capacity + b0 - 1) // b0) * b0
         if self.pp_runner is not None:
             # list of per-stage caches, each resident on its stage's device
             return self.pp_runner.init_cache(batch, capacity,
@@ -397,7 +423,7 @@ class Runtime:
         last_len = 0
         i = 0
         while i < len(ids):
-            chunk = ids[i:i + PREFILL_BUCKETS[-1]]
+            chunk = ids[i:i + _chunk_limit(kv, n_past)]
             b = _bucket(len(chunk))
             padded = np.zeros((1, b), np.int32)
             padded[0, :len(chunk)] = chunk

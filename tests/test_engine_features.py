@@ -214,3 +214,32 @@ def test_host_prompt_cache_eviction():
     # min reusable fraction: short overlap does not match
     e, lcp = hpc.best_match([9, 9, 9])
     assert e is None
+
+
+def test_small_cache_capacity_eval(tmp_path):
+    """Direct-API users can allocate capacity = prompt + n_predict without
+    bucket-padded prefill writes overrunning the cache (regression), and an
+    actually-full cache raises a clear error instead of an XLA TypeError."""
+    import pytest as _pytest
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+
+    rt = Runtime.from_gguf(make_tiny_llama_gguf(tmp_path / "s.gguf", seed=3))
+    ids = rt.tokenizer.encode("the quick brown fox jumps over")
+    kv = rt.new_cache(1, len(ids) + 4)          # tiny, non-bucket-aligned
+    logits, kv, n_past = rt.eval_tokens(ids, kv, 0)
+    import numpy as np
+    for _ in range(4):
+        tok = int(np.argmax(logits[-1]))
+        logits, kv, n_past = rt.eval_tokens([tok], kv, n_past)
+    # parity with a roomy cache
+    kv2 = rt.new_cache(1, 256)
+    logits2, kv2, n2 = rt.eval_tokens(ids, kv2, 0)
+    np.testing.assert_allclose(
+        np.asarray(logits2[-1]), np.asarray(
+            rt.eval_tokens(ids, rt.new_cache(1, len(ids) + 4), 0)[0][-1]),
+        atol=2e-5)
+    # exhausted cache -> clear error
+    with _pytest.raises(ValueError, match="KV cache full"):
+        while True:
+            logits, kv, n_past = rt.eval_tokens([1], kv, n_past)
