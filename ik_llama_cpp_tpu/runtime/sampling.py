@@ -160,7 +160,12 @@ def apply_dry(logits: np.ndarray, history, p: SamplerParams) -> np.ndarray:
     span a breaker)."""
     if p.dry_multiplier <= 0.0 or not history:
         return logits
-    window = p.dry_penalty_last_n if p.dry_penalty_last_n > 0 else p.penalty_last_n
+    # -1 = whole context (the reference maps dry_penalty_last_n=-1 to
+    # n_ctx, NOT to the repeat-penalty window — clamping DRY to the
+    # 64-token penalty window would gut it); 0 disables
+    window = p.dry_penalty_last_n
+    if window == 0:
+        return logits
     seq = list(history[-window:]) if window > 0 else list(history)
     n = len(seq)
     if n < 2:
@@ -202,9 +207,12 @@ def apply_dry(logits: np.ndarray, history, p: SamplerParams) -> np.ndarray:
 
 
 def _sample_mirostat_v2(lg, order, p, rng, state: SamplerState):
+    """lg: full-vocab sorted logits, temperature ALREADY applied by the
+    caller (llama_sample_temp precedes mirostat in the reference; no second
+    division here)."""
     if state.mu is None:
         state.mu = 2.0 * p.mirostat_tau
-    probs = _softmax(lg / max(p.temp, 1e-6))
+    probs = _softmax(lg)
     surprise = -np.log2(probs + 1e-30)
     mask = surprise <= state.mu
     if not mask.any():
@@ -220,9 +228,10 @@ def _sample_mirostat_v2(lg, order, p, rng, state: SamplerState):
 
 
 def _sample_mirostat_v1(lg, order, p, rng, state: SamplerState, n_vocab: int):
+    """lg: full-vocab sorted logits with temperature already applied."""
     if state.mu is None:
         state.mu = 2.0 * p.mirostat_tau
-    probs = _softmax(lg / max(p.temp, 1e-6))
+    probs = _softmax(lg)
     m = min(100, len(probs) - 1)
     if m < 2:
         return int(order[np.argmax(probs)])
@@ -240,7 +249,7 @@ def _sample_mirostat_v1(lg, order, p, rng, state: SamplerState, n_vocab: int):
         else float(len(probs))
     k = int(np.clip(k, 1, len(probs)))
     lg2, order2 = lg[:k], order[:k]
-    probs2 = _softmax(lg2 / max(p.temp, 1e-6))
+    probs2 = _softmax(lg2)
     idx = rng.choice(len(probs2), p=probs2)
     observed = float(-np.log2(probs2[idx] + 1e-30))
     state.mu -= p.mirostat_eta * (observed - p.mirostat_tau)
@@ -306,6 +315,24 @@ def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
         tok = int(np.argmax(logits))
         if return_probs:
             return tok, np.array([tok]), np.array([1.0], np.float32)
+        return tok
+
+    if p.mirostat != 0:
+        # the reference BYPASSES the sampler queue for mirostat: only
+        # penalties + temperature apply before the mirostat pick
+        # (common/sampling.cpp sampler_queue is skipped when
+        # mirostat != 0), so no top-k/top-p/etc. truncation here and
+        # exactly ONE temperature application
+        order = np.argsort(-logits)
+        lg = logits[order] / max(p.temp, 1e-6)
+        state = state if state is not None else SamplerState()
+        if p.mirostat == 2:
+            tok = _sample_mirostat_v2(lg, order, p, rng, state)
+        else:
+            n_vocab = p.n_vocab_hint or len(logits_orig)
+            tok = _sample_mirostat_v1(lg, order, p, rng, state, n_vocab)
+        if return_probs:
+            return tok, order, _softmax(lg)
         return tok
 
     order, lg, probs = _initial_candidates(logits, p)
@@ -374,12 +401,7 @@ def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
 
     state = state if state is not None else SamplerState()
 
-    if p.mirostat == 2:
-        tok = _sample_mirostat_v2(lg, order, p, rng, state)
-    elif p.mirostat == 1:
-        n_vocab = p.n_vocab_hint or len(logits_orig)
-        tok = _sample_mirostat_v1(lg, order, p, rng, state, n_vocab)
-    elif p.adaptive_target >= 0.0:
+    if p.adaptive_target >= 0.0:
         tok = _sample_adaptive_p(logits_orig, lg, order, p, rng, state)
     else:
         probs = _softmax(lg)

@@ -61,12 +61,28 @@ class Slot:
     rng: Any = None
     sampler_state: Any = None
     text: str = ""
+    n_streamed: int = 0         # chars of .text already sent to the stream
     forced: list = field(default_factory=list)   # forced next tokens
     n_think: int = 0
     pending: bytes = b""        # partial UTF-8 tail awaiting continuation
     t_start: float = 0.0
     t_first_token: float = 0.0
     drafter: Any = None         # per-slot self-speculation lookup structure
+
+
+def _partial_stop_holdback(text: str, stops) -> int:
+    """Length of the longest suffix of ``text`` that is a proper prefix of
+    any stop string (the reference's find_partial_stop_string) — that many
+    chars must be withheld from the stream until disambiguated."""
+    hb = 0
+    for s in stops:
+        if not s:
+            continue
+        for ln in range(min(len(s) - 1, len(text)), hb, -1):
+            if text.endswith(s[:ln]):
+                hb = ln
+                break
+    return hb
 
 
 class HostPromptCache:
@@ -412,6 +428,7 @@ class BatchEngine:
             slot.n_decoded = 0
             slot.n_shifts = 0
             slot.text = ""
+            slot.n_streamed = 0
             slot.forced = []
             slot.n_think = 0
             slot.pending = b""
@@ -466,11 +483,11 @@ class BatchEngine:
             else:
                 piece = raw.decode("utf-8", errors="replace")
                 slot.pending = b""
-        slot.text += piece
         done = False
         if tok == self.rt.tokenizer.eos_id:
             done = True
-            piece = ""
+            piece = ""            # the eos token's own text is never emitted
+        slot.text += piece
         if slot.n_decoded >= req.n_predict:
             done = True
         for stop_s in req.stop:
@@ -489,7 +506,17 @@ class BatchEngine:
         if req.cancelled:
             done = True
         if req.stream_queue is not None:
-            req.stream_queue.put((int(tok), piece, done))
+            # stream from the (possibly stop-trimmed) accumulated text, and
+            # hold back any suffix that could be the start of a stop string
+            # (find_partial_stop_string, reference server.cpp) — otherwise a
+            # stop string split across tokens leaks to streaming clients
+            safe = len(slot.text)
+            if not done:
+                safe -= _partial_stop_holdback(slot.text, req.stop)
+            out = slot.text[slot.n_streamed: safe] if safe > slot.n_streamed \
+                else ""
+            slot.n_streamed += len(out)
+            req.stream_queue.put((int(tok), out, done))
         if done:
             slot.cache_tokens = list(slot.tokens)
             slot.state = SlotState.IDLE

@@ -243,3 +243,44 @@ def test_small_cache_capacity_eval(tmp_path):
     with _pytest.raises(ValueError, match="KV cache full"):
         while True:
             logits, kv, n_past = rt.eval_tokens([1], kv, n_past)
+
+
+def test_partial_stop_holdback_fn():
+    from ik_llama_cpp_tpu.server.engine import _partial_stop_holdback as hb
+    assert hb("hello wor", ["world"]) == 3       # 'wor' could start 'world'
+    assert hb("hello w", ["world", "wx"]) == 1
+    assert hb("hello", ["world"]) == 0
+    assert hb("ab", ["abc"]) == 2
+    # a FULL match is the stop check's job, not holdback's
+    assert hb("abc", ["abc"]) == 0
+    assert hb("x", [""]) == 0
+
+
+def test_stream_never_leaks_stop_string(engine):
+    """A stop string that spans token boundaries must not reach streaming
+    clients; the streamed concatenation equals the trimmed final text
+    (regression: pieces were streamed before the stop check)."""
+    rt = engine.rt
+    ids = rt.tokenizer.encode("the quick brown fox")
+    # run once unconstrained to learn the greedy continuation text
+    q0 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=10,
+                          sampler=SamplerParams(temp=0.0), stream_queue=q0))
+    text0, done = "", False
+    while not done:
+        _, piece, done = q0.get(timeout=60)
+        text0 += piece
+    if len(text0) < 4:
+        pytest.skip("tiny model produced no usable text")
+    # choose a stop string ending mid-way through the output
+    stop = text0[2: max(4, len(text0) // 2)]
+    q1 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=10,
+                          sampler=SamplerParams(temp=0.0), stop=[stop],
+                          stream_queue=q1))
+    text1, done = "", False
+    while not done:
+        _, piece, done = q1.get(timeout=60)
+        assert stop not in text1 + piece, "stop string leaked to stream"
+        text1 += piece
+    assert text1 == text0[:2]  # everything before the stop string

@@ -174,3 +174,25 @@ def test_fast_candidate_selection_matches_full_sort():
                     assert t1 == t2, (kw, seed, t1, t2)
     finally:
         S._initial_candidates = orig
+
+
+def test_mirostat_bypasses_sampler_queue():
+    """Reference semantics: mirostat skips the truncation chain entirely
+    (common/sampling.cpp builds penalties+temp+mirostat only). With top_k=1
+    in params, mirostat sampling must still reach non-argmax tokens
+    (regression: the chain used to truncate candidates first and apply
+    temperature a second time)."""
+    rng = np.random.default_rng(0)
+    lg = np.zeros(64, np.float32)
+    lg[7] = 1.0          # mild peak: plenty of surprise mass elsewhere
+    p = SamplerParams(temp=1.0, top_k=1, top_p=0.5, min_p=0.5, mirostat=2,
+                      mirostat_tau=8.0)
+    st = SamplerState()
+    picks = {sample(lg, p, rng, state=st) for _ in range(300)}
+    assert len(picks) > 1, "mirostat was truncated by the top_k=1 chain"
+
+    rng = np.random.default_rng(0)
+    p1 = SamplerParams(temp=1.0, top_k=1, mirostat=1, mirostat_tau=8.0)
+    st = SamplerState()
+    picks1 = {sample(lg, p1, rng, state=st) for _ in range(300)}
+    assert len(picks1) > 1
