@@ -308,8 +308,11 @@ def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
             t = int(tok)
             if 0 <= t < len(logits):
                 logits[t] = -np.inf if b <= -100.0 else logits[t] + b
-    logits_orig = logits
     logits = apply_penalties(logits, history or [], p)
+    # adaptive-p's "original" distribution is captured AFTER penalties and
+    # before the sampler queue (llama_prep_adaptive_p runs on the
+    # penalty-adjusted cur_p, common/sampling.cpp:548)
+    logits_orig = logits
 
     if p.temp <= 0.0 and p.mirostat == 0 and p.adaptive_target < 0.0:
         tok = int(np.argmax(logits))
