@@ -155,6 +155,8 @@ class Server:
         r.add_post("/control-vectors/load", self.cvec_load)
         r.add_post("/control-vectors/unload", self.cvec_unload)
         r.add_post("/control-vectors/apply", self.cvec_apply)
+        r.add_post("/profiler/start", self.profiler_start)
+        r.add_post("/profiler/stop", self.profiler_stop)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_post("/completion", self.completion)
@@ -185,6 +187,7 @@ class Server:
         #                    "applied"}] (server-context.cpp:3081 task state)
         self.control_vectors: list[dict] = []
         self.session_db = None      # SessionDB when --sql-save-file given
+        self._profile_dir = None    # active jax.profiler capture dir
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
@@ -579,6 +582,41 @@ class Server:
                 cv["layer_end"] = int(entry["layer_end"])
         self._reapply_cvec()
         return web.json_response({"success": True})
+
+    # ------------------------------------------------- device profiler
+    async def profiler_start(self, request):
+        """POST /profiler/start {"dir"?}: begin a jax.profiler (XPlane)
+        capture of the live serving workload — the TPU analogue of the
+        reference's IK_PRINT_TIMING stage timers / nvtx ranges. View the
+        trace with tensorboard or xprof."""
+        import jax
+        body = await request.json() if request.can_read_body else {}
+        if self._profile_dir is not None:
+            return web.json_response(
+                {"success": False, "error": "profiler already running",
+                 "dir": self._profile_dir}, status=400)
+        logdir = (body or {}).get("dir") or "/tmp/ik_tpu_trace"
+        try:
+            jax.profiler.start_trace(logdir)
+        except Exception as e:
+            return web.json_response({"success": False, "error": str(e)},
+                                     status=400)
+        self._profile_dir = logdir
+        return web.json_response({"success": True, "dir": logdir})
+
+    async def profiler_stop(self, request):
+        import jax
+        if self._profile_dir is None:
+            return web.json_response(
+                {"success": False, "error": "profiler not running"},
+                status=400)
+        logdir, self._profile_dir = self._profile_dir, None
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return web.json_response({"success": False, "error": str(e)},
+                                     status=400)
+        return web.json_response({"success": True, "dir": logdir})
 
     # -------------------------------------------- session DB endpoints
     def _db_or_503(self):

@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--lookahead", action="store_true",
                     help="lookahead decoding (Jacobi window + n-gram "
                          "verification, examples/lookahead)")
+    ap.add_argument("--profile-dir", metavar="DIR",
+                    help="capture a jax.profiler (XPlane) trace of the run "
+                         "into DIR; view with tensorboard/xprof")
     ap.add_argument("--prompt-cache", help="session file: restore the KV state "
                     "if it exists, save it after generation (main.cpp "
                     "--prompt-cache parity)")
@@ -115,18 +118,26 @@ def main(argv=None):
         print(f"\n[{len(ids)} prompt + {len(out)} generated tokens, "
               f"{len(out) / dt:.2f} tok/s]", file=sys.stderr)
 
-    if args.interactive:
-        print("interactive mode — empty line to exit", file=sys.stderr)
-        while True:
-            try:
-                line = input("> ")
-            except (EOFError, KeyboardInterrupt):
-                break
-            if not line.strip():
-                break
-            run(line)
-    else:
-        run(args.prompt)
+    import contextlib
+    from ..runtime.timings import trace
+    prof = trace(args.profile_dir) if args.profile_dir \
+        else contextlib.nullcontext()
+    with prof:
+        if args.interactive:
+            print("interactive mode — empty line to exit", file=sys.stderr)
+            while True:
+                try:
+                    line = input("> ")
+                except (EOFError, KeyboardInterrupt):
+                    break
+                if not line.strip():
+                    break
+                run(line)
+        else:
+            run(args.prompt)
+    if args.profile_dir:
+        print(f"profiler trace written to {args.profile_dir}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

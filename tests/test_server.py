@@ -468,3 +468,21 @@ def test_cvec_apply_invalid_id_leaves_state(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         req(server, "/control-vectors/apply", [{"id": 99, "scale": 1.0}])
     assert e.value.code == 400
+
+
+def test_profiler_endpoints(server, tmp_path_factory):
+    """POST /profiler/start + /profiler/stop capture an XPlane trace of the
+    live serving workload."""
+    d = str(tmp_path_factory.mktemp("prof"))
+    r = req(server, "/profiler/start", {"dir": d})
+    assert r["success"]
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):   # double-start -> 400
+        req(server, "/profiler/start", {"dir": d})
+    req(server, "/v1/completions", {"prompt": "hi", "max_tokens": 2})
+    r = req(server, "/profiler/stop", {})
+    assert r["success"] and r["dir"] == d
+    import pathlib
+    assert any(pathlib.Path(d).rglob("*.xplane.pb"))
+    with pytest.raises(urllib.error.HTTPError):   # stop when idle -> 400
+        req(server, "/profiler/stop", {})
