@@ -358,7 +358,8 @@ def bench_moe(tm, on_tpu):
         "moe_tg_tps_l48_equiv": round(1.0 / t_tg * NL / full_depth, 2),
         "moe_tg_vs_cpu_baseline": round(
             (1.0 / t_tg * NL / full_depth) / 26.35, 2),
-        "moe_config": f"L{NL}/48 E2048 experts128 top8 ffexp768 int8-planar",
+        "moe_config": f"L{NL}/{full_depth} E2048 experts128 top8 ffexp768 "
+                      "int8-planar",
     }
 
 
