@@ -95,6 +95,26 @@ def _sampler_from(body: dict) -> SamplerParams:
     )
 
 
+def _grammar_from(body: dict) -> str | None:
+    """GBNF grammar text from the request: native ``grammar`` /
+    ``json_schema`` fields (server.cpp params_from_json_cmpl) or the OpenAI
+    ``response_format`` object (json_object / json_schema types)."""
+    if body.get("grammar"):
+        return str(body["grammar"])
+    if body.get("json_schema") is not None:
+        from ..runtime.json_schema import json_schema_to_gbnf
+        return json_schema_to_gbnf(body["json_schema"])
+    rf = body.get("response_format")
+    if isinstance(rf, dict):
+        t = rf.get("type")
+        if t in ("json_object", "json_schema"):
+            from ..runtime.json_schema import json_schema_to_gbnf
+            js = rf.get("json_schema", rf)
+            schema = js.get("schema") if isinstance(js, dict) else None
+            return json_schema_to_gbnf(schema if schema is not None else {})
+    return None
+
+
 class Server:
     def __init__(self, engine: BatchEngine, model_name: str = "model",
                  api_key: str | None = None):
@@ -192,6 +212,17 @@ class Server:
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
         q: queue.Queue = queue.Queue()
+        from ..runtime.grammar import Grammar, GBNFParseError
+        try:
+            g_text = _grammar_from(body)
+            if g_text is not None:
+                Grammar(g_text)     # validate before admitting -> clean 400
+        except (GBNFParseError, ValueError, KeyError) as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": {
+                    "message": f"invalid grammar/schema: {e}",
+                    "type": "invalid_request_error"}}),
+                content_type="application/json")
         req = Request(
             prompt_ids=prompt_ids,
             n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
@@ -199,6 +230,7 @@ class Server:
             seed=int(body.get("seed", int(time.time() * 1000) % 2**31)),
             stop=body.get("stop", []) or [],
             reasoning_budget=int(body.get("reasoning_budget", -1)),
+            grammar=g_text,
             stream_queue=q,
         )
         self.engine.submit(req)

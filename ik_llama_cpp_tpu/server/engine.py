@@ -39,6 +39,7 @@ class Request:
     sampler: SamplerParams = field(default_factory=lambda: SamplerParams(temp=0.8))
     seed: int = 0
     stop: list[str] = field(default_factory=list)
+    grammar: str | None = None         # GBNF text (constrained decoding)
     stream_queue: Optional[queue.Queue] = None  # receives (token_id, text|None, done)
     id: int = 0
     cancelled: bool = False       # client disconnect -> slot release
@@ -65,6 +66,7 @@ class Slot:
     forced: list = field(default_factory=list)   # forced next tokens
     n_think: int = 0
     pending: bytes = b""        # partial UTF-8 tail awaiting continuation
+    grammar: Any = None         # per-request GrammarSampler (stateful)
     t_start: float = 0.0
     t_first_token: float = 0.0
     drafter: Any = None         # per-slot self-speculation lookup structure
@@ -434,6 +436,11 @@ class BatchEngine:
             slot.pending = b""
             slot.rng = np.random.default_rng(req.seed)
             slot.sampler_state = SamplerState()
+            slot.grammar = None
+            if req.grammar:
+                from ..runtime.grammar import Grammar, GrammarSampler
+                slot.grammar = GrammarSampler(Grammar(req.grammar),
+                                              self.rt.tokenizer)
             slot.state = SlotState.PREFILL
             slot.t_start = time.time()
 
@@ -464,6 +471,12 @@ class BatchEngine:
         req = slot.req
         if slot.forced:
             tok = slot.forced.pop(0)
+        elif slot.grammar is not None:
+            # constrained decoding: chain once, grammar-mask the surviving
+            # candidates (the reference's lazy grammar sampler); the
+            # sampler's state advances with the accepted text
+            tok = slot.grammar.filter_and_pick(logits, req.sampler, slot.rng,
+                                               history=slot.tokens)
         else:
             tok = sample_token(logits, req.sampler, slot.rng,
                                history=slot.tokens, state=slot.sampler_state)

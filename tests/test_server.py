@@ -486,3 +486,34 @@ def test_profiler_endpoints(server, tmp_path_factory):
     assert any(pathlib.Path(d).rglob("*.xplane.pb"))
     with pytest.raises(urllib.error.HTTPError):   # stop when idle -> 400
         req(server, "/profiler/stop", {})
+
+
+def test_grammar_constrained_completion(server):
+    """Native `grammar` field constrains generation (server.cpp grammar
+    param); output must match the GBNF exactly."""
+    g = 'root ::= "yes" | "no"'
+    r = req(server, "/completion", {"prompt": "Answer:", "grammar": g,
+                                    "n_predict": 8, "temperature": 0.9})
+    assert r["content"] in ("yes", "no"), r["content"]
+
+
+def test_json_schema_response_format(server):
+    """OpenAI response_format json_schema produces schema-valid JSON."""
+    schema = {"type": "object", "properties": {"n": {"type": "integer"}},
+              "required": ["n"]}
+    r = req(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "give a number"}],
+        "max_tokens": 48, "temperature": 0.9,
+        "response_format": {"type": "json_schema",
+                            "json_schema": {"schema": schema}}})
+    out = r["choices"][0]["message"]["content"]
+    doc = json.loads(out)
+    assert isinstance(doc, dict) and isinstance(doc.get("n"), int), out
+
+
+def test_invalid_grammar_is_400(server):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req(server, "/completion", {"prompt": "x",
+                                    "grammar": 'foo ::= "a"'})  # no root
+    assert e.value.code == 400
