@@ -58,6 +58,7 @@ class SamplerParams:
     logit_bias: dict = field(default_factory=dict)
     samplers: tuple = DEFAULT_ORDER
     n_vocab_hint: int = 0
+    min_keep: int = 1        # floor on surviving candidates per stage
 
 
 @dataclass
@@ -116,8 +117,8 @@ def _initial_candidates(logits: np.ndarray, p: SamplerParams):
         if enabled:
             first = stage
             break
-    if first == "top_k" and p.top_k < n:
-        order = _top_sorted(logits, p.top_k)
+    if first == "top_k" and max(p.top_k, p.min_keep) < n:
+        order = _top_sorted(logits, max(p.top_k, p.min_keep))
         lg = logits[order]
         return order, lg, _softmax(lg)
     if first == "top_p" and n > 2048:
@@ -348,31 +349,38 @@ def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
                 lg = biased[order]
                 probs = _softmax(lg)
         elif stage == "top_k" and p.top_k > 0:
-            lg, order = lg[:p.top_k], order[:p.top_k]
+            k = max(p.top_k, p.min_keep)
+            lg, order = lg[:k], order[:k]
             probs = _softmax(lg)
         elif stage == "tfs_z" and p.tfs_z < 1.0 and len(probs) > 2:
             d2 = np.abs(np.diff(probs, 2))
             d2 = d2 / (d2.sum() or 1.0)
             cum = np.cumsum(d2)
             keep = max(int(np.searchsorted(cum, p.tfs_z) + 1), 1)
-            lg, order = lg[:keep + 2], order[:keep + 2]
+            keep = max(keep + 2, p.min_keep)
+            lg, order = lg[:keep], order[:keep]
             probs = _softmax(lg)
         elif stage == "typical_p" and p.typical_p < 1.0:
             ent = -np.sum(probs * np.log(probs + 1e-12))
             shifted = np.abs(-np.log(probs + 1e-12) - ent)
             srt = np.argsort(shifted)
-            cum = np.cumsum(probs[srt])
-            keep = srt[: max(1, int(np.searchsorted(cum, p.typical_p) + 1))]
+            n_keep = max(p.min_keep, 1,
+                         int(np.searchsorted(np.cumsum(probs[srt]),
+                                             p.typical_p) + 1))
+            keep = srt[:n_keep]
             keep.sort()
             lg, order = lg[keep], order[keep]
             probs = _softmax(lg)
         elif stage == "top_p" and p.top_p < 1.0:
             cum = np.cumsum(probs)
-            keep = max(1, int(np.searchsorted(cum, p.top_p) + 1))
+            keep = max(1, p.min_keep, int(np.searchsorted(cum, p.top_p) + 1))
             lg, order = lg[:keep], order[:keep]
             probs = _softmax(lg)
         elif stage == "min_p" and p.min_p > 0.0:
             mask = probs >= p.min_p * probs.max()
+            if mask.sum() < p.min_keep:       # candidates are sorted desc
+                mask[:] = False
+                mask[:p.min_keep] = True
             lg, order = lg[mask], order[mask]
             probs = _softmax(lg)
         elif stage == "xtc" and p.xtc_probability > 0.0:
@@ -382,11 +390,15 @@ def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
                     idx = np.where(above)[0]
                     keepmask = np.ones(len(probs), bool)
                     keepmask[idx[:-1]] = False
-                    lg, order = lg[keepmask], order[keepmask]
-                    probs = _softmax(lg)
+                    if keepmask.sum() >= max(1, p.min_keep):
+                        lg, order = lg[keepmask], order[keepmask]
+                        probs = _softmax(lg)
         elif stage == "top_n_sigma" and p.top_n_sigma > 0.0:
             sd = lg.std()
             mask = lg >= (lg.max() - p.top_n_sigma * sd)
+            if mask.sum() < p.min_keep:
+                mask[:] = False
+                mask[:p.min_keep] = True
             lg, order = lg[mask], order[mask]
             probs = _softmax(lg)
         elif stage == "temperature":

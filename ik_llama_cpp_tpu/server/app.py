@@ -52,7 +52,7 @@ def decode_wav(data: bytes):
     return samples
 
 
-def _sampler_from(body: dict) -> SamplerParams:
+def _sampler_from(body: dict, tok=None) -> SamplerParams:
     bias = {}
     lb = body.get("logit_bias")
     if isinstance(lb, dict):
@@ -65,6 +65,17 @@ def _sampler_from(body: dict) -> SamplerParams:
     if "samplers" in body:
         s = body["samplers"]
         kw["samplers"] = tuple(s.split(";") if isinstance(s, str) else s)
+    # DRY sequence breakers arrive as strings; matching works on token ids
+    brk = body.get("dry_sequence_breakers")
+    if brk and tok is not None:
+        ids = []
+        for s in brk if isinstance(brk, list) else [brk]:
+            ids.extend(tok.encode(str(s), add_bos=False)
+                       if hasattr(tok, "encode") else [])
+        kw["dry_sequence_breaker_ids"] = tuple(ids)
+    if body.get("ignore_eos") and tok is not None \
+            and tok.eos_id is not None:
+        bias[int(tok.eos_id)] = -101.0
     return SamplerParams(
         temp=float(body.get("temperature", 0.8)),
         dynatemp_range=float(body.get("dynatemp_range", 0.0)),
@@ -90,9 +101,23 @@ def _sampler_from(body: dict) -> SamplerParams:
         mirostat_eta=float(body.get("mirostat_eta", 0.1)),
         adaptive_target=float(body.get("adaptive_target", -1.0)),
         adaptive_decay=float(body.get("adaptive_decay", 0.9)),
+        min_keep=max(1, int(body.get("min_keep", 1))),
         logit_bias=bias,
         **kw,
     )
+
+
+def _n_probs_from(body: dict) -> int:
+    """Top-logprob count: native n_probs, OpenAI completions `logprobs: N`,
+    or OpenAI chat `logprobs: true` + `top_logprobs: N`."""
+    if body.get("n_probs"):
+        return int(body["n_probs"])
+    lp = body.get("logprobs")
+    if lp is True:
+        return max(1, int(body.get("top_logprobs") or 1))
+    if isinstance(lp, int) and not isinstance(lp, bool) and lp > 0:
+        return int(lp)
+    return 0
 
 
 def _grammar_from(body: dict) -> str | None:
@@ -210,7 +235,8 @@ class Server:
         self._profile_dir = None    # active jax.profiler capture dir
 
     # ------------------------------------------------------------ helpers
-    async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None):
+    async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None,
+                   req_out: dict | None = None):
         q: queue.Queue = queue.Queue()
         from ..runtime.grammar import Grammar, GBNFParseError
         try:
@@ -226,13 +252,18 @@ class Server:
         req = Request(
             prompt_ids=prompt_ids,
             n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
-            sampler=_sampler_from(body),
+            sampler=_sampler_from(body, tok=self.rt.tokenizer),
             seed=int(body.get("seed", int(time.time() * 1000) % 2**31)),
             stop=body.get("stop", []) or [],
             reasoning_budget=int(body.get("reasoning_budget", -1)),
             grammar=g_text,
+            n_probs=_n_probs_from(body),
+            n_keep=int(body.get("n_keep", -1)),
+            n_discard=int(body.get("n_discard", -1)),
             stream_queue=q,
         )
+        if req_out is not None:
+            req_out["req"] = req
         self.engine.submit(req)
         loop = asyncio.get_event_loop()
         toks, text = [], []
@@ -763,11 +794,21 @@ class Server:
                  "tokens_predicted": len(toks)}).encode() + b"\n\n")
             await resp.write_eof()
             return resp
-        toks, text = await self._run(ids, body, False)
-        return web.json_response({
+        ro: dict = {}
+        toks, text = await self._run(ids, body, False, req_out=ro)
+        out = {
             "content": text, "tokens_predicted": len(toks),
             "tokens_evaluated": len(ids), "stop": True, "model": self.model_name,
-        })
+        }
+        probs = ro.get("req").probs_out if ro.get("req") else []
+        if probs:
+            dec = lambda t: self.rt.tokenizer.decode([int(t)])
+            out["completion_probabilities"] = [
+                {"content": dec(p["id"]),
+                 "probs": [{"tok_str": dec(i), "prob": float(np.exp(lp))}
+                           for i, lp in p["top"]]}
+                for p in probs]
+        return web.json_response(out)
 
     async def oai_completions(self, request):
         body = await request.json()
@@ -786,14 +827,34 @@ class Server:
                 await resp.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
 
             await self._run(ids, body, True, on_token)
+            if isinstance(body.get("stream_options"), dict) and \
+                    body["stream_options"].get("include_usage"):
+                usage_chunk = {"id": rid, "object": "text_completion",
+                               "created": int(time.time()),
+                               "model": self.model_name, "choices": [],
+                               "usage": {"prompt_tokens": len(ids)}}
+                await resp.write(b"data: " + json.dumps(usage_chunk).encode()
+                                 + b"\n\n")
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
-        toks, text = await self._run(ids, body, False)
+        ro: dict = {}
+        toks, text = await self._run(ids, body, False, req_out=ro)
+        choice = {"index": 0, "text": text, "finish_reason": "stop"}
+        probs = ro.get("req").probs_out if ro.get("req") else []
+        if probs:
+            dec = lambda t: self.rt.tokenizer.decode([int(t)])
+            choice["logprobs"] = {
+                "tokens": [dec(p["id"]) for p in probs],
+                "token_logprobs": [p["logprob"] for p in probs],
+                "top_logprobs": [{dec(i): lp for i, lp in p["top"]}
+                                 for p in probs],
+                "text_offset": [],
+            }
         return web.json_response({
             "id": rid, "object": "text_completion", "created": int(time.time()),
             "model": self.model_name,
-            "choices": [{"index": 0, "text": text, "finish_reason": "stop"}],
+            "choices": [choice],
             "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
                       "total_tokens": len(ids) + len(toks)},
         })
@@ -862,7 +923,8 @@ class Server:
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
-        toks, text = await self._run(ids, body, False)
+        ro: dict = {}
+        toks, text = await self._run(ids, body, False, req_out=ro)
         reasoning, content, calls = self._parse_chat_output(text)
         message = {"role": "assistant", "content": content or None}
         if reasoning:
@@ -871,11 +933,19 @@ class Server:
         if calls:
             message["tool_calls"] = [c.to_openai() for c in calls]
             finish = "tool_calls"
+        choice = {"index": 0, "message": message, "finish_reason": finish}
+        probs = ro.get("req").probs_out if ro.get("req") else []
+        if probs:
+            dec = lambda t: self.rt.tokenizer.decode([int(t)])
+            choice["logprobs"] = {"content": [
+                {"token": dec(p["id"]), "logprob": p["logprob"],
+                 "top_logprobs": [{"token": dec(i), "logprob": lp}
+                                  for i, lp in p["top"]]}
+                for p in probs]}
         return web.json_response({
             "id": rid, "object": "chat.completion", "created": int(time.time()),
             "model": self.model_name,
-            "choices": [{"index": 0, "message": message,
-                         "finish_reason": finish}],
+            "choices": [choice],
             "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
                       "total_tokens": len(ids) + len(toks)},
         })

@@ -46,6 +46,15 @@ class Request:
     # max tokens inside <think>...</think> before a forced close
     # (common/reasoning-budget.cpp semantics; -1 = unlimited)
     reasoning_budget: int = -1
+    # n_probs > 0: per emitted token append {"id", "logprob", "top":
+    # [(id, logprob) x n_probs]} to probs_out, index-aligned with the
+    # stream queue's token entries (server n_probs / OpenAI logprobs)
+    n_probs: int = 0
+    probs_out: list = field(default_factory=list)
+    # context-shift tuning (server n_keep / n_discard request fields);
+    # -1 = engine defaults (prompt head capped at capacity/4, half the rest)
+    n_keep: int = -1
+    n_discard: int = -1
 
 
 @dataclass
@@ -483,6 +492,17 @@ class BatchEngine:
         slot.tokens.append(int(tok))
         slot.n_decoded += 1
         self.n_tokens_predicted += 1
+        if req.n_probs > 0:
+            # log-softmax over the raw logits (pre-sampling probabilities,
+            # the reference's default n_probs mode)
+            lg = np.asarray(logits, np.float32).reshape(-1)
+            lse = float(np.logaddexp.reduce(lg))
+            n = min(req.n_probs, len(lg))
+            top_ids = np.argpartition(-lg, n - 1)[:n]
+            top_ids = top_ids[np.argsort(-lg[top_ids])]
+            req.probs_out.append({
+                "id": int(tok), "logprob": float(lg[int(tok)] - lse),
+                "top": [(int(t), float(lg[t] - lse)) for t in top_ids]})
         # streaming-safe detok: buffer bytes until they form valid UTF-8
         raw = slot.pending + self.rt.tokenizer.decode_bytes([int(tok)])
         try:
@@ -717,9 +737,14 @@ class BatchEngine:
         llama-build-context.cpp:153); others fall back to a re-prefill."""
         from ..runtime.kshift import can_shift, k_shift
         import jax.numpy as jnp
+        req = slot.req
         n_keep = min(slot.n_prompt, self.capacity // 4)
+        if req is not None and req.n_keep >= 0:
+            n_keep = min(req.n_keep, slot.n_past - 1)
         n_rest = slot.n_past - n_keep
         n_discard = n_rest // 2
+        if req is not None and req.n_discard > 0:
+            n_discard = min(req.n_discard, n_rest)
         kept = (slot.tokens[:n_keep]
                 + slot.tokens[n_keep + n_discard:])
         slot.n_shifts += 1

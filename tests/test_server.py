@@ -517,3 +517,47 @@ def test_invalid_grammar_is_400(server):
         req(server, "/completion", {"prompt": "x",
                                     "grammar": 'foo ::= "a"'})  # no root
     assert e.value.code == 400
+
+
+def test_completion_n_probs(server):
+    """Native n_probs returns per-token top probabilities
+    (completion_probabilities, server.cpp n_probs)."""
+    r = req(server, "/completion", {"prompt": "hello", "n_predict": 3,
+                                    "n_probs": 4, "temperature": 0.0,
+                                    "ignore_eos": True})
+    cp = r["completion_probabilities"]
+    assert len(cp) == 3 and len(cp[0]["probs"]) == 4
+    ps = [x["prob"] for x in cp[0]["probs"]]
+    assert ps == sorted(ps, reverse=True) and 0 <= ps[0] <= 1
+    # greedy: the chosen token is the top-1 candidate
+    assert cp[0]["content"] == cp[0]["probs"][0]["tok_str"]
+
+
+def test_oai_logprobs(server):
+    """OpenAI completions `logprobs: N` and chat `logprobs+top_logprobs`."""
+    r = req(server, "/v1/completions", {"prompt": "hi", "max_tokens": 2,
+                                        "logprobs": 3, "temperature": 0.0,
+                                        "ignore_eos": True})
+    lp = r["choices"][0]["logprobs"]
+    # top_logprobs is a {token_str: logprob} dict — identical decoded
+    # strings (byte-fallback tokens on the tiny vocab) may collide
+    assert len(lp["tokens"]) == 2 and 1 <= len(lp["top_logprobs"][0]) <= 3, r
+    assert lp["token_logprobs"][0] <= 0.0
+
+    r = req(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}], "max_tokens": 2,
+        "logprobs": True, "top_logprobs": 2, "temperature": 0.0,
+        "ignore_eos": True})
+    entries = r["choices"][0]["logprobs"]["content"]
+    assert len(entries) == 2 and len(entries[0]["top_logprobs"]) == 2, r
+
+
+def test_ignore_eos_and_min_keep(server):
+    """ignore_eos keeps generating past EOS; min_keep floors truncation."""
+    r = req(server, "/completion", {"prompt": "x", "n_predict": 8,
+                                    "ignore_eos": True, "temperature": 0.0})
+    assert r["tokens_predicted"] == 8
+    r = req(server, "/completion", {"prompt": "x", "n_predict": 4,
+                                    "top_k": 1, "min_keep": 3,
+                                    "temperature": 0.9, "seed": 7})
+    assert r["tokens_predicted"] == 4
