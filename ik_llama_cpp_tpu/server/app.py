@@ -260,6 +260,16 @@ class Server:
             n_probs=_n_probs_from(body),
             n_keep=int(body.get("n_keep", -1)),
             n_discard=int(body.get("n_discard", -1)),
+            banned_strings=[str(s).lower()
+                            for s in body.get("banned_strings") or [] if s],
+            banned_regex=[str(s) for s in body.get("banned_regex") or []
+                          if s],
+            banned_regex_ci=[str(s)
+                             for s in body.get("banned_regex_ci") or [] if s],
+            banned_bias=float(body.get("banned_bias", -999.0)),
+            banned_n=int(body.get("banned_n", 1)),
+            banbuffer=int(body.get("banbuffer_size", 0)),
+            rewind_count_max=int(body.get("rewind_count_max", -1)),
             stream_queue=q,
         )
         if req_out is not None:

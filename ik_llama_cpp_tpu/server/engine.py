@@ -55,6 +55,18 @@ class Request:
     # -1 = engine defaults (prompt head capped at capacity/4, half the rest)
     n_keep: int = -1
     n_discard: int = -1
+    # banned-phrase rewind (reference banned_strings/banned_regex[_ci]/
+    # banned_bias/banned_n/banbuffer_size/rewind_count_max fields,
+    # server-context.cpp:4508 rewind_context): when a banned pattern
+    # appears in the held-back text, the slot rewinds to the token where
+    # the match starts, bans/biases that position's token(s), and resamples
+    banned_strings: list = field(default_factory=list)   # lowercased
+    banned_regex: list = field(default_factory=list)
+    banned_regex_ci: list = field(default_factory=list)
+    banned_bias: float = -999.0
+    banned_n: int = 1
+    banbuffer: int = 0            # chars held from the stream (0 = auto)
+    rewind_count_max: int = -1    # -1 heuristic, 0 unlimited, >0 strict
 
 
 @dataclass
@@ -76,6 +88,9 @@ class Slot:
     n_think: int = 0
     pending: bytes = b""        # partial UTF-8 tail awaiting continuation
     grammar: Any = None         # per-request GrammarSampler (stateful)
+    gen_pieces: list = field(default_factory=list)  # text piece per gen token
+    pos_bans: dict = field(default_factory=dict)    # token index -> {ids}
+    rewind_count: int = 0
     t_start: float = 0.0
     t_first_token: float = 0.0
     drafter: Any = None         # per-slot self-speculation lookup structure
@@ -200,6 +215,7 @@ class BatchEngine:
         self.n_prompt_tokens_processed = 0
         self.n_prompt_tokens_cached = 0
         self.n_tokens_predicted = 0
+        self.n_rewinds = 0
         self.n_requests = 0
         self.n_draft_proposed = 0
         self.n_draft_accepted = 0
@@ -450,6 +466,23 @@ class BatchEngine:
                 from ..runtime.grammar import Grammar, GrammarSampler
                 slot.grammar = GrammarSampler(Grammar(req.grammar),
                                               self.rt.tokenizer)
+            slot.gen_pieces = []
+            slot.pos_bans = {}
+            slot.rewind_count = 0
+            if self.rt.recurrent and (req.banned_strings or req.banned_regex
+                                      or req.banned_regex_ci):
+                # SSM/conv state cannot be rewound without the checkpoint
+                # ring; disable the feature for recurrent models
+                req.banned_strings = []
+                req.banned_regex = []
+                req.banned_regex_ci = []
+                req.banbuffer = 0
+            if req.banned_strings and req.banbuffer <= 0:
+                # auto buffer: longest phrase + 1 chars (reference n_buffer)
+                req.banbuffer = max(len(s) for s in req.banned_strings) + 1
+            if (req.banned_regex or req.banned_regex_ci) \
+                    and req.banbuffer <= 0:
+                req.banbuffer = 64
             slot.state = SlotState.PREFILL
             slot.t_start = time.time()
 
@@ -478,6 +511,14 @@ class BatchEngine:
 
     def _emit_token(self, slot: Slot, logits: np.ndarray):
         req = slot.req
+        bans = slot.pos_bans.get(len(slot.tokens))
+        if bans:
+            # positional bans from a banned-phrase rewind: bias the tokens
+            # that produced the match at exactly this position
+            # (server-context.cpp:4773)
+            logits = np.asarray(logits, np.float32).copy()
+            for t in bans:
+                logits[t] += req.banned_bias
         if slot.forced:
             tok = slot.forced.pop(0)
         elif slot.grammar is not None:
@@ -521,6 +562,12 @@ class BatchEngine:
             done = True
             piece = ""            # the eos token's own text is never emitted
         slot.text += piece
+        slot.gen_pieces.append(piece)
+        if not done and slot.grammar is None and (
+                req.banned_strings or req.banned_regex
+                or req.banned_regex_ci):
+            if self._check_bans(slot):
+                return True       # rewound: nothing emitted this round
         if slot.n_decoded >= req.n_predict:
             done = True
         for stop_s in req.stop:
@@ -545,7 +592,9 @@ class BatchEngine:
             # stop string split across tokens leaks to streaming clients
             safe = len(slot.text)
             if not done:
-                safe -= _partial_stop_holdback(slot.text, req.stop)
+                hb = _partial_stop_holdback(slot.text, req.stop)
+                # ban buffer: the rewindable tail must never be streamed
+                safe -= max(hb, req.banbuffer)
             out = slot.text[slot.n_streamed: safe] if safe > slot.n_streamed \
                 else ""
             slot.n_streamed += len(out)
@@ -554,6 +603,70 @@ class BatchEngine:
             slot.cache_tokens = list(slot.tokens)
             slot.state = SlotState.IDLE
             slot.req = None
+
+    def _check_bans(self, slot: Slot) -> bool:
+        """Banned-phrase rewind (rewind_context, server-context.cpp:4508):
+        search the held-back tail of the generated text for banned
+        strings/regexes; on a match, ban the matched position's token(s)
+        and rewind the slot to regenerate from there. The KV rewind is
+        free — rows past n_past are simply overwritten (same property the
+        speculative verifier relies on). Returns True when rewound."""
+        import re as _re
+        req = slot.req
+        W = req.banbuffer
+        win = slot.text[-W:] if W > 0 else slot.text
+        base = len(slot.text) - len(win)
+        best = None
+        low = win.lower()
+        for ph in req.banned_strings:
+            i = low.find(ph)
+            if i >= 0 and (best is None or i < best):
+                best = i
+        for pats, flags in ((req.banned_regex, 0),
+                            (req.banned_regex_ci, _re.IGNORECASE)):
+            for pat in pats:
+                try:
+                    m = _re.search(pat, win, flags)
+                except _re.error:
+                    continue
+                if m and (best is None or m.start() < best):
+                    best = m.start()
+        if best is None:
+            return False
+        # rewind budget (reference heuristic / strict / unlimited modes)
+        total = (len(req.banned_strings) + len(req.banned_regex)
+                 + len(req.banned_regex_ci))
+        if req.rewind_count_max == -1:
+            if slot.rewind_count >= 20 and slot.rewind_count > 2 * total:
+                return False
+        elif req.rewind_count_max > 0 and \
+                slot.rewind_count >= req.rewind_count_max:
+            return False
+        # char offset of the match -> generated-token index g
+        off = base + best
+        cum = 0
+        g = 0
+        for g, p in enumerate(slot.gen_pieces):
+            if cum + len(p) > off:
+                break
+            cum += len(p)
+        ban_idx = slot.n_prompt + g
+        n = req.banned_n
+        banned = (slot.tokens[ban_idx: ban_idx + n] if n > 0
+                  else slot.tokens[ban_idx:] if n < 0 else [])
+        if banned:
+            slot.pos_bans.setdefault(ban_idx, set()).update(
+                int(t) for t in banned)
+        slot.rewind_count += 1
+        self.n_rewinds += 1
+        slot.tokens = slot.tokens[:ban_idx]
+        slot.gen_pieces = slot.gen_pieces[:g]
+        slot.text = slot.text[:cum]
+        slot.n_decoded = g
+        slot.n_past = ban_idx - 1
+        slot.pending = b""
+        slot.n_streamed = min(slot.n_streamed, cum)
+        return True
 
     def _do_prefill_batch(self, slots: list):
         """One chunk step for several PREFILL slots sharing a bucket size."""
@@ -665,7 +778,8 @@ class BatchEngine:
             acc = 0
             while s.state == SlotState.GENERATING:
                 prev_len = len(s.tokens)
-                self._emit_token(s, logits_np[s.idx, pos])
+                if self._emit_token(s, logits_np[s.idx, pos]):
+                    break        # banned-phrase rewind: n_past already reset
                 tok = s.tokens[prev_len] if len(s.tokens) > prev_len else None
                 s.n_past += 1
                 if s.n_past >= self.capacity - 1:
@@ -748,6 +862,13 @@ class BatchEngine:
         kept = (slot.tokens[:n_keep]
                 + slot.tokens[n_keep + n_discard:])
         slot.n_shifts += 1
+        if slot.req is not None and slot.pos_bans is not None:
+            # a shift renumbers token positions; absolute-position bans and
+            # the piece<->token alignment no longer hold — disable rewind
+            slot.pos_bans = {}
+            slot.req.banned_strings = []
+            slot.req.banned_regex = []
+            slot.req.banned_regex_ci = []
         if can_shift(self.rt.cfg) and n_discard > 0 and not self.rt.kv_quant:
             # per-slot in-place K-shift on the shared batch cache
             from ..models.llama import KVCache

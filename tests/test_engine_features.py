@@ -284,3 +284,67 @@ def test_stream_never_leaks_stop_string(engine):
         assert stop not in text1 + piece, "stop string leaked to stream"
         text1 += piece
     assert text1 == text0[:2]  # everything before the stop string
+
+
+def test_banned_phrase_rewind(engine):
+    """Banned-string rewind (server-context.cpp rewind_context): the output
+    must avoid the banned text by rewinding to the match and resampling
+    with the offending token banned; streamed pieces never leak it."""
+    rt = engine.rt
+    ids = rt.tokenizer.encode("the quick brown fox")
+    q0 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=12,
+                          sampler=SamplerParams(temp=0.0,
+                                                logit_bias={2: -101.0}),
+                          stream_queue=q0))
+    base, done = "", False
+    while not done:
+        _, piece, done = q0.get(timeout=60)
+        base += piece
+    assert len(base) >= 6, base
+    banned = base[3:6]
+    before = engine.n_rewinds
+    q1 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=12,
+                          sampler=SamplerParams(temp=0.0,
+                                                logit_bias={2: -101.0}),
+                          banned_strings=[banned.lower()],
+                          stream_queue=q1))
+    text, done = "", False
+    while not done:
+        _, piece, done = q1.get(timeout=120)
+        text += piece
+        assert banned.lower() not in text.lower(), (banned, text)
+    assert engine.n_rewinds > before
+    assert banned.lower() not in text.lower()
+    assert text != base
+
+
+def test_banned_regex_rewind(engine):
+    """banned_regex_ci matches case-insensitively on the held-back tail."""
+    rt = engine.rt
+    ids = rt.tokenizer.encode("alpha beta gamma")
+    q0 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=10,
+                          sampler=SamplerParams(temp=0.0,
+                                                logit_bias={2: -101.0}),
+                          stream_queue=q0))
+    base, done = "", False
+    while not done:
+        _, piece, done = q0.get(timeout=60)
+        base += piece
+    if len(base) < 5:
+        pytest.skip("no usable text")
+    import re
+    pat = re.escape(base[2:5])
+    q1 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=10,
+                          sampler=SamplerParams(temp=0.0,
+                                                logit_bias={2: -101.0}),
+                          banned_regex_ci=[pat.upper()],
+                          stream_queue=q1))
+    text, done = "", False
+    while not done:
+        _, piece, done = q1.get(timeout=120)
+        text += piece
+    assert re.search(pat, text, re.IGNORECASE) is None, (pat, text)

@@ -561,3 +561,18 @@ def test_ignore_eos_and_min_keep(server):
                                     "top_k": 1, "min_keep": 3,
                                     "temperature": 0.9, "seed": 7})
     assert r["tokens_predicted"] == 4
+
+
+def test_banned_strings_rewind(server):
+    """banned_strings rewinds and resamples so the output avoids the
+    phrase (server-context.cpp rewind feature)."""
+    r0 = req(server, "/completion", {"prompt": "the quick", "n_predict": 10,
+                                     "temperature": 0.0, "ignore_eos": True})
+    base = r0["content"]
+    if len(base) < 6:
+        pytest.skip("no usable text")
+    banned = base[2:5]
+    r1 = req(server, "/completion", {"prompt": "the quick", "n_predict": 10,
+                                     "temperature": 0.0, "ignore_eos": True,
+                                     "banned_strings": [banned]})
+    assert banned.lower() not in r1["content"].lower(), (banned, r1)
