@@ -59,6 +59,8 @@ class SamplerParams:
     samplers: tuple = DEFAULT_ORDER
     n_vocab_hint: int = 0
     min_keep: int = 1        # floor on surviving candidates per stage
+    penalize_nl: bool = True  # False: newline logit restored after penalties
+    nl_token_id: int = -1     # the newline token (set by the server layer)
 
 
 @dataclass
@@ -141,6 +143,9 @@ def apply_penalties(logits, history, p: SamplerParams):
     if not history or (p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
                        and p.penalty_present == 0.0):
         return logits
+    nl_logit = (float(logits[p.nl_token_id])
+                if not p.penalize_nl and 0 <= p.nl_token_id < len(logits)
+                else None)
     logits = logits.copy()
     recent = history[-p.penalty_last_n:] if p.penalty_last_n > 0 else history
     uniq, counts = np.unique(np.asarray(recent), return_counts=True)
@@ -149,6 +154,10 @@ def apply_penalties(logits, history, p: SamplerParams):
         l = np.where(l > 0, l / p.penalty_repeat, l * p.penalty_repeat)
     logits[uniq] = l - (counts * p.penalty_freq
                         + (counts > 0) * p.penalty_present)
+    if nl_logit is not None:
+        # penalize_nl=false restores the newline's pre-penalty logit
+        # (llama_sampling_prepare's nl_logit save/restore)
+        logits[p.nl_token_id] = nl_logit
     return logits
 
 

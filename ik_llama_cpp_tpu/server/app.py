@@ -76,6 +76,11 @@ def _sampler_from(body: dict, tok=None) -> SamplerParams:
     if body.get("ignore_eos") and tok is not None \
             and tok.eos_id is not None:
         bias[int(tok.eos_id)] = -101.0
+    if body.get("penalize_nl") is False and tok is not None:
+        nl = tok.encode("\n", add_bos=False)
+        if nl:
+            kw["penalize_nl"] = False
+            kw["nl_token_id"] = int(nl[-1])
     return SamplerParams(
         temp=float(body.get("temperature", 0.8)),
         dynatemp_range=float(body.get("dynatemp_range", 0.0)),
@@ -255,7 +260,8 @@ class Server:
             sampler=_sampler_from(body, tok=self.rt.tokenizer),
             seed=int(body.get("seed", int(time.time() * 1000) % 2**31)),
             stop=body.get("stop", []) or [],
-            reasoning_budget=int(body.get("reasoning_budget", -1)),
+            reasoning_budget=int(body.get(
+                "reasoning_budget", body.get("reasoning_budget_tokens", -1))),
             grammar=g_text,
             n_probs=_n_probs_from(body),
             n_keep=int(body.get("n_keep", -1)),
@@ -270,6 +276,15 @@ class Server:
             banned_n=int(body.get("banned_n", 1)),
             banbuffer=int(body.get("banbuffer_size", 0)),
             rewind_count_max=int(body.get("rewind_count_max", -1)),
+            saturate_predict=bool(body.get("saturate_predict", False)),
+            post_sampling_probs=bool(body.get("post_sampling_probs", False)),
+            cache_prompt=bool(body.get("cache_prompt", True)),
+            reasoning_start_tag=str(
+                body.get("reasoning_budget_start_tag") or "<think>"),
+            reasoning_end_tag=str(
+                body.get("reasoning_budget_end_tag") or "</think>"),
+            reasoning_message=str(
+                body.get("reasoning_budget_message") or "\n"),
             stream_queue=q,
         )
         if req_out is not None:
@@ -793,10 +808,19 @@ class Server:
             resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
             await resp.prepare(request)
 
+            t_last = [time.time()]
+
             async def on_token(piece, done):
+                payload = {"content": piece, "stop": done}
+                if body.get("timings_per_token"):
+                    now = time.time()
+                    dt = max(now - t_last[0], 1e-9)
+                    t_last[0] = now
+                    payload["timings"] = {
+                        "predicted_per_token_ms": round(dt * 1e3, 3),
+                        "predicted_per_second": round(1.0 / dt, 2)}
                 await resp.write(
-                    b"data: " + json.dumps(
-                        {"content": piece, "stop": done}).encode() + b"\n\n")
+                    b"data: " + json.dumps(payload).encode() + b"\n\n")
 
             toks, text = await self._run(ids, body, True, on_token)
             await resp.write(b"data: " + json.dumps(

@@ -50,6 +50,7 @@ class Request:
     # [(id, logprob) x n_probs]} to probs_out, index-aligned with the
     # stream queue's token entries (server n_probs / OpenAI logprobs)
     n_probs: int = 0
+    post_sampling_probs: bool = False   # probs from the post-chain candidates
     probs_out: list = field(default_factory=list)
     # context-shift tuning (server n_keep / n_discard request fields);
     # -1 = engine defaults (prompt head capped at capacity/4, half the rest)
@@ -67,6 +68,15 @@ class Request:
     banned_n: int = 1
     banbuffer: int = 0            # chars held from the stream (0 = auto)
     rewind_count_max: int = -1    # -1 heuristic, 0 unlimited, >0 strict
+    # rewound tokens don't consume the n_predict budget when set
+    # (reference saturate_predict, server-context.cpp:4561)
+    saturate_predict: bool = False
+    # reasoning-budget tag customization (reasoning_budget_start_tag /
+    # _end_tag / _message request fields)
+    reasoning_start_tag: str = "<think>"
+    reasoning_end_tag: str = "</think>"
+    reasoning_message: str = "\n"
+    cache_prompt: bool = True     # false disables prefix/KV reuse
 
 
 @dataclass
@@ -431,11 +441,12 @@ class BatchEngine:
             # previous contents (update_slots' cache_tokens matching,
             # server-context.cpp) — at least one token must be re-evaluated
             prefix = 0
-            for a, b in zip(slot.cache_tokens, slot.tokens):
-                if a != b:
-                    break
-                prefix += 1
-            if self.prompt_cache is not None:
+            if req.cache_prompt:
+                for a, b in zip(slot.cache_tokens, slot.tokens):
+                    if a != b:
+                        break
+                    prefix += 1
+            if self.prompt_cache is not None and req.cache_prompt:
                 # RAM tier: look for a cached state with a longer reusable
                 # prefix than the slot's own rows; park the current occupant
                 # before its rows are overwritten (reference prompt_save /
@@ -519,6 +530,7 @@ class BatchEngine:
             logits = np.asarray(logits, np.float32).copy()
             for t in bans:
                 logits[t] += req.banned_bias
+        post = None
         if slot.forced:
             tok = slot.forced.pop(0)
         elif slot.grammar is not None:
@@ -527,13 +539,30 @@ class BatchEngine:
             # sampler's state advances with the accepted text
             tok = slot.grammar.filter_and_pick(logits, req.sampler, slot.rng,
                                                history=slot.tokens)
+        elif req.n_probs > 0 and req.post_sampling_probs:
+            tok, p_order, p_probs = sample_token(
+                logits, req.sampler, slot.rng, history=slot.tokens,
+                state=slot.sampler_state, return_probs=True)
+            post = (np.asarray(p_order), np.asarray(p_probs))
         else:
             tok = sample_token(logits, req.sampler, slot.rng,
                                history=slot.tokens, state=slot.sampler_state)
         slot.tokens.append(int(tok))
         slot.n_decoded += 1
         self.n_tokens_predicted += 1
-        if req.n_probs > 0:
+        if req.n_probs > 0 and post is not None:
+            # post_sampling_probs: probabilities of the chain's surviving
+            # candidate set (server post_sampling_probs semantics)
+            p_order, p_probs = post
+            n = min(req.n_probs, len(p_order))
+            where = np.where(p_order == int(tok))[0]
+            own = float(np.log(p_probs[where[0]] + 1e-30)) if len(where) \
+                else 0.0
+            req.probs_out.append({
+                "id": int(tok), "logprob": own,
+                "top": [(int(p_order[i]), float(np.log(p_probs[i] + 1e-30)))
+                        for i in range(n)]})
+        elif req.n_probs > 0:
             # log-softmax over the raw logits (pre-sampling probabilities,
             # the reference's default n_probs mode)
             lg = np.asarray(logits, np.float32).reshape(-1)
@@ -577,12 +606,13 @@ class BatchEngine:
         # thinking-token budget: force-close the <think> block when exceeded
         # (common/reasoning-budget.cpp)
         if req.reasoning_budget >= 0 and not slot.forced and not done:
-            tail = slot.text.rsplit("<think>", 1)
-            if len(tail) == 2 and "</think>" not in tail[1]:
+            tail = slot.text.rsplit(req.reasoning_start_tag, 1)
+            if len(tail) == 2 and req.reasoning_end_tag not in tail[1]:
                 slot.n_think += 1
                 if slot.n_think >= req.reasoning_budget:
                     slot.forced = self.rt.tokenizer.encode(
-                        "\n</think>\n", add_bos=False)
+                        req.reasoning_message + req.reasoning_end_tag + "\n",
+                        add_bos=False)
         if req.cancelled:
             done = True
         if req.stream_queue is not None:
@@ -662,7 +692,9 @@ class BatchEngine:
         slot.tokens = slot.tokens[:ban_idx]
         slot.gen_pieces = slot.gen_pieces[:g]
         slot.text = slot.text[:cum]
-        slot.n_decoded = g
+        if req.saturate_predict:
+            # rewound tokens refund the n_predict budget
+            slot.n_decoded = g
         slot.n_past = ban_idx - 1
         slot.pending = b""
         slot.n_streamed = min(slot.n_streamed, cum)

@@ -576,3 +576,33 @@ def test_banned_strings_rewind(server):
                                      "temperature": 0.0, "ignore_eos": True,
                                      "banned_strings": [banned]})
     assert banned.lower() not in r1["content"].lower(), (banned, r1)
+
+
+def test_misc_request_fields(server):
+    """cache_prompt=false, post_sampling_probs, timings_per_token,
+    penalize_nl, reasoning_budget_tokens alias."""
+    # post-sampling probs: entries come from the surviving candidate set
+    r = req(server, "/completion", {"prompt": "hello", "n_predict": 2,
+                                    "n_probs": 3, "temperature": 0.8,
+                                    "post_sampling_probs": True,
+                                    "ignore_eos": True, "seed": 5})
+    cp = r["completion_probabilities"]
+    assert len(cp) == 2 and 0 < cp[0]["probs"][0]["prob"] <= 1
+    # cache_prompt=false still generates deterministically
+    r1 = req(server, "/completion", {"prompt": "abc def", "n_predict": 3,
+                                     "temperature": 0.0,
+                                     "cache_prompt": False,
+                                     "ignore_eos": True})
+    r2 = req(server, "/completion", {"prompt": "abc def", "n_predict": 3,
+                                     "temperature": 0.0,
+                                     "ignore_eos": True})
+    assert r1["content"] == r2["content"]
+    # penalize_nl parses without error
+    req(server, "/completion", {"prompt": "x", "n_predict": 2,
+                                "repeat_penalty": 1.5,
+                                "penalize_nl": False, "ignore_eos": True})
+    # timings_per_token adds per-chunk timings in the stream
+    raw = req(server, "/completion", {"prompt": "x", "n_predict": 2,
+                                      "stream": True, "ignore_eos": True,
+                                      "timings_per_token": True}, raw=True)
+    assert b'"timings"' in raw and b"predicted_per_second" in raw
