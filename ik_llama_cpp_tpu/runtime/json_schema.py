@@ -282,6 +282,38 @@ class SchemaConverter:
         return "\n".join(lines)
 
 
+def tool_call_gbnf(tools: list, *, open_tag: str = "",
+                   close_tag: str = "") -> str:
+    """GBNF forcing a single tool call — the backing for the chat API's
+    ``tool_choice: "required"`` / named-function choice (the reference
+    builds per-format lazy grammars in common/chat.cpp; here the call JSON
+    is schema-constrained and wrapped in the template's call markers).
+
+    tools: OpenAI tool definitions [{"type": "function", "function":
+    {"name", "parameters"}}]. The call body is
+    ``{"name": <const>, "arguments": <parameters schema>}``.
+    """
+    alts = []
+    for t in tools:
+        fn = t.get("function", t)
+        alts.append({
+            "type": "object",
+            "properties": {
+                "name": {"const": fn.get("name", "")},
+                "arguments": fn.get("parameters") or {"type": "object"},
+            },
+            "required": ["name", "arguments"],
+        })
+    schema = {"anyOf": alts} if len(alts) != 1 else alts[0]
+    conv = SchemaConverter(schema)
+    call = conv.visit(schema, "toolcall")
+    parts = ([_lit(open_tag)] if open_tag else []) + ["space", call] + \
+        ([_lit(close_tag)] if close_tag else [])
+    lines = [f"root ::= {' '.join(parts)} space"]
+    lines.extend(conv.rules.values())
+    return "\n".join(lines)
+
+
 def json_schema_to_gbnf(schema: dict | str) -> str:
     if isinstance(schema, str):
         schema = json.loads(schema)

@@ -939,6 +939,7 @@ class Server:
             messages, images = self._extract_images(messages)
         if images:
             return await self._chat_multimodal(body, messages, images)
+        body = self._apply_tool_choice(body)
         prompt = self._chat_prompt(messages, tools=body.get("tools"))
         ids = self.rt.tokenizer.encode(prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
@@ -983,6 +984,32 @@ class Server:
             "usage": {"prompt_tokens": len(ids), "completion_tokens": len(toks),
                       "total_tokens": len(ids) + len(toks)},
         })
+
+    def _apply_tool_choice(self, body: dict) -> dict:
+        """tool_choice 'required' / named function: force a schema-valid
+        tool call via a grammar over the template's call format (the
+        reference's lazy tool-call grammars, common/chat.cpp)."""
+        tc = body.get("tool_choice")
+        if not body.get("tools") or _grammar_from(body) is not None:
+            return body
+        sel = None
+        if tc == "required":
+            sel = body["tools"]
+        elif isinstance(tc, dict) and tc.get("type") == "function":
+            want = (tc.get("function") or {}).get("name")
+            sel = [t for t in body["tools"]
+                   if (t.get("function") or {}).get("name") == want]
+        if not sel:
+            return body
+        from ..runtime.json_schema import tool_call_gbnf
+        ca = self.chat_analysis
+        open_tag = ca.call_lead if ca is not None and ca.has_tools() else ""
+        close_tag = ca.call_trail if ca is not None and ca.has_tools() else ""
+        try:
+            g = tool_call_gbnf(sel, open_tag=open_tag, close_tag=close_tag)
+        except Exception:
+            return body          # unconvertible schema: fall back to free-form
+        return {**body, "grammar": g}
 
     def _parse_chat_output(self, text: str):
         """Shared reasoning/tool-call extraction (auto-parser first, named

@@ -606,3 +606,24 @@ def test_misc_request_fields(server):
                                       "stream": True, "ignore_eos": True,
                                       "timings_per_token": True}, raw=True)
     assert b'"timings"' in raw and b"predicted_per_second" in raw
+
+
+def test_tool_choice_required_forces_call(server):
+    """tool_choice 'required' grammar-forces a schema-valid tool call that
+    the parser extracts (reference lazy tool-call grammars)."""
+    tools = [{"type": "function", "function": {
+        "name": "get_weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"enum": ["paris", "tokyo"]}},
+                       "required": ["city"]}}}]
+    r = req(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "weather in Paris?"}],
+        "tools": tools, "tool_choice": "required",
+        "max_tokens": 96, "temperature": 0.9, "seed": 3})
+    choice = r["choices"][0]
+    calls = choice["message"].get("tool_calls")
+    assert calls, r
+    assert calls[0]["function"]["name"] == "get_weather"
+    args = json.loads(calls[0]["function"]["arguments"])
+    assert args.get("city") in ("paris", "tokyo")
+    assert choice["finish_reason"] == "tool_calls"
