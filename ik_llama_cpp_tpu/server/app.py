@@ -992,6 +992,9 @@ class Server:
         tc = body.get("tool_choice")
         if not body.get("tools") or _grammar_from(body) is not None:
             return body
+        if tc == "none":
+            # tools must not be called NOR advertised in the template
+            return {**body, "tools": None}
         sel = None
         if tc == "required":
             sel = body["tools"]
