@@ -304,6 +304,100 @@ def _sample_adaptive_p(logits_orig, lg, order, p, rng, state: SamplerState):
 # ---------------------------------------------------------------------------
 
 
+def topk_chain_compatible(p: SamplerParams) -> bool:
+    """True when the chain can be sampled EXACTLY from a device-side top-K
+    prefetch (vals/idx/lse) instead of the full logits row: the effective
+    chain is {penalties, top_k-first, top_p, min_p, temperature} with no
+    full-distribution stage, no logit bias, and no out-of-chain sampler."""
+    if p.logit_bias or p.mirostat != 0 or p.adaptive_target >= 0.0:
+        return False
+    if not p.penalize_nl:
+        return False
+    if (p.dry_multiplier > 0.0 or p.tfs_z < 1.0 or p.typical_p < 1.0
+            or p.xtc_probability > 0.0 or p.top_n_sigma > 0.0
+            or p.dynatemp_range > 0.0):
+        return False
+    if p.top_k <= 0:
+        return False
+    for st in p.samplers:
+        if st == "top_k":
+            return True
+        # min_p is a prob ratio vs the max — candidate-set invariant;
+        # anything else shaping the set before top_k needs the full row
+        if st == "top_p" and p.top_p < 1.0:
+            return False
+    return False
+
+
+def _penalize_subset(lg: np.ndarray, order: np.ndarray, history,
+                     p: SamplerParams) -> np.ndarray:
+    """apply_penalties restricted to the fetched candidate ids (exact:
+    penalties only lower a token's logit, so penalized tokens outside the
+    top-K fetch can never enter the post-penalty top-k)."""
+    if not history or (p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
+                       and p.penalty_present == 0.0):
+        return lg
+    recent = history[-p.penalty_last_n:] if p.penalty_last_n > 0 else history
+    uniq, counts = np.unique(np.asarray(recent), return_counts=True)
+    pos = np.searchsorted(uniq, order)
+    pos = np.clip(pos, 0, len(uniq) - 1)
+    hit = uniq[pos] == order
+    if not hit.any():
+        return lg
+    lg = lg.copy()
+    cnt = np.where(hit, counts[pos], 0)
+    l = lg[hit]
+    if p.penalty_repeat != 1.0:
+        l = np.where(l > 0, l / p.penalty_repeat, l * p.penalty_repeat)
+    lg[hit] = l - (cnt[hit] * p.penalty_freq + p.penalty_present)
+    return lg
+
+
+def sample_topk(vals, idx, lse, p: SamplerParams, rng: np.random.Generator,
+                history: list[int] | None = None,
+                state: SamplerState | None = None):
+    """sample() fed from a device-side top-K prefetch: ``vals``/``idx`` are
+    the top-K logits/ids (sorted desc, e.g. from lax.top_k on device) and
+    ``lse`` the full-vocab log-sum-exp. Exact for topk_chain_compatible
+    chains when K >= top_k + the distinct penalized-token count — the
+    caller checks both. Consumes rng identically to sample()."""
+    lg = np.asarray(vals, np.float32)
+    order = np.asarray(idx)
+    lg = _penalize_subset(lg, order, history or [], p)
+    srt = np.argsort(-lg, kind="stable")
+    lg, order = lg[srt], order[srt]
+    if p.temp <= 0.0:
+        return int(order[0])
+    # mirror _initial_candidates' top-k-first fast path: the working set is
+    # max(top_k, min_keep)-sized from the start, so every stage (including
+    # a min_p ordered before top_k) sees the same candidates as sample()
+    k = max(p.top_k, p.min_keep)
+    lg, order = lg[:k], order[:k]
+    probs = _softmax(lg)
+    for stage in p.samplers:
+        if stage == "top_k":
+            lg, order = lg[:k], order[:k]
+            probs = _softmax(lg)
+        elif stage == "top_p" and p.top_p < 1.0:
+            cum = np.cumsum(probs)
+            keep = max(1, p.min_keep, int(np.searchsorted(cum, p.top_p) + 1))
+            lg, order = lg[:keep], order[:keep]
+            probs = _softmax(lg)
+        elif stage == "min_p" and p.min_p > 0.0:
+            mask = probs >= p.min_p * probs.max()
+            if mask.sum() < p.min_keep:
+                mask[:] = False
+                mask[:p.min_keep] = True
+            lg, order = lg[mask], order[mask]
+            probs = _softmax(lg)
+        elif stage == "temperature":
+            lg = lg / max(p.temp, 1e-6)
+            probs = _softmax(lg)
+    probs = _softmax(lg)
+    choice = rng.choice(len(probs), p=probs)
+    return int(order[choice])
+
+
 def sample(logits: np.ndarray, p: SamplerParams, rng: np.random.Generator,
            history: list[int] | None = None,
            state: SamplerState | None = None,

@@ -22,7 +22,9 @@ import numpy as np
 
 from ..models.llama import KVCache
 from ..runtime.generate import Runtime, PREFILL_BUCKETS, _bucket, FORWARDS
-from ..runtime.sampling import SamplerParams, SamplerState, sample as sample_token
+from ..runtime.sampling import (SamplerParams, SamplerState,
+                                sample as sample_token, sample_topk,
+                                topk_chain_compatible)
 
 
 class SlotState(Enum):
@@ -219,6 +221,7 @@ class BatchEngine:
         self._thread: Optional[threading.Thread] = None
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
+        self._decode_topk_fn = None
         self._spec_decode_fn = None
         self._jits: dict[Any, Any] = {}
         # metrics
@@ -226,6 +229,7 @@ class BatchEngine:
         self.n_prompt_tokens_cached = 0
         self.n_tokens_predicted = 0
         self.n_rewinds = 0
+        self.n_topk_steps = 0
         self.n_requests = 0
         self.n_draft_proposed = 0
         self.n_draft_accepted = 0
@@ -365,6 +369,32 @@ class BatchEngine:
 
             self._decode_fn = decode_all
         return self._decode_fn
+
+    TOPK_FETCH = 128   # device-side prefetch width (>= top_k + penalty win)
+
+    def _decode_topk(self):
+        """Decode step returning only (top-K vals, ids, logsumexp) per row —
+        the device->host readback drops from B x V floats to B x (K+1),
+        exact for topk_chain_compatible samplers (the host-side sampler's
+        candidate set is fully contained in the prefetch)."""
+        if self._decode_topk_fn is None:
+            if self._pp_fwd is not None:
+                return None      # -sm layer path returns host logits already
+            cfg = self.cfg
+            fwd = self._engine_fwd()
+            K = self.TOPK_FETCH
+
+            @jax.jit
+            def decode_topk(params, tokens, kv, n_past):
+                logits, kv = fwd(params, cfg, tokens, kv, n_past,
+                                 logits_last_only=False)
+                row = logits[:, -1].astype(jnp.float32)
+                vals, idx = jax.lax.top_k(row, K)
+                lse = jax.scipy.special.logsumexp(row, axis=-1)
+                return vals, idx, lse, kv
+
+            self._decode_topk_fn = decode_topk
+        return self._decode_topk_fn
 
     def _spec_decode(self):
         """Batched verify step: (n_slots, 1+spec_n) tokens per row (last
@@ -520,10 +550,10 @@ class BatchEngine:
             slot.t_first_token = time.time()
         self._emit_token(slot, last_logits)
 
-    def _emit_token(self, slot: Slot, logits: np.ndarray):
+    def _emit_token(self, slot: Slot, logits: np.ndarray, topk=None):
         req = slot.req
         bans = slot.pos_bans.get(len(slot.tokens))
-        if bans:
+        if bans and topk is None:
             # positional bans from a banned-phrase rewind: bias the tokens
             # that produced the match at exactly this position
             # (server-context.cpp:4773)
@@ -533,6 +563,18 @@ class BatchEngine:
         post = None
         if slot.forced:
             tok = slot.forced.pop(0)
+        elif topk is not None:
+            # device-side top-K prefetch: only (vals, ids, lse) crossed the
+            # PCIe/ICI boundary; _slot_topk_ok guaranteed exactness
+            vals, tidx, lse = topk
+            if bans:
+                vals = vals.copy()
+                for t in bans:
+                    m = np.where(tidx == t)[0]
+                    if len(m):
+                        vals[m[0]] += req.banned_bias
+            tok = sample_topk(vals, tidx, lse, req.sampler, slot.rng,
+                              history=slot.tokens, state=slot.sampler_state)
         elif slot.grammar is not None:
             # constrained decoding: chain once, grammar-mask the surviving
             # candidates (the reference's lazy grammar sampler); the
@@ -633,6 +675,28 @@ class BatchEngine:
             slot.cache_tokens = list(slot.tokens)
             slot.state = SlotState.IDLE
             slot.req = None
+
+    def _slot_topk_ok(self, s: Slot) -> bool:
+        """Eligibility for the top-K readback decode: the sampler chain must
+        be prefetch-exact and the fetch must cover top_k + every distinct
+        penalized token (penalties only lower logits, so coverage implies
+        identical candidate membership)."""
+        req = s.req
+        p = req.sampler
+        if s.forced or s.grammar is not None or req.n_probs > 0:
+            return False
+        if s.pos_bans and req.banned_bias > 0:
+            return False
+        if not topk_chain_compatible(p):
+            return False
+        if p.penalty_repeat != 1.0 or p.penalty_freq != 0.0 \
+                or p.penalty_present != 0.0:
+            window = p.penalty_last_n if p.penalty_last_n > 0 \
+                else len(s.tokens)
+            need = max(p.top_k, p.min_keep) + min(window, len(s.tokens))
+        else:
+            need = max(p.top_k, p.min_keep)
+        return need <= self.TOPK_FETCH
 
     def _check_bans(self, slot: Slot) -> bool:
         """Banned-phrase rewind (rewind_context, server-context.cpp:4508):
@@ -764,6 +828,25 @@ class BatchEngine:
             for s in gen:
                 toks[s.idx, 0] = s.tokens[-1]
                 n_past[s.idx] = s.n_past
+            topk_fn = (self._decode_topk()
+                       if all(self._slot_topk_ok(s) for s in gen) else None)
+            if topk_fn is not None:
+                # readback is B x (K+1) floats instead of B x V
+                self.n_topk_steps += 1
+                vals, idx, lse, self.kv = topk_fn(
+                    self.rt.params, jnp.asarray(toks), self.kv,
+                    jnp.asarray(n_past))
+                vals_np, idx_np = np.asarray(vals), np.asarray(idx)
+                lse_np = np.asarray(lse)
+                for s in gen:
+                    s.n_past += 1
+                    if s.n_past >= self.capacity - 1:
+                        self._context_shift(s)
+                        continue
+                    self._emit_token(s, None,
+                                     topk=(vals_np[s.idx], idx_np[s.idx],
+                                           float(lse_np[s.idx])))
+                continue
             logits, self.kv = decode(self.rt.params, jnp.asarray(toks), self.kv,
                                      jnp.asarray(n_past))
             logits_np = np.asarray(logits)[:, -1]

@@ -348,3 +348,41 @@ def test_banned_regex_rewind(engine):
         _, piece, done = q1.get(timeout=120)
         text += piece
     assert re.search(pat, text, re.IGNORECASE) is None, (pat, text)
+
+
+def _drain(q, timeout=120):
+    toks, done = [], False
+    deadline = time.time() + timeout
+    while not done and time.time() < deadline:
+        tok, piece, done = q.get(timeout=timeout)
+        if tok >= 0:
+            toks.append(tok)
+    return toks
+
+
+def test_topk_readback_decode_parity(engine):
+    """The device-side top-K readback decode must produce EXACTLY the same
+    tokens as the full-logits path for eligible samplers (same seed, same
+    rng consumption); a dummy logit_bias forces the full path."""
+    ids = list(range(30, 50))
+    kwargs = dict(temp=0.9, top_k=40, top_p=0.95, min_p=0.05,
+                  penalty_repeat=1.2)
+    before = engine.n_topk_steps
+    q1 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=12, seed=11,
+                          sampler=SamplerParams(**kwargs), stream_queue=q1))
+    out1 = _drain(q1)
+    assert engine.n_topk_steps > before, "top-K path was not used"
+    q2 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=12, seed=11,
+                          sampler=SamplerParams(**kwargs,
+                                                logit_bias={0: 0.0}),
+                          stream_queue=q2))
+    out2 = _drain(q2)
+    assert out1 == out2
+    # mirostat is ineligible and must keep working through the full path
+    q3 = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=6, seed=1,
+                          sampler=SamplerParams(temp=1.0, mirostat=2),
+                          stream_queue=q3))
+    assert len(_drain(q3)) >= 1

@@ -196,3 +196,45 @@ def test_mirostat_bypasses_sampler_queue():
     st = SamplerState()
     picks1 = {sample(lg, p1, rng, state=st) for _ in range(300)}
     assert len(picks1) > 1
+
+
+def test_sample_topk_exact_parity():
+    """sample_topk fed from a host-computed top-K prefetch must reproduce
+    sample() EXACTLY (token and rng consumption) for compatible chains —
+    the correctness contract of the device-side top-k readback path."""
+    from ik_llama_cpp_tpu.runtime.sampling import (sample_topk,
+                                                   topk_chain_compatible)
+    V, K = 5000, 128
+    rng_data = np.random.default_rng(0)
+    for trial in range(30):
+        logits = rng_data.standard_normal(V).astype(np.float32) * 3.0
+        history = [int(x) for x in rng_data.integers(0, V, 80)]
+        for p in (
+            SamplerParams(temp=0.8),
+            SamplerParams(temp=0.8, penalty_repeat=1.3, penalty_freq=0.1,
+                          penalty_present=0.2),
+            SamplerParams(temp=0.0, penalty_repeat=1.5),
+            SamplerParams(temp=1.2, top_k=20, top_p=0.8, min_p=0.1,
+                          min_keep=3),
+        ):
+            assert topk_chain_compatible(p)
+            order = np.argsort(-logits)[:K]
+            vals = logits[order]
+            lse = float(np.logaddexp.reduce(logits))
+            r1 = np.random.default_rng(trial)
+            r2 = np.random.default_rng(trial)
+            t_full = sample(logits, p, r1, history=history)
+            t_topk = sample_topk(vals, order, lse, p, r2, history=history)
+            assert t_full == t_topk, (trial, p)
+
+
+def test_topk_chain_compatible_gates():
+    from ik_llama_cpp_tpu.runtime.sampling import topk_chain_compatible as ok
+    assert ok(SamplerParams(temp=0.8))
+    assert not ok(SamplerParams(temp=0.8, mirostat=2))
+    assert not ok(SamplerParams(temp=0.8, dry_multiplier=0.5))
+    assert not ok(SamplerParams(temp=0.8, logit_bias={3: 1.0}))
+    assert not ok(SamplerParams(temp=0.8, top_k=0))
+    assert not ok(SamplerParams(temp=0.8, xtc_probability=0.3))
+    assert not ok(SamplerParams(temp=0.8, dynatemp_range=0.4))
+    assert not ok(SamplerParams(temp=0.8, penalize_nl=False, nl_token_id=5))
