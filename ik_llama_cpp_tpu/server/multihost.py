@@ -163,6 +163,12 @@ class DistributedEngine(BatchEngine):
 
         return wrapped
 
+    def _decode_topk(self):
+        # multi-host SPMD requires every controller to issue the SAME
+        # jitted program; the top-K readback variant is a different program
+        # the followers don't know about — use the plain decode everywhere
+        return None
+
     def _decode(self):
         fn = super()._decode()
         if not self._is_leader():
