@@ -263,6 +263,10 @@ class Server:
             reasoning_budget=int(body.get(
                 "reasoning_budget", body.get("reasoning_budget_tokens", -1))),
             grammar=g_text,
+            grammar_lazy=bool(body.get("grammar_lazy", False)),
+            grammar_triggers=[
+                t.get("value", "") if isinstance(t, dict) else str(t)
+                for t in body.get("grammar_triggers") or []],
             n_probs=_n_probs_from(body),
             n_keep=int(body.get("n_keep", -1)),
             n_discard=int(body.get("n_discard", -1)),

@@ -42,6 +42,11 @@ class Request:
     seed: int = 0
     stop: list[str] = field(default_factory=list)
     grammar: str | None = None         # GBNF text (constrained decoding)
+    # lazy grammar: dormant until a trigger word appears in the generated
+    # text, then enforced from the trigger onward (grammar_lazy +
+    # grammar_triggers request fields; common_grammar_trigger WORD type)
+    grammar_lazy: bool = False
+    grammar_triggers: list = field(default_factory=list)
     stream_queue: Optional[queue.Queue] = None  # receives (token_id, text|None, done)
     id: int = 0
     cancelled: bool = False       # client disconnect -> slot release
@@ -103,6 +108,7 @@ class Slot:
     gen_pieces: list = field(default_factory=list)  # text piece per gen token
     pos_bans: dict = field(default_factory=dict)    # token index -> {ids}
     rewind_count: int = 0
+    lazy_grammar: Any = None    # (gbnf_text, [trigger words]) while dormant
     t_start: float = 0.0
     t_first_token: float = 0.0
     drafter: Any = None         # per-slot self-speculation lookup structure
@@ -503,7 +509,11 @@ class BatchEngine:
             slot.rng = np.random.default_rng(req.seed)
             slot.sampler_state = SamplerState()
             slot.grammar = None
-            if req.grammar:
+            slot.lazy_grammar = None
+            if req.grammar and req.grammar_lazy and req.grammar_triggers:
+                slot.lazy_grammar = (req.grammar,
+                                     [str(t) for t in req.grammar_triggers])
+            elif req.grammar:
                 from ..runtime.grammar import Grammar, GrammarSampler
                 slot.grammar = GrammarSampler(Grammar(req.grammar),
                                               self.rt.tokenizer)
@@ -634,6 +644,19 @@ class BatchEngine:
             piece = ""            # the eos token's own text is never emitted
         slot.text += piece
         slot.gen_pieces.append(piece)
+        if slot.lazy_grammar is not None and slot.grammar is None and piece:
+            # lazy grammar: activate at the first trigger-word occurrence
+            # and feed it the text from the trigger onward (the reference's
+            # COMMON_GRAMMAR_TRIGGER_TYPE_WORD flow)
+            g_text, triggers = slot.lazy_grammar
+            hits = [slot.text.find(t) for t in triggers]
+            hits = [h for h in hits if h >= 0]
+            if hits:
+                from ..runtime.grammar import Grammar, GrammarSampler
+                gs = GrammarSampler(Grammar(g_text), self.rt.tokenizer)
+                if gs.grammar.accept_text(slot.text[min(hits):]):
+                    slot.grammar = gs
+                slot.lazy_grammar = None
         if not done and slot.grammar is None and (
                 req.banned_strings or req.banned_regex
                 or req.banned_regex_ci):

@@ -386,3 +386,34 @@ def test_topk_readback_decode_parity(engine):
                           sampler=SamplerParams(temp=1.0, mirostat=2),
                           stream_queue=q3))
     assert len(_drain(q3)) >= 1
+
+
+def test_lazy_grammar_triggers(engine):
+    """grammar_lazy: free-form generation until a trigger word appears,
+    then the grammar enforces from the trigger onward."""
+    rt = engine.rt
+    # grammar: the trigger word followed by exactly "ab"
+    g = 'root ::= "GO" "ab"'
+    ids = rt.tokenizer.encode("the quick brown")
+    q = queue.Queue()
+    engine.submit(Request(prompt_ids=ids, n_predict=12,
+                          sampler=SamplerParams(temp=0.0,
+                                                logit_bias={2: -101.0}),
+                          grammar=g, grammar_lazy=True,
+                          grammar_triggers=["GO"], stream_queue=q))
+    # force the model into emitting the trigger mid-stream
+    slot = None
+    deadline = time.time() + 60
+    while slot is None and time.time() < deadline:
+        slot = next((s for s in engine.slots
+                     if s.req is not None and s.req.grammar == g), None)
+    assert slot is not None
+    go_ids = rt.tokenizer.encode("xGO", add_bos=False)
+    slot.forced = list(go_ids)
+    text, done = "", False
+    while not done:
+        _, piece, done = q.get(timeout=120)
+        text += piece
+    assert "GO" in text
+    after = text.split("GO", 1)[1]
+    assert after.startswith("ab"), text
