@@ -356,7 +356,8 @@ class GrammarSampler:
         piece = self.tok.decode([int(tok)])
         return piece if piece and self.grammar.allows_text(piece) else None
 
-    def filter_and_pick(self, logits, sampler_params, rng, history=None) -> int:
+    def filter_and_pick(self, logits, sampler_params, rng, history=None,
+                        state=None) -> int:
         """One sampler-chain run, then a grammar mask over the SURVIVING
         candidate set (renormalize, pick) — the reference's lazy grammar
         sampler (llama_sampler_grammar: sample first; on a reject, apply
@@ -381,7 +382,7 @@ class GrammarSampler:
 
         for _ in range(64):   # rounds of candidate sets (vocab/top_k bound)
             tok, order, probs = sample_token(logits, sampler_params, rng,
-                                             history=history,
+                                             history=history, state=state,
                                              return_probs=True)
             piece = self._allows(int(tok))
             if piece is not None:          # fast path: first pick conforms

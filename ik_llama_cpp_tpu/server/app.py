@@ -65,8 +65,13 @@ def _sampler_from(body: dict, tok=None) -> SamplerParams:
     if "samplers" in body:
         s = body["samplers"]
         kw["samplers"] = tuple(s.split(";") if isinstance(s, str) else s)
-    # DRY sequence breakers arrive as strings; matching works on token ids
+    # DRY sequence breakers arrive as strings; matching works on token ids.
+    # When DRY is enabled without explicit breakers, the reference's
+    # defaults ('\n', ':', '"', '*') apply.
     brk = body.get("dry_sequence_breakers")
+    if brk is None and float(body.get("dry_multiplier", 0.0)) > 0.0:
+        from ..runtime.sampling import DEFAULT_DRY_BREAKERS
+        brk = list(DEFAULT_DRY_BREAKERS)
     if brk and tok is not None:
         ids = []
         for s in brk if isinstance(brk, list) else [brk]:
@@ -864,13 +869,16 @@ class Server:
                                       "finish_reason": "stop" if done else None}]}
                 await resp.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
 
-            await self._run(ids, body, True, on_token)
+            toks, _ = await self._run(ids, body, True, on_token)
             if isinstance(body.get("stream_options"), dict) and \
                     body["stream_options"].get("include_usage"):
                 usage_chunk = {"id": rid, "object": "text_completion",
                                "created": int(time.time()),
                                "model": self.model_name, "choices": [],
-                               "usage": {"prompt_tokens": len(ids)}}
+                               "usage": {"prompt_tokens": len(ids),
+                                         "completion_tokens": len(toks),
+                                         "total_tokens":
+                                             len(ids) + len(toks)}}
                 await resp.write(b"data: " + json.dumps(usage_chunk).encode()
                                  + b"\n\n")
             await resp.write(b"data: [DONE]\n\n")

@@ -388,7 +388,7 @@ class BatchEngine:
                 return None      # -sm layer path returns host logits already
             cfg = self.cfg
             fwd = self._engine_fwd()
-            K = self.TOPK_FETCH
+            K = min(self.TOPK_FETCH, cfg.n_vocab)
 
             @jax.jit
             def decode_topk(params, tokens, kv, n_past):
@@ -589,8 +589,17 @@ class BatchEngine:
             # constrained decoding: chain once, grammar-mask the surviving
             # candidates (the reference's lazy grammar sampler); the
             # sampler's state advances with the accepted text
-            tok = slot.grammar.filter_and_pick(logits, req.sampler, slot.rng,
-                                               history=slot.tokens)
+            try:
+                tok = slot.grammar.filter_and_pick(
+                    logits, req.sampler, slot.rng, history=slot.tokens,
+                    state=slot.sampler_state)
+            except RuntimeError:
+                # grammar dead-ends against the vocab: fail THIS request
+                if req.stream_queue is not None:
+                    req.stream_queue.put((-1, "", True))
+                slot.state = SlotState.IDLE
+                slot.req = None
+                return
         elif req.n_probs > 0 and req.post_sampling_probs:
             tok, p_order, p_probs = sample_token(
                 logits, req.sampler, slot.rng, history=slot.tokens,
@@ -644,6 +653,10 @@ class BatchEngine:
             piece = ""            # the eos token's own text is never emitted
         slot.text += piece
         slot.gen_pieces.append(piece)
+        if req.cancelled:
+            # checked BEFORE the rewind path: a disconnected client must be
+            # releasable even under an unlimited rewind budget
+            done = True
         if slot.lazy_grammar is not None and slot.grammar is None and piece:
             # lazy grammar: activate at the first trigger-word occurrence
             # and feed it the text from the trigger onward (the reference's
@@ -714,12 +727,18 @@ class BatchEngine:
             return False
         if p.penalty_repeat != 1.0 or p.penalty_freq != 0.0 \
                 or p.penalty_present != 0.0:
+            # exactness relies on penalties only LOWERING logits; boosting
+            # variants (repeat<1, negative freq/present) can promote a
+            # token from outside the fetch into the true top-k
+            if p.penalty_repeat < 1.0 or p.penalty_freq < 0.0 \
+                    or p.penalty_present < 0.0:
+                return False
             window = p.penalty_last_n if p.penalty_last_n > 0 \
                 else len(s.tokens)
             need = max(p.top_k, p.min_keep) + min(window, len(s.tokens))
         else:
             need = max(p.top_k, p.min_keep)
-        return need <= self.TOPK_FETCH
+        return need <= min(self.TOPK_FETCH, self.cfg.n_vocab)
 
     def _check_bans(self, slot: Slot) -> bool:
         """Banned-phrase rewind (rewind_context, server-context.cpp:4508):
@@ -759,6 +778,14 @@ class BatchEngine:
         elif req.rewind_count_max > 0 and \
                 slot.rewind_count >= req.rewind_count_max:
             return False
+        # absolute backstop even in 'unlimited' mode: with saturate_predict
+        # a pattern matching everything would otherwise never terminate
+        if slot.rewind_count >= 100 + 20 * max(1, req.n_predict):
+            return False
+        # never retract text a streaming client has already received: if the
+        # match's containing token started before the held-back window
+        # (one token longer than banbuffer), skip the rewind
+        # (computed below once the token index is known)
         # char offset of the match -> generated-token index g
         off = base + best
         cum = 0
@@ -768,6 +795,11 @@ class BatchEngine:
                 break
             cum += len(p)
         ban_idx = slot.n_prompt + g
+        if req.stream_queue is not None and cum < slot.n_streamed:
+            # the containing token began before the stream holdback window
+            # (a single long piece): its head already reached the client —
+            # retracting it would garble the stream, so let it stand
+            return False
         n = req.banned_n
         banned = (slot.tokens[ban_idx: ban_idx + n] if n > 0
                   else slot.tokens[ban_idx:] if n < 0 else [])
@@ -816,6 +848,25 @@ class BatchEngine:
                 self._emit_token(s, logits_np[r])
 
     def run_loop(self):
+        """Engine loop wrapper: one bad request (e.g. a grammar that dead-
+        ends against the vocab) must fail THAT request, not kill the
+        engine thread and hang the server."""
+        while not self._stop.is_set():
+            try:
+                self._run_loop_inner()
+                return
+            except Exception:
+                import traceback
+                traceback.print_exc()
+                # fail every active request and keep serving
+                for s in self.slots:
+                    if s.req is not None:
+                        if s.req.stream_queue is not None:
+                            s.req.stream_queue.put((-1, "", True))
+                        s.req = None
+                        s.state = SlotState.IDLE
+
+    def _run_loop_inner(self):
         decode = self._decode()
         pad_tokens = np.zeros((self.n_slots, 1), np.int32)
         while not self._stop.is_set():
@@ -992,11 +1043,14 @@ class BatchEngine:
         req = slot.req
         n_keep = min(slot.n_prompt, self.capacity // 4)
         if req is not None and req.n_keep >= 0:
-            n_keep = min(req.n_keep, slot.n_past - 1)
+            # clamp so at least one token is always discarded — otherwise
+            # the shift is a no-op and the engine livelocks re-prefilling
+            # the same full context (reference clamps n_keep to n_ctx - 4)
+            n_keep = max(0, min(req.n_keep, slot.n_past - 4))
         n_rest = slot.n_past - n_keep
-        n_discard = n_rest // 2
+        n_discard = max(1, n_rest // 2)
         if req is not None and req.n_discard > 0:
-            n_discard = min(req.n_discard, n_rest)
+            n_discard = max(1, min(req.n_discard, n_rest))
         kept = (slot.tokens[:n_keep]
                 + slot.tokens[n_keep + n_discard:])
         slot.n_shifts += 1

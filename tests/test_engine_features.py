@@ -390,30 +390,46 @@ def test_topk_readback_decode_parity(engine):
 
 def test_lazy_grammar_triggers(engine):
     """grammar_lazy: free-form generation until a trigger word appears,
-    then the grammar enforces from the trigger onward."""
+    then the grammar enforces from the trigger onward. Driven manually on
+    a non-started engine so the trigger timing is deterministic."""
     rt = engine.rt
-    # grammar: the trigger word followed by exactly "ab"
-    g = 'root ::= "GO" "ab"'
-    ids = rt.tokenizer.encode("the quick brown")
+    g = 'root ::= "GO" "ab"'     # trigger word then exactly "ab"
+    eng2 = BatchEngine(rt, n_slots=1, capacity=64)
     q = queue.Queue()
-    engine.submit(Request(prompt_ids=ids, n_predict=12,
-                          sampler=SamplerParams(temp=0.0,
-                                                logit_bias={2: -101.0}),
-                          grammar=g, grammar_lazy=True,
-                          grammar_triggers=["GO"], stream_queue=q))
-    # force the model into emitting the trigger mid-stream
-    slot = None
-    deadline = time.time() + 60
-    while slot is None and time.time() < deadline:
-        slot = next((s for s in engine.slots
-                     if s.req is not None and s.req.grammar == g), None)
-    assert slot is not None
-    go_ids = rt.tokenizer.encode("xGO", add_bos=False)
-    slot.forced = list(go_ids)
-    text, done = "", False
-    while not done:
-        _, piece, done = q.get(timeout=120)
-        text += piece
-    assert "GO" in text
-    after = text.split("GO", 1)[1]
-    assert after.startswith("ab"), text
+    eng2.submit(Request(prompt_ids=[10, 11], n_predict=16,
+                        sampler=SamplerParams(temp=0.0,
+                                              logit_bias={2: -101.0}),
+                        grammar=g, grammar_lazy=True,
+                        grammar_triggers=["GO"], stream_queue=q))
+    eng2._admit()
+    slot = eng2.slots[0]
+    slot.state = SlotState.GENERATING
+    assert slot.grammar is None and slot.lazy_grammar is not None
+    # free-form pre-trigger text, then the trigger
+    slot.forced = rt.tokenizer.encode("xyGO", add_bos=False)
+    logits = np.zeros(rt.cfg.n_vocab, np.float32)
+    logits[40] = 5.0             # the model would ramble without the grammar
+    while slot.forced:
+        eng2._emit_token(slot, logits)
+    assert slot.grammar is not None, "trigger did not activate the grammar"
+    for _ in range(8):
+        if slot.state != SlotState.GENERATING:
+            break
+        eng2._emit_token(slot, logits)
+    assert "GO" in slot.text
+    assert slot.text.split("GO", 1)[1].startswith("ab"), slot.text
+
+
+def test_grammar_deadend_fails_request_not_engine(engine):
+    """A grammar no vocab token can satisfy must fail THAT request (done
+    with no output) while the engine keeps serving others."""
+    rt = engine.rt
+    q = queue.Queue()
+    engine.submit(Request(prompt_ids=[10, 11, 12], n_predict=4,
+                          sampler=SamplerParams(temp=0.0),
+                          grammar='root ::= "\\uffff"', stream_queue=q))
+    tok, piece, done = q.get(timeout=120)
+    assert done
+    # engine still alive and serving
+    out = run_req(engine, list(range(20, 36)), n_predict=3)
+    assert len(out) == 3
