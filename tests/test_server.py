@@ -627,3 +627,13 @@ def test_tool_choice_required_forces_call(server):
     args = json.loads(calls[0]["function"]["arguments"])
     assert args.get("city") in ("paris", "tokyo")
     assert choice["finish_reason"] == "tool_calls"
+
+
+def test_server_bench_tool(server):
+    """tools.server_bench drives the live server and reports SLO metrics
+    (examples/server/bench k6-scenario analogue)."""
+    import asyncio
+    from ik_llama_cpp_tpu.tools.server_bench import run_bench
+    res = asyncio.run(run_bench(f"http://127.0.0.1:{server}", 4, 2, 4, 8))
+    assert res["succeeded"] == 4 and res["failed"] == 0, res
+    assert res["tokens_per_s"] > 0 and res["ttft_ms"]["p50"] > 0
