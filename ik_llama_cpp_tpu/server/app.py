@@ -1175,6 +1175,15 @@ class Server:
                                    "description": t.get("description", ""),
                                    "parameters": t.get("input_schema", {})}}
                      for t in body["tools"]]
+            # Anthropic tool_choice: "any" forces some call, "tool" a
+            # specific one — mapped onto the grammar-forced OpenAI flow
+            atc = body.get("tool_choice")
+            if isinstance(atc, dict) and atc.get("type") in ("any", "tool"):
+                oai_tc = ("required" if atc["type"] == "any" else
+                          {"type": "function",
+                           "function": {"name": atc.get("name")}})
+                body = self._apply_tool_choice(
+                    {**body, "tools": tools, "tool_choice": oai_tc})
         prompt = self._chat_prompt(messages, tools=tools)
         ids = self.rt.tokenizer.encode(prompt)
         body.setdefault("max_tokens", 128)

@@ -637,3 +637,21 @@ def test_server_bench_tool(server):
     res = asyncio.run(run_bench(f"http://127.0.0.1:{server}", 4, 2, 4, 8))
     assert res["succeeded"] == 4 and res["failed"] == 0, res
     assert res["tokens_per_s"] > 0 and res["ttft_ms"]["p50"] > 0
+
+
+def test_anthropic_tool_choice_any(server):
+    """Anthropic tool_choice {'type': 'any'} grammar-forces a tool_use
+    block with schema-valid input."""
+    r = req(server, "/v1/messages", {
+        "messages": [{"role": "user", "content": "weather?"}],
+        "tools": [{"name": "get_weather", "description": "d",
+                   "input_schema": {
+                       "type": "object",
+                       "properties": {"city": {"enum": ["paris", "tokyo"]}},
+                       "required": ["city"]}}],
+        "tool_choice": {"type": "any"},
+        "max_tokens": 96, "temperature": 0.9})
+    blocks = [b for b in r["content"] if b["type"] == "tool_use"]
+    assert blocks and blocks[0]["name"] == "get_weather", r
+    assert blocks[0]["input"]["city"] in ("paris", "tokyo")
+    assert r["stop_reason"] == "tool_use"
