@@ -5,7 +5,8 @@ safetensors (or pytorch .bin) + config.json + tokenizer.json. Applies the
 same q/k rotation permute the reference converter applies for NORM-rope
 archs so weights match ggml's rope convention.
 
-Usage: python -m ik_llama_cpp_tpu.tools.convert_hf <hf_dir> <out.gguf> [--outtype f16|f32|q8_0]
+Usage: python -m ik_llama_cpp_tpu.tools.convert_hf <hf_dir> <out.gguf>
+    [--outtype f32|f16|bf16|q8_0|q4_0|q4_1|q5_0|q5_1|q6_0]
 """
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..gguf.constants import GGMLType
+from ..gguf.constants import GEOMETRY, GGMLType
 from ..gguf.writer import GGUFWriter
 from ..quant.quantize import quantize
 
@@ -270,8 +271,13 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
     if "lm_head.weight" not in tensors and cfg.get("tie_word_embeddings", False):
         pass  # loader falls back to token_embd
 
+    # direct-conversion schemes (convert_hf_to_gguf.py --outtype: bf16 and
+    # the legacy quants Q4_0..Q6_0 convert without a separate quantize pass)
     ttype = {"f32": GGMLType.F32, "f16": GGMLType.F16,
-             "q8_0": GGMLType.Q8_0}[outtype]
+             "bf16": GGMLType.BF16, "q8_0": GGMLType.Q8_0,
+             "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
+             "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1,
+             "q6_0": GGMLType.Q6_0}[outtype]
 
     def emit(gname: str, arr: np.ndarray):
         arr = np.asarray(arr, np.float32)
@@ -280,7 +286,7 @@ def convert(hf_dir, out_path, outtype: str = "f16") -> Path:
             w.add_tensor(gname, arr.astype(np.float32))
             return
         t = ttype
-        if arr.shape[-1] % 32 != 0:
+        if arr.shape[-1] % GEOMETRY[t].block_elems != 0:
             t = GGMLType.F32
         if t == GGMLType.F32:
             w.add_tensor(gname, arr)
@@ -409,7 +415,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("hf_dir")
     ap.add_argument("output")
-    ap.add_argument("--outtype", choices=["f32", "f16", "q8_0"], default="f16")
+    ap.add_argument("--outtype", default="f16",
+                    choices=["f32", "f16", "bf16", "q8_0", "q4_0", "q4_1",
+                             "q5_0", "q5_1", "q6_0"])
     args = ap.parse_args(argv)
     convert(args.hf_dir, args.output, args.outtype)
     print(f"wrote {args.output}", file=sys.stderr)

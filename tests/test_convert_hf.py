@@ -143,3 +143,26 @@ def test_convert_granite(tmp_path):
     # the whole residual stream (build_llama.cpp:114 after add_input=true)
     # while HF granite scales only the branch; we match the fork (see
     # tests/test_cross_engine.py::test_granite_logit_parity).
+
+
+@pytest.mark.parametrize("ot", ["bf16", "q4_0", "q5_1", "q6_0"])
+def test_convert_outtypes(hf_model, tmp_path, ot):
+    """Direct-conversion schemes (--outtype bf16 / legacy quants): the
+    converted file loads, generates, and stays close to the f32 logits."""
+    import numpy as np
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    d, model = hf_model
+    ref = tmp_path / "r.gguf"
+    convert(d, ref, outtype="f32")
+    out = tmp_path / f"c_{ot}.gguf"
+    convert(d, out, outtype=ot)
+    ids = [1, 17, 42, 99]
+    kv_kwargs = dict()
+    rt_a = Runtime.from_gguf(ref)
+    rt_b = Runtime.from_gguf(out)
+    la, _, _ = rt_a.eval_tokens(ids, rt_a.new_cache(1, 32), 0)
+    lb, _, _ = rt_b.eval_tokens(ids, rt_b.new_cache(1, 32), 0)
+    la, lb = np.asarray(la[-1]), np.asarray(lb[-1])
+    # quantization noise bounded: top-1 usually agrees, correlation high
+    corr = float(np.corrcoef(la, lb)[0, 1])
+    assert corr > 0.98, (ot, corr)
