@@ -74,3 +74,74 @@ def planar_decode_native(data: np.ndarray, ggml_type: GGMLType, n_per_row: int):
     if rc != 0:
         return None
     return codes, scale, bias, group
+
+
+# -------------------------------------------------- native SPM tokenizer
+
+_SPM_LIB_PATH = _DIR / "libspm.so"
+_spm_lib = None
+
+
+def _load_spm():
+    global _spm_lib
+    if _spm_lib is None and _SPM_LIB_PATH.exists():
+        lib = ctypes.CDLL(str(_SPM_LIB_PATH))
+        lib.spm_build.restype = ctypes.c_void_p
+        lib.spm_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_int32]
+        lib.spm_free.restype = None
+        lib.spm_free.argtypes = [ctypes.c_void_p]
+        lib.spm_encode.restype = ctypes.c_int64
+        lib.spm_encode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int64, ctypes.c_void_p,
+                                   ctypes.c_int64]
+        _spm_lib = lib
+    return _spm_lib
+
+
+class NativeSpm:
+    """C++ bigram-merge core for the SPM tokenizer (spm.cpp). Built once
+    per vocab; encode() returns token ids for a text piece, identical to
+    the Python `_spm_encode_piece` oracle."""
+
+    def __init__(self, pieces: list[str], scores, byte_tokens: dict,
+                 unk_id: int):
+        lib = _load_spm()
+        if lib is None:
+            raise RuntimeError("libspm.so not built")
+        blobs = [p.encode("utf-8") for p in pieces]
+        offs = np.zeros(len(blobs) + 1, np.int64)
+        for i, b in enumerate(blobs):
+            offs[i + 1] = offs[i] + len(b)
+        blob = b"".join(blobs)
+        sc = np.ascontiguousarray(scores, np.float32)
+        bt = np.full(256, -1, np.int32)
+        for byte, tid in (byte_tokens or {}).items():
+            bt[int(byte)] = tid
+        self._lib = lib
+        self._handle = lib.spm_build(
+            blob, offs.ctypes.data, sc.ctypes.data, len(blobs),
+            bt.ctypes.data, int(unk_id if unk_id is not None else -1))
+
+    def encode(self, text: str) -> "list[int] | None":
+        data = text.encode("utf-8")
+        if not data:
+            return []
+        out = np.empty(len(data), np.int32)
+        n = self._lib.spm_encode(self._handle, data, len(data),
+                                 out.ctypes.data, out.size)
+        if n < 0:
+            return None
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.spm_free(self._handle)
+        except Exception:
+            pass
+
+
+def spm_available() -> bool:
+    return _load_spm() is not None

@@ -70,3 +70,29 @@ def test_native_speedup():
     t_py = best(planar_decode)
     t_nat = best(planar_decode_native)
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_native_spm_matches_python_oracle():
+    """libspm.so bigram merge must be id-identical to the Python
+    _spm_encode_piece oracle on the real llama SPM vocab, including byte
+    fallback and multibyte characters."""
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.native import spm_available
+    from ik_llama_cpp_tpu.runtime.tokenizer import tokenizer_from_gguf
+    if not spm_available():
+        from ik_llama_cpp_tpu.native import build
+        assert build(), "libspm.so build failed"
+    tok = tokenizer_from_gguf(
+        load_gguf("/root/reference/models/ggml-vocab-llama-spm.gguf").metadata)
+    cases = [
+        "Hello world", "  leading spaces", "emoji 🚀🦙 mix",
+        "日本語のテキスト", "tab\tand\nnewline", "x" * 500,
+        "the quick brown fox jumps over the lazy dog " * 40,
+        "ünïcödé àccénts", "", "a",
+    ]
+    for text in cases:
+        fast = tok.encode(text)
+        tok._native_spm = False       # force the Python oracle
+        slow = tok.encode(text)
+        tok._native_spm = None        # retry native next case
+        assert fast == slow, (text[:40], fast[:10], slow[:10])
