@@ -169,6 +169,7 @@ class Tokenizer:
     def __post_init__(self):
         self.vocab = {t: i for i, t in enumerate(self.tokens)}
         self._native_spm = None    # None = untried, False = unavailable
+        self._bpe_cache: dict[str, list[int]] = {}
         self.byte_tokens: dict[int, int] = {}
         if self.token_types is not None:
             for i, tt in enumerate(self.token_types):
@@ -283,6 +284,12 @@ class Tokenizer:
 
     # ------------------------------------------------------------------ BPE
     def _bpe_word(self, word: str) -> list[int]:
+        # BPE merges never cross the pre-tokenizer's word boundaries, so a
+        # per-word cache is EXACT — and word frequency is Zipfian, making
+        # long-prompt encoding mostly cache hits (same trick as tiktoken)
+        cached = self._bpe_cache.get(word)
+        if cached is not None:
+            return cached
         parts = list(word)
         while len(parts) > 1:
             best, best_rank = None, None
@@ -305,6 +312,8 @@ class Tokenizer:
                         out.append(tid)
                     elif self.unk_id >= 0:
                         out.append(self.unk_id)
+        if len(self._bpe_cache) < 1 << 16:
+            self._bpe_cache[word] = out
         return out
 
     def _encode_bpe(self, text: str) -> list[int]:
