@@ -55,8 +55,10 @@ class QLinear:
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
         if _use_pallas():
+            from ..ops import tuning
+            cfg = tuning.get("qmatmul", x2.shape[0], *self.codes.shape)
             y = qmatmul(x2, self.codes, self.scale, self.bias, group=self.group,
-                        interpret=interpret)
+                        interpret=interpret, **cfg)
         else:
             # XLA-CPU path with identical numerics (kernel == oracle is
             # separately proven by tests/test_qmatmul.py)

@@ -182,3 +182,34 @@ class TestI8MXU:
             assert len(out) == 4
         finally:
             W.set_i8_mxu(False)
+
+
+def test_tuning_table_lookup(tmp_path, monkeypatch):
+    """Tuning table: shape-key precedence, env override, and the tuned
+    config flowing through DenseLinear without changing numerics."""
+    import json
+    import numpy as np
+    from ik_llama_cpp_tpu.ops import tuning
+
+    p = tmp_path / "tune.json"
+    p.write_text(json.dumps({"qmatmul": {
+        "m16_k64_n128": {"block_k": 512},
+        "m16": {"block_n": 256}}}))
+    monkeypatch.setenv("IK_TUNE_FILE", str(p))
+    tuning.load(force=True)
+    assert tuning.get("qmatmul", 4, 64, 128) == {"block_k": 512}
+    assert tuning.get("qmatmul", 4, 64, 999) == {"block_n": 256}
+    assert tuning.get("qmatmul", 4096, 64, 128) == {}
+    assert tuning.get("other", 4, 64, 128) == {}
+    # numerics identical with an explicit (valid) tile override
+    from ik_llama_cpp_tpu.ops.qmatmul import qmatmul_ref, qmatmul
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    codes = rng.integers(-127, 128, (64, 128)).astype(np.int8)
+    scale = (rng.standard_normal((2, 128)) * 0.01).astype(np.float32)
+    a = qmatmul(x, codes, scale, group=32, interpret=True, block_n=256)
+    b = qmatmul_ref(x, codes, scale, group=32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-2, atol=2e-2)
+    monkeypatch.delenv("IK_TUNE_FILE")
+    tuning.load(force=True)
