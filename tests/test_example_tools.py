@@ -176,3 +176,27 @@ def test_embedding_cli(tmp_path, capsys):
     main(["-m", str(tiny), "-p", "hi", "--embd-output-format", "json"])
     doc = _json.loads(capsys.readouterr().out)
     assert doc["object"] == "list" and len(doc["data"][0]["embedding"]) > 0
+
+
+def test_validate_quants(tmp_path, capsys):
+    """--validate-quants analogue: a clean file passes; a corrupted f16
+    tensor (NaN bytes) is reported."""
+    import struct
+    from ik_llama_cpp_tpu.tools.validate_quants import main, validate_file
+    p = make_tiny_llama_gguf(tmp_path / "v.gguf", seed=4,
+                             quant=GGMLType.Q4_0)
+    assert main([str(p), "-q"]) == 0
+    # corrupt: overwrite part of an f32 norm payload with NaNs
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    gg = load_gguf(p)
+    info = next(i for n, i in gg.tensors.items()
+                if i.ggml_type == GGMLType.F32 and "norm" in n)
+    raw = bytearray(p.read_bytes())
+    blob = bytes(np.asarray(info.data[:64]).tobytes())
+    off = raw.find(blob)
+    assert off > 0
+    raw[off:off + 32] = struct.pack("<f", float("nan")) * 8
+    bad_p = tmp_path / "bad.gguf"
+    bad_p.write_bytes(bytes(raw))
+    bad = validate_file(bad_p)
+    assert bad and any("NaN" in "; ".join(v) for v in bad.values()), bad
