@@ -169,8 +169,20 @@ class Server:
             except Exception:
                 self.chat_analysis = None
 
+        _CORS = {
+            "Access-Control-Allow-Origin": "*",
+            "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
+            "Access-Control-Allow-Headers":
+                "Content-Type, Authorization, x-api-key, anthropic-version",
+        }
+
         @web.middleware
         async def auth(request, handler):
+            # CORS preflight + headers on every response (the reference
+            # sets Access-Control-Allow-Origin * per handler and ships a
+            # CORS proxy, server-cors-proxy.h)
+            if request.method == "OPTIONS":
+                return web.Response(status=204, headers=_CORS)
             # /health stays open (load-balancer probes), like the reference
             if self.api_key and request.path != "/health":
                 got = request.headers.get("Authorization", "")
@@ -180,8 +192,13 @@ class Server:
                     return web.json_response(
                         {"error": {"message": "invalid api key",
                                    "type": "authentication_error"}},
-                        status=401)
-            return await handler(request)
+                        status=401, headers=_CORS)
+            resp = await handler(request)
+            try:
+                resp.headers.update(_CORS)
+            except Exception:
+                pass            # streamed responses already prepared
+            return resp
 
         self.app = web.Application(middlewares=[auth])
         r = self.app.router
@@ -814,7 +831,7 @@ class Server:
         prompt = body.get("prompt", "")
         ids = prompt if isinstance(prompt, list) else self.rt.tokenizer.encode(prompt)
         if body.get("stream"):
-            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream", "Access-Control-Allow-Origin": "*"})
             await resp.prepare(request)
 
             t_last = [time.time()]
@@ -859,7 +876,7 @@ class Server:
         ids = prompt if isinstance(prompt, list) else self.rt.tokenizer.encode(prompt)
         rid = f"cmpl-{uuid.uuid4().hex[:12]}"
         if body.get("stream"):
-            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream", "Access-Control-Allow-Origin": "*"})
             await resp.prepare(request)
 
             async def on_token(piece, done):
@@ -956,7 +973,7 @@ class Server:
         ids = self.rt.tokenizer.encode(prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         if body.get("stream"):
-            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream", "Access-Control-Allow-Origin": "*"})
             await resp.prepare(request)
 
             async def on_token(piece, done):
@@ -1189,7 +1206,7 @@ class Server:
         body.setdefault("max_tokens", 128)
         rid = f"msg_{uuid.uuid4().hex[:16]}"
         if body.get("stream"):
-            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+            resp = web.StreamResponse(headers={"Content-Type": "text/event-stream", "Access-Control-Allow-Origin": "*"})
             await resp.prepare(request)
 
             async def ev(name, data):
