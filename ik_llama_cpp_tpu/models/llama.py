@@ -772,9 +772,12 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         dec = (flash_attention_decode_q8 if quant else flash_attention_decode)
         kv_args = ((kv_k_a, kv_ks_a, kv_v_a, kv_vs_a) if quant
                    else (kv_k_a, kv_v_a))
+        from ..ops import tuning as _tuning
+        fa_cfg = _tuning.get("fa_decode", t, kv_k_a.shape[1],
+                             kv_k_a.shape[2])
         attn = dec(qb, *kv_args, npv, kv_len, scale=scale,
                    softcap=cfg.attn_softcap, swa_window=swa_window,
-                   attn_chunk=attn_chunk, sinks=sinks)
+                   attn_chunk=attn_chunk, sinks=sinks, **fa_cfg)
     if attn is not None:
         pass
     elif cfg.alibi_max_bias > 0:

@@ -77,6 +77,64 @@ def tune_qmatmul(shapes, *, group=32, quick=False, log=print,
     return table
 
 
+def tune_fa_decode(shapes, *, quick=False, log=print,
+                   interpret=False) -> dict:
+    """block_kv sweep for the native-layout decode FA at decode shapes
+    (B, T, S, Hkv, D)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ..ops.flash_attention import flash_attention_decode
+    from ..ops.tuning import _mbucket
+
+    rng = np.random.default_rng(1)
+    table: dict = {}
+    cands = (256, 512, 1024, 2048) if not quick else (1024,)
+    for (b, t, s_len, hkv, d, h) in shapes:
+        q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s_len, hkv, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s_len, hkv, d)), jnp.bfloat16)
+        npv = jnp.full((b,), s_len - t, jnp.int32)
+        kvl = jnp.full((b,), s_len, jnp.int32)
+        best_cfg, best_t = {}, float("inf")
+
+        def run(cfg):
+            try:
+                y = flash_attention_decode(q, k, v, npv, kvl,
+                                           scale=d ** -0.5,
+                                           interpret=interpret, **cfg)
+                if y is None:
+                    return float("inf")
+                y.block_until_ready()
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    flash_attention_decode(q, k, v, npv, kvl,
+                                           scale=d ** -0.5,
+                                           interpret=interpret,
+                                           **cfg).block_until_ready()
+                    best = min(best, time.perf_counter() - t0)
+                return best
+            except Exception:
+                return float("inf")
+
+        base = run({})
+        log(f"fa_decode b{b} t{t} s{s_len} hkv{hkv}: default {base*1e6:.0f}us")
+        best_t = base
+        for bk in cands:
+            if bk > s_len:
+                continue
+            tcfg = {"block_kv": bk}
+            tt = run(tcfg)
+            if tt < best_t * 0.98:
+                best_cfg, best_t = tcfg, tt
+        if best_cfg:
+            table[f"m{_mbucket(t)}_k{s_len}_n{hkv}"] = best_cfg
+            log(f"  -> {best_cfg} at {best_t*1e6:.0f}us")
+        else:
+            log("  -> defaults win")
+    return table
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Pallas tile autotuner")
     ap.add_argument("--embd", type=int, default=4096)
@@ -99,6 +157,13 @@ def main(argv=None):
     q.update(tune_qmatmul(shapes, group=args.group, quick=args.quick,
                           interpret=args.interpret,
                           log=lambda *a: print(*a, file=sys.stderr)))
+    heads = max(1, E // 128)
+    fa_shapes = [(1, 1, s_len, max(1, heads // 4), 128, heads)
+                 for s_len in ((1024, 4096) if not args.quick else (1024,))]
+    f = table.setdefault("fa_decode", {})
+    f.update(tune_fa_decode(fa_shapes, quick=args.quick,
+                            interpret=args.interpret,
+                            log=lambda *a: print(*a, file=sys.stderr)))
     path = tuning.save(table, args.out)
     print(f"wrote {path}", file=sys.stderr)
     return table
