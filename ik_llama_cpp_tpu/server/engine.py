@@ -872,15 +872,20 @@ class BatchEngine:
         while not self._stop.is_set():
             self._admit()
             prefills = [s for s in self.slots if s.state == SlotState.PREFILL]
-            if len(prefills) > 1:
-                while prefills:
+            gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+            if prefills:
+                if gen or len(prefills) > 1:
+                    # ONE chunk round per loop iteration: ongoing decodes
+                    # interleave between prompt chunks, so a long incoming
+                    # prompt stalls streaming clients by at most one chunk
+                    # (update_slots mixes prompt+gen tokens in one batch in
+                    # the reference; chunk-interleaving is our equivalent)
                     self._do_prefill_batch(prefills)
-                    prefills = [s for s in prefills
-                                if s.state == SlotState.PREFILL]
-                self._admit()
-            for slot in prefills:
-                self._do_prefill(slot)
-                self._admit()
+                    self._admit()
+                else:
+                    # empty engine: sprint the sole prompt to completion
+                    self._do_prefill(prefills[0])
+                    self._admit()
             gen = [s for s in self.slots if s.state == SlotState.GENERATING]
             if not gen:
                 time.sleep(0.002)
