@@ -1173,6 +1173,10 @@ class BatchEngine:
             f"llamacpp:slots_idle {sum(1 for s in self.slots if s.state == SlotState.IDLE)}",
             "# TYPE llamacpp:slots_processing gauge",
             f"llamacpp:slots_processing {sum(1 for s in self.slots if s.state != SlotState.IDLE)}",
+            "# TYPE llamacpp:rewinds_total counter",
+            f"llamacpp:rewinds_total {self.n_rewinds}",
+            "# TYPE llamacpp:topk_decode_steps_total counter",
+            f"llamacpp:topk_decode_steps_total {self.n_topk_steps}",
             "# TYPE llamacpp:draft_tokens_total counter",
             f"llamacpp:draft_tokens_total {self.n_draft_proposed}",
             "# TYPE llamacpp:draft_tokens_accepted_total counter",
