@@ -130,6 +130,36 @@ def _n_probs_from(body: dict) -> int:
     return 0
 
 
+def _allowlist_fields(body: dict, srv) -> dict:
+    """Allowlist Request kwargs: server CLI defaults with per-request
+    overrides.  The reference overrides pieces (``allowlist_piece_array``)
+    and the keyword delay (``allowlist_keyword_delay``) per request
+    (server-context.cpp:1707-1717); we additionally accept full rule and
+    keyword arrays (``allowlist_unicode_rules`` — array of arrays of rule
+    strings — and ``allowlist_keywords``), closing its JSON-parsing TODO."""
+    rules = srv.allow_rules
+    body_rules = body.get("allowlist_unicode_rules")
+    if isinstance(body_rules, list):
+        from ..runtime.allowlist import parse_rule
+        rules = [[parse_rule(str(r)) for r in rs]
+                 for rs in body_rules if isinstance(rs, list)]
+    kws = srv.allow_kws
+    body_kws = body.get("allowlist_keywords")
+    if isinstance(body_kws, list):
+        kws = [str(k) for k in body_kws]
+    pieces = srv.allow_pieces
+    body_pieces = body.get("allowlist_piece_array")
+    if isinstance(body_pieces, list):
+        pieces = [str(p) for p in body_pieces if isinstance(p, str)]
+    return {
+        "allow_rules": rules,
+        "allow_pieces": pieces,
+        "allow_kws": kws,
+        "allow_kw_delay": int(body.get("allowlist_keyword_delay",
+                                       srv.allow_kw_delay)),
+    }
+
+
 def _grammar_from(body: dict) -> str | None:
     """GBNF grammar text from the request: native ``grammar`` /
     ``json_schema`` fields (server.cpp params_from_json_cmpl) or the OpenAI
@@ -260,6 +290,14 @@ class Server:
         self.control_vectors: list[dict] = []
         self.session_db = None      # SessionDB when --sql-save-file given
         self._profile_dir = None    # active jax.profiler capture dir
+        # unicode-script allowlist defaults (--allowlist-unicode-rule /
+        # --allowlist-pieces / --allowlist-keyword[-delay]); per-request
+        # fields may override pieces/delay (and, beyond the reference's
+        # CLI-only rules, full rule/keyword arrays)
+        self.allow_rules: list = []     # list of rulesets of parsed tuples
+        self.allow_pieces: list = []
+        self.allow_kws: list = []
+        self.allow_kw_delay: int = 0
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None,
@@ -312,6 +350,7 @@ class Server:
             reasoning_message=str(
                 body.get("reasoning_budget_message") or "\n"),
             stream_queue=q,
+            **_allowlist_fields(body, self),
         )
         if req_out is not None:
             req_out["req"] = req
@@ -1306,6 +1345,31 @@ def main(argv=None):
                     help="control-vector GGUF (repeatable); PATH or "
                          "PATH:SCALE, applied at startup")
     ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
+
+    class _AllowAction(argparse.Action):
+        # --allowlist-unicode-rule appends to the CURRENT ruleset and
+        # --allowlist-keyword closes it (starting the next), so flag ORDER
+        # is meaningful — record the interleaving (common.cpp:2327-2345)
+        def __call__(self, parser, ns, values, option_string=None):
+            seq = list(getattr(ns, "allow_seq", None) or [])
+            seq.append(("kw" if "keyword" in option_string else "rule",
+                        values))
+            ns.allow_seq = seq
+    ap.add_argument("--allowlist-unicode-rule", action=_AllowAction,
+                    metavar="LOWER..UPPER,SCRIPT:BIAS", dest="allow_seq",
+                    help="allowlist unicode script/codepoint rule; tokens "
+                         "with codepoints outside every rule are banned "
+                         "(repeatable; rules between two --allowlist-keyword "
+                         "flags form one ruleset)")
+    ap.add_argument("--allowlist-keyword", action=_AllowAction,
+                    dest="allow_seq",
+                    help="generated-text keyword that expires the current "
+                         "ruleset and activates the next")
+    ap.add_argument("--allowlist-pieces", action="append", default=[],
+                    help="always-allowed text piece (tokenized; repeatable); "
+                         "its tokens get each ruleset's max bias")
+    ap.add_argument("--allowlist-keyword-delay", type=int, default=0,
+                    help="min decoded tokens before keyword matching starts")
     ap.add_argument("--distributed", metavar="COORD[,NPROC,PID]",
                     help="jax.distributed multi-host init: coordinator "
                     "address (host:port)[, process count, process id]. "
@@ -1379,6 +1443,22 @@ def main(argv=None):
                              cache_ram_mib=args.cache_ram)
     engine.start()
     srv = Server(engine, model_name=str(args.gguf), api_key=args.api_key)
+    if getattr(args, "allow_seq", None):
+        from ..runtime.allowlist import parse_rule
+        rulesets: list[list] = []
+        kws: list[str] = []
+        for kind, val in args.allow_seq:
+            if kind == "rule":
+                if not rulesets:
+                    rulesets.append([])
+                rulesets[-1].append(parse_rule(val))
+            else:
+                kws.append(val)
+                rulesets.append([])
+        srv.allow_rules = rulesets
+        srv.allow_kws = kws
+    srv.allow_pieces = list(args.allowlist_pieces)
+    srv.allow_kw_delay = args.allowlist_keyword_delay
     srv.loras = loras
     srv.slot_save_path = args.slot_save_path
     if args.sql_save_file:

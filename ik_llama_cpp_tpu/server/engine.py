@@ -84,6 +84,16 @@ class Request:
     reasoning_end_tag: str = "</think>"
     reasoning_message: str = "\n"
     cache_prompt: bool = True     # false disables prefix/KV reuse
+    # unicode-script allowlist biasing (--allowlist-unicode-rule /
+    # --allowlist-pieces / --allowlist-keyword[-delay] + the request's
+    # allowlist_piece_array/allowlist_keyword_delay fields;
+    # server-context.cpp:1696-1793): allow_rules is a list of rulesets of
+    # (lower_cpt, upper_cpt, script, bias) tuples; keywords found in the
+    # generated text expire rulesets in order
+    allow_rules: list = field(default_factory=list)
+    allow_pieces: list = field(default_factory=list)
+    allow_kws: list = field(default_factory=list)
+    allow_kw_delay: int = 0
 
 
 @dataclass
@@ -108,6 +118,7 @@ class Slot:
     gen_pieces: list = field(default_factory=list)  # text piece per gen token
     pos_bans: dict = field(default_factory=dict)    # token index -> {ids}
     rewind_count: int = 0
+    allowlist: Any = None       # runtime.allowlist.AllowlistState | None
     lazy_grammar: Any = None    # (gbnf_text, [trigger words]) while dormant
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -222,6 +233,7 @@ class BatchEngine:
         self.prompt_cache = (HostPromptCache(cache_ram_mib)
                              if cache_ram_mib != 0 else None)
         self.slots = [Slot(i) for i in range(n_slots)]
+        self._allow_cache: dict = {}   # shared vocab flattening + bias vecs
         self.requests: queue.Queue[Request] = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -520,6 +532,13 @@ class BatchEngine:
             slot.gen_pieces = []
             slot.pos_bans = {}
             slot.rewind_count = 0
+            slot.allowlist = None
+            if req.allow_rules:
+                from ..runtime.allowlist import build_allowlist
+                slot.allowlist = build_allowlist(
+                    self.rt.tokenizer, req.allow_rules, req.allow_kws,
+                    pieces=req.allow_pieces, kw_delay=req.allow_kw_delay,
+                    vocab_cache=self._allow_cache)
             if self.rt.recurrent and (req.banned_strings or req.banned_regex
                                       or req.banned_regex_ci):
                 # SSM/conv state cannot be rewound without the checkpoint
@@ -562,6 +581,13 @@ class BatchEngine:
 
     def _emit_token(self, slot: Slot, logits: np.ndarray, topk=None):
         req = slot.req
+        if slot.allowlist is not None and topk is None and logits is not None:
+            # allowlist biases are added to the raw logits before any
+            # sampler stage (common/sampling.cpp:640 server_biases) — -inf
+            # entries ban the token outright
+            srv_bias = slot.allowlist.active_bias()
+            if srv_bias is not None and len(srv_bias) == len(logits):
+                logits = np.asarray(logits, np.float32) + srv_bias
         bans = slot.pos_bans.get(len(slot.tokens))
         if bans and topk is None:
             # positional bans from a banned-phrase rewind: bias the tokens
@@ -651,7 +677,12 @@ class BatchEngine:
         if tok == self.rt.tokenizer.eos_id:
             done = True
             piece = ""            # the eos token's own text is never emitted
+        prev_text_len = len(slot.text)
         slot.text += piece
+        if slot.allowlist is not None:
+            # keyword scan over the newly appended text expires rulesets in
+            # order (update_allowlist_state, server-context.cpp:4630)
+            slot.allowlist.update(slot.text, prev_text_len, slot.n_decoded)
         slot.gen_pieces.append(piece)
         if req.cancelled:
             # checked BEFORE the rewind path: a disconnected client must be
@@ -721,6 +752,8 @@ class BatchEngine:
         p = req.sampler
         if s.forced or s.grammar is not None or req.n_probs > 0:
             return False
+        if s.allowlist is not None and s.allowlist.active_bias() is not None:
+            return False      # full-vocab server bias needs the full row
         if s.pos_bans and req.banned_bias > 0:
             return False
         if not topk_chain_compatible(p):
