@@ -1345,6 +1345,11 @@ def main(argv=None):
                     help="control-vector GGUF (repeatable); PATH or "
                          "PATH:SCALE, applied at startup")
     ap.add_argument("--api-key", help="require this key (Bearer or x-api-key)")
+    ap.add_argument("--ssl-key-file",
+                    help="PEM-encoded SSL private key: serve HTTPS "
+                         "(with --ssl-cert-file; reference --ssl-key-file)")
+    ap.add_argument("--ssl-cert-file",
+                    help="PEM-encoded SSL certificate")
 
     class _AllowAction(argparse.Action):
         # --allowlist-unicode-rule appends to the CURRENT ruleset and
@@ -1484,8 +1489,16 @@ def main(argv=None):
             srv.clip = ClipEncoder(args.mmproj)
         if mm_md.get("clip.has_audio_encoder"):
             srv.audio = AudioEncoder(args.mmproj)
+    ssl_ctx = None
+    if args.ssl_key_file and args.ssl_cert_file:
+        # HTTPS serving (the reference's httplib SSLServer path,
+        # examples/server/server.cpp:501-506)
+        import ssl
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.ssl_cert_file, args.ssl_key_file)
     try:
-        web.run_app(srv.app, host=args.host, port=args.port)
+        web.run_app(srv.app, host=args.host, port=args.port,
+                    ssl_context=ssl_ctx)
     finally:
         # graceful distributed shutdown: broadcast OP_SHUTDOWN so follower
         # processes exit their worker loops cleanly
