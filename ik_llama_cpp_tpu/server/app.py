@@ -298,6 +298,9 @@ class Server:
         self.allow_pieces: list = []
         self.allow_kws: list = []
         self.allow_kw_delay: int = 0
+        # expiring-logit-bias rule text (--expiring-logit-bias-file);
+        # per-request expiring_logit_bias overrides
+        self.expiring_logit_bias = None
 
     # ------------------------------------------------------------ helpers
     async def _run(self, prompt_ids, body: dict, stream: bool, on_token=None,
@@ -350,6 +353,8 @@ class Server:
             reasoning_message=str(
                 body.get("reasoning_budget_message") or "\n"),
             stream_queue=q,
+            expiring_logit_bias=body.get("expiring_logit_bias",
+                                         self.expiring_logit_bias),
             **_allowlist_fields(body, self),
         )
         if req_out is not None:
@@ -1375,6 +1380,11 @@ def main(argv=None):
                          "its tokens get each ruleset's max bias")
     ap.add_argument("--allowlist-keyword-delay", type=int, default=0,
                     help="min decoded tokens before keyword matching starts")
+    ap.add_argument("--expiring-logit-bias-file",
+                    help="expiring-logit-bias rule file (phrase biases "
+                         "with durations + exit/jump-word state machine; "
+                         "reference PR #1731); per-request override via "
+                         "the expiring_logit_bias field")
     ap.add_argument("--distributed", metavar="COORD[,NPROC,PID]",
                     help="jax.distributed multi-host init: coordinator "
                     "address (host:port)[, process count, process id]. "
@@ -1464,6 +1474,9 @@ def main(argv=None):
         srv.allow_kws = kws
     srv.allow_pieces = list(args.allowlist_pieces)
     srv.allow_kw_delay = args.allowlist_keyword_delay
+    if args.expiring_logit_bias_file:
+        srv.expiring_logit_bias = Path(
+            args.expiring_logit_bias_file).read_text()
     srv.loras = loras
     srv.slot_save_path = args.slot_save_path
     if args.sql_save_file:

@@ -94,6 +94,10 @@ class Request:
     allow_pieces: list = field(default_factory=list)
     allow_kws: list = field(default_factory=list)
     allow_kw_delay: int = 0
+    # expiring logit bias rule text (string or array of lines; the
+    # reference's --expiring-logit-bias-file / expiring_logit_bias request
+    # field, PR #1731 — runtime/expiring_bias.py)
+    expiring_logit_bias: Any = None
 
 
 @dataclass
@@ -119,6 +123,7 @@ class Slot:
     pos_bans: dict = field(default_factory=dict)    # token index -> {ids}
     rewind_count: int = 0
     allowlist: Any = None       # runtime.allowlist.AllowlistState | None
+    elb: Any = None             # runtime.expiring_bias.ElbRuntime | None
     lazy_grammar: Any = None    # (gbnf_text, [trigger words]) while dormant
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -539,6 +544,11 @@ class BatchEngine:
                     self.rt.tokenizer, req.allow_rules, req.allow_kws,
                     pieces=req.allow_pieces, kw_delay=req.allow_kw_delay,
                     vocab_cache=self._allow_cache)
+            slot.elb = None
+            if req.expiring_logit_bias is not None:
+                from ..runtime.expiring_bias import build_elb_runtime
+                slot.elb = build_elb_runtime(
+                    self.rt.tokenizer, req.expiring_logit_bias, req.sampler)
             if self.rt.recurrent and (req.banned_strings or req.banned_regex
                                       or req.banned_regex_ci):
                 # SSM/conv state cannot be rewound without the checkpoint
@@ -588,6 +598,11 @@ class BatchEngine:
             srv_bias = slot.allowlist.active_bias()
             if srv_bias is not None and len(srv_bias) == len(logits):
                 logits = np.asarray(logits, np.float32) + srv_bias
+        if slot.elb is not None and topk is None and logits is not None:
+            # expiring logit bias: state-machine token biases added to the
+            # raw logits + sampler-param toggles (sampling.cpp:836 apply)
+            logits = np.asarray(logits, np.float32).copy()
+            slot.elb.apply(logits, slot.text)
         bans = slot.pos_bans.get(len(slot.tokens))
         if bans and topk is None:
             # positional bans from a banned-phrase rewind: bias the tokens
@@ -678,6 +693,10 @@ class BatchEngine:
             done = True
             piece = ""            # the eos token's own text is never emitted
         prev_text_len = len(slot.text)
+        if slot.elb is not None:
+            # countup + exit/jump-word scan over the text BEFORE this piece
+            # is appended (sampling.cpp:941 accept semantics)
+            slot.elb.accept(slot.text, piece)
         slot.text += piece
         if slot.allowlist is not None:
             # keyword scan over the newly appended text expires rulesets in
@@ -754,6 +773,8 @@ class BatchEngine:
             return False
         if s.allowlist is not None and s.allowlist.active_bias() is not None:
             return False      # full-vocab server bias needs the full row
+        if s.elb is not None:
+            return False      # expiring biases can promote arbitrary tokens
         if s.pos_bans and req.banned_bias > 0:
             return False
         if not topk_chain_compatible(p):
