@@ -591,7 +591,10 @@ class GraniteMoe(ArchConverter):
             yield f"blk.{i}.ffn_down_exps.weight", np.asarray(ol, np.float32)
 
 
-_GATING = {"softmax": 1, "sigmoid": 2, "sqrtsoftplus": 3}
+# LLM_EXPERT_GATING_FUNC_* (llama-hparams.h:12-16): 3 is softmax-weight,
+# sqrt-softplus (DeepSeek-V4) is 4
+_GATING = {"softmax": 1, "sigmoid": 2, "softmax_weight": 3,
+           "sqrtsoftplus": 4, "sqrt_softplus": 4}
 
 
 @register("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
@@ -1977,6 +1980,565 @@ class Laguna(ArchConverter):
             yield from self.stack_experts(i, self.cfg["num_experts"])
 
 
+# ------------------------------------------------------------ dflash drafts
+@register("DFlashDraftModel")
+class DFlashDraft(ArchConverter):
+    """DFlash block-diffusion draft head (reference DFlashDraftModel,
+    convert_hf_to_gguf.py:2334): qwen3-style blocks + the fc/hidden_norm
+    feature-fusion tensors and the dflash.* metadata block. Checkpoints may
+    name tensors with or without the ``model.`` prefix; optional per-layer
+    ``attention_sink_bias`` becomes attn_sinks."""
+    arch = "dflash-draft"
+    causal = False
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("lm_head.weight", "output.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("model.fc.weight", "dflash_fc.weight"),
+        ("model.hidden_norm.weight", "dflash_hidden_norm.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("post_attention_layernorm", "post_attention_norm"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.k_proj", "attn_k"),
+                      ("self_attn.v_proj", "attn_v"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("self_attn.q_norm", "attn_q_norm"),
+                      ("self_attn.k_norm", "attn_k_norm"),
+                      ("mlp.gate_proj", "ffn_gate"),
+                      ("mlp.up_proj", "ffn_up"),
+                      ("mlp.down_proj", "ffn_down"))] + [
+        ("model.layers.{i}.self_attn.attention_sink_bias",
+         "blk.{i}.attn_sinks.weight"),
+    ]
+
+    def __init__(self, cfg, tensors):
+        # the reference normalizes bare top-level names to model.* forms
+        # (DFlashDraftModel.modify_tensors)
+        tensors = {(k if k.startswith(("model.", "lm_head."))
+                    else "model." + k): v for k, v in tensors.items()}
+        super().__init__(cfg, tensors)
+        dfc = cfg.get("dflash_config")
+        self.dflash = dfc if isinstance(dfc, dict) else {}
+
+    def dkey(self, name, default=None):
+        if name in self.dflash:
+            return self.dflash[name]
+        if name in self.cfg:
+            return self.cfg[name]
+        if default is None:
+            raise ValueError(f"dflash conversion requires {name} metadata")
+        return default
+
+    def rope_dim(self):
+        return int(self.head_dim
+                   * float(self.cfg.get("partial_rotary_factor", 1.0)))
+
+    def metadata(self, w):
+        super().metadata(w)
+        a = self.arch
+        # the draft graph always runs FA with explicit head sizes
+        w.add(f"{a}.attention.key_length", self.head_dim)
+        w.add(f"{a}.attention.value_length", self.head_dim)
+
+    def extra_metadata(self, w):
+        a = self.arch
+        w.add(f"{a}.attention.causal", self.causal)
+        tli = [int(v) for v in self.dkey("target_layer_ids")]
+        w.add(f"{a}.dflash.block_size", int(self.dkey("block_size")))
+        w.add(f"{a}.dflash.mask_token_id", int(self.dkey("mask_token_id")))
+        w.add(f"{a}.dflash.target_layer_ids", np.asarray(tli, np.int32))
+        nf = self.dflash.get("n_target_features",
+                             self.cfg.get("n_target_features"))
+        if nf is None:
+            nf = int(self.n_embd) * len(tli)
+        w.add(f"{a}.dflash.n_target_features", int(nf))
+        rb = self.dflash.get("backbone_rotary_base")
+        if rb is not None:
+            w.add(f"{a}.dflash.backbone_rotary_base", float(rb))
+        vs = self.dflash.get("attention_value_scale",
+                             self.cfg.get("attention_value_scale"))
+        if vs is not None:
+            w.add(f"{a}.attention.value_scale", float(vs))
+        sw = self.cfg.get("sliding_window",
+                          self.dflash.get("swa_window_size"))
+        use_swa = self.cfg.get("use_sliding_window",
+                               self.dflash.get("use_swa"))
+        if use_swa and sw:
+            lt = self.cfg.get("layer_types")
+            pattern = ([1 if str(x) == "sliding_attention" else 0
+                        for x in lt] if lt else [1] * self.n_layer)
+            w.add(f"{a}.attention.sliding_window", int(sw))
+            w.add(f"{a}.attention.sliding_window_pattern",
+                  np.asarray(pattern, np.int32))
+        rs = self.cfg.get("rope_scaling")
+        if isinstance(rs, dict) and rs.get("factor"):
+            w.add(f"{a}.rope.scaling.type",
+                  str(rs.get("rope_type", rs.get("type", "linear"))))
+            w.add(f"{a}.rope.scaling.factor", float(rs["factor"]))
+
+
+@register("DFlashLagunaForCausalLM")
+class DFlashLaguna(DFlashDraft):
+    """Laguna-style causal DFlash draft (DFlashLagunaForCausalLM,
+    convert_hf_to_gguf.py:2626): packed qkv_proj split planar, per-head
+    softplus attention gate (g_proj), per-capture aux hidden norms, and
+    mandatory all-SWA layers."""
+    causal = True
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        if self.dflash.get("causal") is not True:
+            raise ValueError("DFlashLaguna requires dflash_config.causal")
+        if not self.cfg.get("sliding_window"):
+            raise ValueError("DFlashLaguna requires sliding_window")
+        self.cfg = dict(self.cfg)
+        self.cfg["use_sliding_window"] = True
+        # split packed qkv into the planar q/k/v the base MAP expects
+        qd = self.n_head * self.head_dim
+        kvd = self.n_head_kv * self.head_dim
+        for i in range(self.n_layer):
+            b = f"model.layers.{i}.self_attn"
+            packed = self.tensors.pop(f"{b}.qkv_proj.weight", None)
+            if packed is not None:
+                packed = np.asarray(packed, np.float32)
+                self.tensors[f"{b}.q_proj.weight"] = packed[:qd]
+                self.tensors[f"{b}.k_proj.weight"] = packed[qd:qd + kvd]
+                self.tensors[f"{b}.v_proj.weight"] = packed[qd + kvd:]
+
+    def extra_metadata(self, w):
+        super().extra_metadata(w)
+        w.add(f"{self.arch}.dflash.laguna", True)
+
+    def extra_rows(self):
+        for i in range(self.n_layer):
+            g = self.tensors.get(f"model.layers.{i}.self_attn.g_proj.weight")
+            if g is not None:
+                g = np.asarray(g, np.float32)
+                yield (f"blk.{i}.attn_gate.weight",
+                       g.reshape(self.n_head, self.n_embd))
+        j = 0
+        while f"model.aux_hidden_norms.{j}.weight" in self.tensors:
+            yield (f"dflash_aux_hidden_norm.{j}.weight",
+                   np.asarray(
+                       self.tensors[f"model.aux_hidden_norms.{j}.weight"],
+                       np.float32))
+            j += 1
+
+
+# ------------------------------------------------------------ gemma4 family
+@register("Gemma4ForConditionalGeneration")
+class Gemma4(ArchConverter):
+    """gemma4 (gemma-3n-style) text model (Gemma4Model,
+    convert_hf_to_gguf.py:3869): per-layer input embeddings, dual SWA/full
+    head geometry, optional MoE layers with fused gate|up experts + scales,
+    layer output scalars, and a generated proportional-rope rope_freqs."""
+    arch = "gemma4"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("model.embed_tokens_per_layer.weight", "per_layer_token_embd.weight"),
+        ("model.per_layer_model_projection.weight",
+         "per_layer_model_proj.weight"),
+        ("model.per_layer_projection_norm.weight",
+         "per_layer_proj_norm.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.k_proj", "attn_k"),
+                      ("self_attn.v_proj", "attn_v"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("self_attn.q_norm", "attn_q_norm"),
+                      ("self_attn.k_norm", "attn_k_norm"),
+                      ("post_attention_layernorm", "post_attention_norm"),
+                      ("pre_feedforward_layernorm", "ffn_norm"),
+                      ("pre_feedforward_layernorm_2", "pre_ffw_norm_2"),
+                      ("post_feedforward_layernorm", "post_ffw_norm"),
+                      ("post_feedforward_layernorm_1", "post_ffw_norm_1"),
+                      ("post_feedforward_layernorm_2", "post_ffw_norm_2"),
+                      ("layer_scalar", "layer_output_scale"),
+                      ("per_layer_input_gate", "inp_gate"),
+                      ("per_layer_projection", "proj"),
+                      ("post_per_layer_input_norm", "post_norm"),
+                      ("mlp.gate_proj", "ffn_gate"),
+                      ("mlp.up_proj", "ffn_up"),
+                      ("mlp.down_proj", "ffn_down"))]
+
+    def __init__(self, cfg, tensors):
+        text = cfg.get("text_config")
+        if isinstance(text, dict):
+            cfg = {**cfg, **text}
+        # multimodal checkpoints prefix the text tower; lm_head is unused
+        # (Gemma4Model.modify_tensors skips it)
+        tensors = {k.replace("language_model.", ""): v
+                   for k, v in tensors.items() if "language_model." in k
+                   or "rope_freqs" in k or not cfg.get("text_config")}
+        tensors.pop("lm_head.weight", None)
+        # bare scalar params are stored without a .weight suffix
+        for k in list(tensors):
+            if k.endswith(("per_dim_scale", "layer_scalar")):
+                tensors[k + ".weight"] = tensors.pop(k)
+        super().__init__(cfg, tensors)
+        self.swa_layers = [str(t) == "sliding_attention"
+                           for t in self.cfg["layer_types"]]
+        rp = self.cfg.get("rope_parameters", {})
+        self.rope_full = rp.get("full_attention", {})
+        self.rope_swa = rp.get("sliding_attention", {})
+        self.head_dim_full = int(self.cfg["global_head_dim"])
+        self.head_dim_swa = int(self.cfg["head_dim"])
+
+    def metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        n_shared = int(cfg.get("num_kv_shared_layers", 0))
+        if cfg.get("use_double_wide_mlp"):
+            first_shared = self.n_layer - n_shared
+            w.add(f"{a}.feed_forward_length",
+                  np.asarray([self.n_ff if il < first_shared
+                              else 2 * self.n_ff
+                              for il in range(self.n_layer)], np.int32))
+        else:
+            w.add(f"{a}.feed_forward_length", self.n_ff)
+        w.add(f"{a}.attention.head_count", self.n_head)
+        n_kv_full = cfg.get("num_global_key_value_heads")
+        if n_kv_full is not None and int(n_kv_full) != int(self.n_head_kv):
+            w.add(f"{a}.attention.head_count_kv",
+                  np.asarray([self.n_head_kv if s else int(n_kv_full)
+                              for s in self.swa_layers], np.int32))
+        else:
+            w.add(f"{a}.attention.head_count_kv", self.n_head_kv)
+        w.add(f"{a}.attention.layer_norm_rms_epsilon",
+              self.key("rms_norm_eps", default=1e-6))
+        w.add(f"{a}.attention.sliding_window", int(cfg["sliding_window"]))
+        w.add(f"{a}.attention.sliding_window_pattern",
+              np.asarray([1 if s else 0 for s in self.swa_layers], np.int32))
+        w.add(f"{a}.attention.shared_kv_layers", n_shared)
+        w.add(f"{a}.attention.key_length", self.head_dim_full)
+        w.add(f"{a}.attention.value_length", self.head_dim_full)
+        w.add(f"{a}.attention.key_length_swa", self.head_dim_swa)
+        w.add(f"{a}.attention.value_length_swa", self.head_dim_swa)
+        w.add(f"{a}.rope.dimension_count", self.head_dim_full)
+        prf_swa = float(self.rope_swa.get(
+            "partial_rotary_factor", cfg.get("partial_rotary_factor", 1.0)))
+        w.add(f"{a}.rope.dimension_count_swa",
+              int(self.head_dim_swa * prf_swa))
+        w.add(f"{a}.rope.freq_base",
+              float(self.rope_full.get("rope_theta", 1000000.0)))
+        w.add(f"{a}.rope.freq_base_swa",
+              float(self.rope_swa.get("rope_theta", 10000.0)))
+        w.add(f"{a}.embedding_length_per_layer_input",
+              int(cfg.get("hidden_size_per_layer_input", 0)))
+        ffe = cfg.get("expert_intermediate_size",
+                      cfg.get("moe_intermediate_size"))
+        if ffe:
+            w.add(f"{a}.expert_feed_forward_length", int(ffe))
+        if cfg.get("num_experts"):
+            w.add(f"{a}.expert_count", int(cfg["num_experts"]))
+            w.add(f"{a}.expert_used_count",
+                  int(cfg.get("num_experts_per_tok", 2)))
+        if cfg.get("final_logit_softcapping"):
+            w.add(f"{a}.final_logit_softcapping",
+                  float(cfg["final_logit_softcapping"]))
+        w.add(f"{a}.vocab_size", cfg["vocab_size"])
+
+    def _gen_rope_freqs(self):
+        # proportional rope: rotate the first prf*D/2 pairs, freeze the rest
+        # (Gemma4Model.generate_extra_tensors)
+        prf = float(self.rope_full.get("partial_rotary_factor", 1.0))
+        n_rot = int(self.head_dim_full * prf / 2)
+        n_unrot = self.head_dim_full // 2 - n_rot
+        return np.asarray([1.0] * n_rot + [1e30] * n_unrot, np.float32)
+
+    def extra_rows(self):
+        if str(self.rope_full.get("rope_type", "proportional")) \
+                == "proportional":
+            yield "rope_freqs.weight", self._gen_rope_freqs()
+        ffe = int(self.cfg.get("expert_intermediate_size",
+                               self.cfg.get("moe_intermediate_size", 0)) or 0)
+        for i in range(self.n_layer):
+            b = f"model.layers.{i}.mlp"
+            router = self.tensors.get(f"{b}.router.weight")
+            if router is None:
+                continue
+            yield f"blk.{i}.ffn_gate_inp.weight", \
+                np.asarray(router, np.float32)
+            rs = self.tensors.get(f"{b}.router.scale")
+            if rs is not None:
+                yield f"blk.{i}.ffn_gate_inp.scale", \
+                    np.asarray(rs, np.float32)
+            for hf, gg in (("experts.gate_up_proj", "ffn_gate_up_exps"),
+                           ("experts.down_proj", "ffn_down_exps")):
+                arr = self.tensors.get(f"{b}.{hf}.weight",
+                                       self.tensors.get(f"{b}.{hf}"))
+                if arr is None:
+                    continue
+                arr = np.asarray(arr, np.float32)
+                # (E, in, out) checkpoints -> ggml (E, out, in)
+                if gg == "ffn_gate_up_exps" and ffe \
+                        and arr.shape[-1] == 2 * ffe:
+                    arr = arr.swapaxes(-1, -2)
+                if gg == "ffn_down_exps" and arr.shape[-1] == self.n_embd \
+                        and arr.shape[-2] == ffe:
+                    arr = arr.swapaxes(-1, -2)
+                yield f"blk.{i}.{gg}.weight", arr
+            pes = self.tensors.get(f"{b}.experts.per_expert_scale")
+            if pes is not None:
+                yield f"blk.{i}.ffn_down_exps.scale", \
+                    np.asarray(pes, np.float32).reshape(-1)
+
+
+@register("Gemma4AssistantForCausalLM", "Gemma4UnifiedAssistantForCausalLM")
+class Gemma4Assistant(ArchConverter):
+    """gemma4 MTP / assistant draft tier (Gemma4AssistantModel,
+    convert_hf_to_gguf.py:3969): Q-only attention layers against the
+    target's KV cache, pre/post backbone projections, optional ordered
+    centroid embeddings (token_ordering is inverted into a
+    token->centroid table at conversion)."""
+    arch = "gemma4_mtp"
+    MAP = [
+        ("model.embed_tokens.weight", "token_embd.weight"),
+        ("model.norm.weight", "output_norm.weight"),
+        ("pre_projection.weight", "mtp_pre_proj.weight"),
+        ("post_projection.weight", "mtp_post_proj.weight"),
+        ("masked_embedding.centroids.weight", "mtp_centroids.weight"),
+        ("centroids.weight", "mtp_centroids.weight"),
+        ("model.centroids.weight", "mtp_centroids.weight"),
+    ] + [(f"model.layers.{{i}}.{h}.weight", f"blk.{{i}}.{g}.weight")
+         for h, g in (("input_layernorm", "attn_norm"),
+                      ("self_attn.q_proj", "attn_q"),
+                      ("self_attn.q_norm", "attn_q_norm"),
+                      ("self_attn.o_proj", "attn_output"),
+                      ("post_attention_layernorm", "post_attention_norm"),
+                      ("pre_feedforward_layernorm", "ffn_norm"),
+                      ("mlp.gate_proj", "ffn_gate"),
+                      ("mlp.up_proj", "ffn_up"),
+                      ("mlp.down_proj", "ffn_down"),
+                      ("post_feedforward_layernorm", "post_ffw_norm"),
+                      ("layer_scalar", "layer_output_scale"))]
+
+    def __init__(self, cfg, tensors):
+        text = cfg.get("text_config")
+        if isinstance(text, dict):
+            cfg = {**cfg, **text}
+        for k in list(tensors):
+            if k.endswith("layer_scalar") or k in ("centroids",
+                                                   "model.centroids"):
+                tensors[k + ".weight"] = tensors.pop(k)
+        for k in ("token_ordering", "token_ordering.weight",
+                  "model.token_ordering", "model.token_ordering.weight",
+                  "masked_embedding.token_ordering"):
+            if k in tensors:
+                tensors["__token_ordering__"] = tensors.pop(k)
+        super().__init__(cfg, tensors)
+        self.swa_layers = [str(t) == "sliding_attention"
+                           for t in self.cfg["layer_types"]]
+
+    def metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        hd_swa = int(cfg["head_dim"])
+        hd_full = int(cfg.get("global_head_dim") or hd_swa)
+        kv_swa = int(cfg["num_key_value_heads"])
+        kv_full = int(cfg.get("num_global_key_value_heads") or kv_swa)
+        w.add(f"{a}.block_count", self.n_layer)
+        w.add(f"{a}.context_length", self.n_ctx)
+        w.add(f"{a}.embedding_length", self.n_embd)
+        w.add(f"{a}.feed_forward_length", self.n_ff)
+        w.add(f"{a}.attention.head_count", self.n_head)
+        if kv_full != kv_swa:
+            w.add(f"{a}.attention.head_count_kv",
+                  np.asarray([kv_swa if s else kv_full
+                              for s in self.swa_layers], np.int32))
+        else:
+            w.add(f"{a}.attention.head_count_kv", kv_swa)
+        w.add(f"{a}.attention.key_length", hd_full)
+        w.add(f"{a}.attention.value_length", hd_full)
+        w.add(f"{a}.attention.key_length_swa", hd_swa)
+        w.add(f"{a}.attention.value_length_swa", hd_swa)
+        w.add(f"{a}.attention.layer_norm_rms_epsilon",
+              self.key("rms_norm_eps", default=1e-6))
+        w.add(f"{a}.attention.sliding_window", int(cfg["sliding_window"]))
+        w.add(f"{a}.attention.sliding_window_pattern",
+              np.asarray([1 if s else 0 for s in self.swa_layers], np.int32))
+        w.add(f"{a}.rope.dimension_count", hd_full)
+        w.add(f"{a}.rope.dimension_count_swa", hd_swa)
+        rp = cfg.get("rope_parameters", {})
+        w.add(f"{a}.rope.freq_base", float(
+            rp.get("full_attention", {}).get("rope_theta", 1000000.0)))
+        w.add(f"{a}.rope.freq_base_swa", float(
+            rp.get("sliding_attention", {}).get("rope_theta", 10000.0)))
+        w.add(f"{a}.backbone_embedding_length",
+              int(cfg["backbone_hidden_size"]))
+        w.add(f"{a}.use_ordered_embeddings",
+              bool(cfg.get("use_ordered_embeddings", False)))
+        w.add(f"{a}.centroid_count", int(cfg.get("num_centroids", 0)))
+        w.add(f"{a}.centroid_top_k",
+              int(cfg.get("centroid_intermediate_top_k", 0)))
+        w.add(f"{a}.vocab_size", cfg["vocab_size"])
+
+    def extra_rows(self):
+        ordering = self.tensors.get("__token_ordering__")
+        if ordering is not None:
+            # invert the vocab permutation into token->centroid ids
+            # (Gemma4AssistantModel.modify_tensors)
+            order = np.asarray(ordering).astype(np.int64).reshape(-1)
+            n_vocab = order.shape[0]
+            n_cent = int(self.cfg.get("num_centroids", 2048)) or 2048
+            per = max(1, n_vocab // n_cent)
+            inv = np.zeros(n_vocab, np.int64)
+            inv[order] = np.arange(n_vocab)
+            yield ("mtp_token_ordering.weight",
+                   (inv // per).astype(np.int32))
+
+
+# ------------------------------------------------------------ deepseek v4
+@register("DeepseekV4ForCausalLM", "DeepseekV4FlashForCausalLM",
+          "DeepseekV4ProForCausalLM")
+class DeepseekV4(ArchConverter):
+    """DeepSeek-V4 (DeepseekV4Model, convert_hf_to_gguf.py:4738): native
+    DSv4 checkpoint naming (``layers.N.attn.wq_a`` / ``hc_*`` — the layout
+    _map_dsv4_tensor_name defines) -> our deepseek4 tensor set:
+    hyper-connection mixers, k-only latent attention with grouped low-rank
+    output, sinks, routed+shared experts, and the optional CSA/HCA
+    compressor + LID indexer tensors (extension rows mirroring our
+    loader's names; the reference converts those via its DSv2 path)."""
+    arch = "deepseek4"
+    MAP = [
+        ("embed.weight", "token_embd.weight"),
+        ("norm.weight", "output_norm.weight"),
+        ("head.weight", "output.weight"),
+        ("hc_head_fn", "hc_head_fn.weight"),
+        ("hc_head_base", "hc_head_base.weight"),
+        ("hc_head_scale", "hc_head_scale.weight"),
+    ] + [(f"layers.{{i}}.{h}", f"blk.{{i}}.{g}")
+         for h, g in (("attn_norm.weight", "attn_norm.weight"),
+                      ("ffn_norm.weight", "ffn_norm.weight"),
+                      ("attn.wq_a.weight", "attn_q_a.weight"),
+                      ("attn.q_norm.weight", "attn_q_a_norm.weight"),
+                      ("attn.wq_b.weight", "attn_q_b.weight"),
+                      ("attn.wkv.weight", "attn_kv.weight"),
+                      ("attn.kv_norm.weight", "attn_kv_a_norm.weight"),
+                      ("attn.wo_a.weight", "attn_output_a.weight"),
+                      ("attn.wo_b.weight", "attn_output_b.weight"),
+                      ("attn.attn_sink", "attn_sinks.weight"),
+                      ("hc_attn_fn", "hc_attn_fn.weight"),
+                      ("hc_attn_base", "hc_attn_base.weight"),
+                      ("hc_attn_scale", "hc_attn_scale.weight"),
+                      ("hc_ffn_fn", "hc_ffn_fn.weight"),
+                      ("hc_ffn_base", "hc_ffn_base.weight"),
+                      ("hc_ffn_scale", "hc_ffn_scale.weight"),
+                      ("ffn.gate.weight", "ffn_gate_inp.weight"),
+                      ("ffn.gate.bias", "exp_probs_b.bias"),
+                      ("ffn.shared_experts.w1.weight",
+                       "ffn_gate_shexp.weight"),
+                      ("ffn.shared_experts.w2.weight",
+                       "ffn_down_shexp.weight"),
+                      ("ffn.shared_experts.w3.weight",
+                       "ffn_up_shexp.weight"),
+                      # compressor + indexer (our loader's names)
+                      ("attn.compress_kv.weight",
+                       "attn_compress_kv.weight"),
+                      ("attn.compress_gate.weight",
+                       "attn_compress_gate.weight"),
+                      ("attn.compress_ape.weight",
+                       "attn_compress_ape.weight"),
+                      ("attn.compress_norm.weight",
+                       "attn_compress_norm.weight"),
+                      ("indexer.compress_kv.weight",
+                       "indexer.compress_kv.weight"),
+                      ("indexer.compress_gate.weight",
+                       "indexer.compress_gate.weight"),
+                      ("indexer.compress_ape.weight",
+                       "indexer.compress_ape.weight"),
+                      ("indexer.compress_norm.weight",
+                       "indexer.compress_norm.weight"),
+                      ("indexer.wq_b.weight", "indexer.attn_q_b.weight"),
+                      ("indexer.proj.weight", "indexer.proj.weight"),
+                      ("indexer.k_norm.weight", "indexer.k_norm.weight"))]
+
+    def __init__(self, cfg, tensors):
+        super().__init__(cfg, tensors)
+        self.head_dim = int(cfg.get("head_dim")
+                            or cfg.get("kv_lora_rank")
+                            or self.n_embd // self.n_head)
+
+    def rope_dim(self):
+        return int(self.cfg.get("qk_rope_head_dim",
+                                self.cfg.get("rope_dim", self.head_dim)))
+
+    def metadata(self, w):
+        super().metadata(w)
+        a = self.arch
+        w.add(f"{a}.attention.key_length", self.head_dim)
+        w.add(f"{a}.attention.value_length", self.head_dim)
+
+    def extra_metadata(self, w):
+        a, cfg = self.arch, self.cfg
+        if cfg.get("q_lora_rank"):
+            w.add(f"{a}.attention.q_lora_rank", int(cfg["q_lora_rank"]))
+        w.add(f"{a}.attention.kv_lora_rank",
+              int(cfg.get("kv_lora_rank", self.head_dim)))
+        w.add(f"{a}.attention.output_group_count",
+              int(cfg.get("o_groups", 1)))
+        w.add(f"{a}.attention.output_lora_rank",
+              int(cfg.get("o_lora_rank", 0)))
+        w.add(f"{a}.expert_count", int(cfg["n_routed_experts"]))
+        w.add(f"{a}.expert_used_count",
+              int(cfg.get("num_experts_per_tok", 2)))
+        w.add(f"{a}.expert_shared_count",
+              int(cfg.get("n_shared_experts", 0)))
+        w.add(f"{a}.expert_feed_forward_length",
+              int(cfg["moe_intermediate_size"]))
+        w.add(f"{a}.leading_dense_block_count",
+              int(cfg.get("first_k_dense_replace", 0)))
+        w.add(f"{a}.expert_weights_scale",
+              float(cfg.get("routed_scaling_factor", 1.0)))
+        w.add(f"{a}.expert_weights_norm",
+              bool(cfg.get("norm_topk_prob", False)))
+        w.add(f"{a}.expert_gating_func",
+              _GATING.get(cfg.get("scoring_func", "softmax"), 1))
+        clamp = float(cfg.get("swiglu_limit", 0.0) or 0.0)
+        w.add(f"{a}.swiglu_clamp_exp",
+              np.full(self.n_layer, clamp, np.float32))
+        w.add(f"{a}.swiglu_clamp_shexp",
+              np.full(self.n_layer, clamp, np.float32))
+        w.add(f"{a}.hyper_connection.count", int(cfg.get("hc_mult", 1)))
+        w.add(f"{a}.hyper_connection.sinkhorn_iterations",
+              int(cfg.get("hc_sinkhorn_iters", 3)))
+        w.add(f"{a}.hyper_connection.epsilon",
+              float(cfg.get("hc_eps", self.key("rms_norm_eps",
+                                               default=1e-6))))
+        if cfg.get("num_hash_layers") is not None:
+            w.add(f"{a}.hash_layer_count", int(cfg["num_hash_layers"]))
+        idx_h = cfg.get("num_indexer_heads", cfg.get("index_n_heads"))
+        if idx_h:
+            w.add(f"{a}.attention.indexer.head_count", int(idx_h))
+            w.add(f"{a}.attention.indexer.key_length",
+                  int(cfg.get("indexer_head_dim",
+                              cfg.get("index_head_dim", 0))))
+            w.add(f"{a}.attention.indexer.top_k",
+                  int(cfg.get("indexer_topk", cfg.get("index_topk", 0))))
+        if cfg.get("compress_ratios"):
+            w.add(f"{a}.attention.compress_ratios",
+                  np.asarray([int(v) for v in cfg["compress_ratios"]],
+                             np.int32))
+            w.add(f"{a}.attention.compress_rope_freq_base",
+                  float(cfg.get("compress_rope_theta",
+                                cfg.get("rope_theta", 10000.0))))
+        if cfg.get("sliding_window"):
+            w.add(f"{a}.attention.sliding_window",
+                  int(cfg["sliding_window"]))
+
+    def extra_rows(self):
+        n_expert = int(self.cfg["n_routed_experts"])
+        for i in range(self.n_layer):
+            yield from self.stack_experts(
+                i, n_expert, base=f"layers.{i}.ffn.experts",
+                projs=(("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                       ("w2", "ffn_down_exps")))
+
+
 def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
                        out_path, outtype: str) -> Path:
     """Generic driver for registered per-arch converters."""
@@ -1987,6 +2549,10 @@ def convert_registered(hf_arch: str, cfg: dict, tensors: dict, hf_dir: Path,
 
     conv = CONVERTERS[hf_arch](cfg, tensors)
     arch = conv.arch
+    if isinstance(cfg.get("text_config"), dict):
+        # multimodal configs nest the text hparams (gemma4 etc.)
+        cfg = {**cfg["text_config"], **{k: v for k, v in cfg.items()
+                                        if k != "text_config"}}
     w = GGUFWriter(out_path, arch=arch)
     w.add("general.name", Path(hf_dir).name)
     conv.metadata(w)

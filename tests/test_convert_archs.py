@@ -1197,3 +1197,278 @@ def test_convert_laguna_synthetic(tmp_path):
                "sliding_attention": {"rope_theta": 50000.0}},
            "max_position_embeddings": 128}
     _run_synth(tmp_path, "laguna", cfg, t)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: the dflash / gemma4 / deepseek4 converter families
+# (the last reference register classes, convert_hf_to_gguf.py:2334/3869/4738)
+# ---------------------------------------------------------------------------
+def _write_synth(tmp_path, name, cfg_dict, tensors):
+    from safetensors.numpy import save_file
+    d = tmp_path / name
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(cfg_dict))
+    save_file({k: np.ascontiguousarray(v, dtype=np.float32)
+               for k, v in tensors.items()}, str(d / "model.safetensors"))
+    out = tmp_path / f"{name}.gguf"
+    convert(d, out, outtype="f32")
+    return out
+
+
+def _dflash_draft_tensors(rng, E, H, HKV, hd, L, FF, V, packed=False):
+    t = {"embed_tokens.weight": _r(rng, V, E),
+         "norm.weight": np.ones(E), "lm_head.weight": _r(rng, V, E),
+         "fc.weight": _r(rng, E, 2 * E), "hidden_norm.weight": np.ones(E)}
+    for i in range(L):
+        b = f"layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, H * hd),
+              f"{b}.self_attn.q_norm.weight": np.ones(hd),
+              f"{b}.self_attn.k_norm.weight": np.ones(hd),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF)}
+        if packed:
+            t[f"{b}.self_attn.qkv_proj.weight"] = _r(
+                rng, (H + 2 * HKV) * hd, E)
+        else:
+            t |= {f"{b}.self_attn.q_proj.weight": _r(rng, H * hd, E),
+                  f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+                  f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+                  f"{b}.self_attn.attention_sink_bias": _r(rng, H) * 0.1}
+    return t
+
+
+def _load_dflash(out):
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.models.config import config_from_gguf
+    from ik_llama_cpp_tpu.models import dflash as DF
+    gg = load_gguf(out)
+    cfg = config_from_gguf(gg.metadata)
+    return cfg, DF.load_dflash_params(gg, cfg, use_quant=False)
+
+
+def test_convert_dflash_draft_synthetic(tmp_path):
+    rng = np.random.default_rng(21)
+    E, H, HKV, hd, L, FF, V = 64, 2, 1, 64, 2, 96, 256
+    t = _dflash_draft_tensors(rng, E, H, HKV, hd, L, FF, V)
+    cfg = {"architectures": ["DFlashDraftModel"], "vocab_size": V,
+           "hidden_size": E, "num_hidden_layers": L,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "head_dim": hd, "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "max_position_embeddings": 256, "rope_theta": 10000.0,
+           "partial_rotary_factor": 0.5,
+           "dflash_config": {"block_size": 8, "mask_token_id": 3,
+                             "target_layer_ids": [0, 1],
+                             "backbone_rotary_base": 50000.0,
+                             "attention_value_scale": 1.5}}
+    out = _write_synth(tmp_path, "dflash-draft", cfg, t)
+    mcfg, params = _load_dflash(out)
+    assert mcfg.arch == "dflash-draft"
+    x = mcfg.extra
+    assert x["block_size"] == 8 and x["mask_token_id"] == 3
+    assert x["target_layer_ids"] == [0, 1]
+    assert x["n_target_features"] == 2 * E          # inferred from hidden
+    assert x["backbone_rotary_base"] == 50000.0
+    assert x["attn_v_scale"] == 1.5 and not x["laguna"]
+    assert mcfg.rope_dim == hd // 2                 # partial rotary honored
+    assert "sinks" in params["blocks"][0]
+    assert params["blocks"][0]["wq"].w.shape == (E, H * hd)
+
+
+def test_convert_dflash_laguna_synthetic(tmp_path):
+    rng = np.random.default_rng(22)
+    E, H, HKV, hd, L, FF, V = 64, 2, 1, 32, 2, 96, 256
+    t = _dflash_draft_tensors(rng, E, H, HKV, hd, L, FF, V, packed=True)
+    t |= {"aux_hidden_norms.0.weight": np.ones(E),
+          "aux_hidden_norms.1.weight": np.ones(E)}
+    for i in range(L):
+        t[f"layers.{i}.self_attn.g_proj.weight"] = \
+            _r(rng, H, 1, E).reshape(H, 1, E)
+    cfg = {"architectures": ["DFlashLagunaForCausalLM"], "vocab_size": V,
+           "hidden_size": E, "num_hidden_layers": L,
+           "num_attention_heads": H, "num_key_value_heads": HKV,
+           "head_dim": hd, "intermediate_size": FF, "rms_norm_eps": 1e-5,
+           "max_position_embeddings": 256, "rope_theta": 10000.0,
+           "sliding_window": 8, "gating": "per-head",
+           "layer_types": ["sliding_attention"] * L,
+           "dflash_config": {"causal": True, "block_size": 8,
+                             "mask_token_id": 3,
+                             "target_layer_ids": [0, 1]}}
+    out = _write_synth(tmp_path, "dflash-laguna", cfg, t)
+    mcfg, params = _load_dflash(out)
+    assert mcfg.extra["laguna"]
+    assert mcfg.swa_window == 8 and mcfg.layer_is_swa(0)
+    assert len(params["aux_norms"]) == 2
+    blk = params["blocks"][0]
+    assert "attn_gate" in blk
+    # packed qkv was split planar: q rows then k/v rows
+    assert blk["wq"].w.shape == (E, H * hd)
+    assert blk["wk"].w.shape == (E, HKV * hd)
+
+
+def test_convert_gemma4_synthetic(tmp_path):
+    rng = np.random.default_rng(23)
+    E, H, HKV, hd, L, FF, V, PL = 64, 4, 2, 64, 2, 96, 256, 16
+    pre = "model.language_model."
+    t = {pre + "embed_tokens.weight": _r(rng, V, E),
+         pre + "norm.weight": np.ones(E),
+         pre + "embed_tokens_per_layer.weight": _r(rng, V, PL * L),
+         pre + "per_layer_model_projection.weight": _r(rng, PL * L, E),
+         pre + "per_layer_projection_norm.weight": np.ones(PL),
+         "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        b = pre + f"layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, H * hd, E),
+              f"{b}.self_attn.k_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.v_proj.weight": _r(rng, HKV * hd, E),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, H * hd),
+              f"{b}.self_attn.q_norm.weight": np.ones(hd),
+              f"{b}.self_attn.k_norm.weight": np.ones(hd),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.pre_feedforward_layernorm.weight": np.ones(E),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF),
+              f"{b}.post_feedforward_layernorm.weight": np.ones(E),
+              f"{b}.per_layer_input_gate.weight": _r(rng, PL, E),
+              f"{b}.per_layer_projection.weight": _r(rng, E, PL),
+              f"{b}.post_per_layer_input_norm.weight": np.ones(E)}
+    t[pre + "layers.0.layer_scalar"] = np.asarray([0.95], np.float32)
+    text = {"vocab_size": V, "hidden_size": E, "num_hidden_layers": L,
+            "num_attention_heads": H, "num_key_value_heads": HKV,
+            "head_dim": hd, "global_head_dim": hd,
+            "intermediate_size": FF, "rms_norm_eps": 1e-6,
+            "layer_types": ["sliding_attention", "full_attention"],
+            "sliding_window": 8, "num_kv_shared_layers": 0,
+            "hidden_size_per_layer_input": PL,
+            "max_position_embeddings": 512,
+            "final_logit_softcapping": 30.0,
+            "rope_parameters": {
+                "full_attention": {"rope_type": "proportional",
+                                   "rope_theta": 1000000.0,
+                                   "partial_rotary_factor": 1.0},
+                "sliding_attention": {"rope_theta": 10000.0}}}
+    cfg = {"architectures": ["Gemma4ForConditionalGeneration"],
+           "text_config": text}
+    out = _write_synth(tmp_path, "gemma4", cfg, t)
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    assert rt.cfg.arch == "gemma4"
+    assert rt.cfg.layer_is_swa(0) and not rt.cfg.layer_is_swa(1)
+    logits = rt.all_position_logits([3, 7, 11, 5])
+    assert np.all(np.isfinite(logits))
+
+
+def test_convert_gemma4_assistant_synthetic(tmp_path):
+    rng = np.random.default_rng(24)
+    E, BB, H, hd, L, FF, V = 48, 64, 4, 64, 2, 80, 256
+    t = {"model.embed_tokens.weight": _r(rng, V, E),
+         "model.norm.weight": np.ones(E),
+         "pre_projection.weight": _r(rng, E, 2 * BB),
+         "post_projection.weight": _r(rng, BB, E)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        t |= {f"{b}.input_layernorm.weight": np.ones(E),
+              f"{b}.self_attn.q_proj.weight": _r(rng, H * hd, E),
+              f"{b}.self_attn.q_norm.weight": np.ones(hd),
+              f"{b}.self_attn.o_proj.weight": _r(rng, E, H * hd),
+              f"{b}.post_attention_layernorm.weight": np.ones(E),
+              f"{b}.pre_feedforward_layernorm.weight": np.ones(E),
+              f"{b}.mlp.gate_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.up_proj.weight": _r(rng, FF, E),
+              f"{b}.mlp.down_proj.weight": _r(rng, E, FF),
+              f"{b}.post_feedforward_layernorm.weight": np.ones(E)}
+    t["model.layers.0.layer_scalar"] = np.asarray([0.95], np.float32)
+    # ordered-centroid variant tensors: a vocab permutation + centroids
+    order = rng.permutation(V).astype(np.int64)
+    t["token_ordering"] = order
+    t["centroids"] = _r(rng, 4, E)
+    cfg = {"architectures": ["Gemma4AssistantForCausalLM"], "vocab_size": V,
+           "hidden_size": E, "backbone_hidden_size": BB,
+           "num_hidden_layers": L, "num_attention_heads": H,
+           "num_key_value_heads": 2, "head_dim": hd,
+           "intermediate_size": FF, "rms_norm_eps": 1e-6,
+           "layer_types": ["sliding_attention", "full_attention"],
+           "sliding_window": 8, "max_position_embeddings": 512,
+           "num_centroids": 4, "centroid_intermediate_top_k": 2,
+           "use_ordered_embeddings": True}
+    out = _write_synth(tmp_path, "gemma4-asst", cfg, t)
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.models.config import config_from_gguf
+    from ik_llama_cpp_tpu.models import gemma4 as G4
+    gg = load_gguf(out)
+    mcfg = config_from_gguf(gg.metadata)
+    assert mcfg.arch == "gemma4_mtp"
+    assert mcfg.extra["mtp_backbone_n_embd"] == BB
+    assert mcfg.extra["mtp_num_centroids"] == 4
+    assert mcfg.extra["mtp_use_ordered_embeddings"]
+    params = G4.load_gemma4_mtp_params(gg, mcfg, use_quant=False)
+    assert params["mtp_pre_proj"].w.shape == (2 * BB, E)
+    # the stored ordering is the inverted token->centroid table
+    tord = np.asarray(params["mtp_token_ordering"]).astype(np.int64)
+    inv = np.zeros(V, np.int64)
+    inv[order] = np.arange(V)
+    assert np.array_equal(tord.reshape(-1), inv // (V // 4))
+
+
+def test_convert_deepseek4_synthetic(tmp_path):
+    rng = np.random.default_rng(25)
+    E, H, hd, L, V = 64, 4, 64, 2, 256
+    QL, OG, OL, NE, FFE, FF = 64, 2, 8, 4, 48, 96
+    hc, mix = 2, 2 * 2 + 2 * 2
+    t = {"embed.weight": _r(rng, V, E), "norm.weight": np.ones(E),
+         "head.weight": _r(rng, V, E),
+         "hc_head_fn": _r(rng, hc, E * hc),
+         "hc_head_base": _r(rng, hc) * 0.1,
+         "hc_head_scale": np.asarray([0.8], np.float32)}
+    for i in range(L):
+        b = f"layers.{i}"
+        t |= {f"{b}.attn_norm.weight": np.ones(E),
+              f"{b}.ffn_norm.weight": np.ones(E),
+              f"{b}.attn.wq_a.weight": _r(rng, QL, E),
+              f"{b}.attn.q_norm.weight": np.ones(QL),
+              f"{b}.attn.wq_b.weight": _r(rng, H * hd, QL),
+              f"{b}.attn.wkv.weight": _r(rng, hd, E),
+              f"{b}.attn.kv_norm.weight": np.ones(hd),
+              f"{b}.attn.wo_a.weight": _r(rng, OL * OG, H * hd // OG),
+              f"{b}.attn.wo_b.weight": _r(rng, E, OL * OG),
+              f"{b}.attn.attn_sink": _r(rng, H) * 0.2,
+              f"{b}.ffn.gate.weight": _r(rng, NE, E),
+              f"{b}.ffn.gate.bias": _r(rng, NE) * 0.1,
+              f"{b}.ffn.shared_experts.w1.weight": _r(rng, FFE, E),
+              f"{b}.ffn.shared_experts.w3.weight": _r(rng, FFE, E),
+              f"{b}.ffn.shared_experts.w2.weight": _r(rng, E, FFE)}
+        for stem in ("hc_attn", "hc_ffn"):
+            t |= {f"{b}.{stem}_fn": _r(rng, mix, E * hc),
+                  f"{b}.{stem}_base": _r(rng, mix) * 0.1,
+                  f"{b}.{stem}_scale": 0.5 + 0.2 * rng.random(3)}
+        for e in range(NE):
+            eb = f"{b}.ffn.experts.{e}"
+            t |= {f"{eb}.w1.weight": _r(rng, FFE, E),
+                  f"{eb}.w3.weight": _r(rng, FFE, E),
+                  f"{eb}.w2.weight": _r(rng, E, FFE)}
+    cfg = {"architectures": ["DeepseekV4ForCausalLM"], "vocab_size": V,
+           "hidden_size": E, "num_hidden_layers": L,
+           "num_attention_heads": H, "num_key_value_heads": 1,
+           "head_dim": hd, "qk_rope_head_dim": 32,
+           "q_lora_rank": QL, "kv_lora_rank": hd,
+           "o_groups": OG, "o_lora_rank": OL,
+           "intermediate_size": FF, "moe_intermediate_size": FFE,
+           "n_routed_experts": NE, "num_experts_per_tok": 2,
+           "n_shared_experts": 1, "first_k_dense_replace": 0,
+           "routed_scaling_factor": 1.5, "norm_topk_prob": True,
+           "scoring_func": "sqrtsoftplus", "swiglu_limit": 0.0,
+           "hc_mult": hc, "hc_sinkhorn_iters": 3, "hc_eps": 1e-6,
+           "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+           "max_position_embeddings": 512}
+    out = _write_synth(tmp_path, "deepseek4", cfg, t)
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    rt = Runtime.from_gguf(out)
+    assert rt.cfg.arch == "deepseek4"
+    assert rt.cfg.expert_gating_func == 4
+    assert rt.cfg.extra["hc_mult"] == hc
+    logits = rt.all_position_logits([3, 7, 11, 5])
+    assert np.all(np.isfinite(logits))
