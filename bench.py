@@ -125,6 +125,12 @@ class Timer:
         return max(min(ts) - self.floor, 1e-9)
 
 
+def _stage(msg):
+    import sys
+    print(f"bench[{time.strftime('%H:%M:%S')}]: {msg}", file=sys.stderr,
+          flush=True)
+
+
 def bench_dense(tm, on_tpu):
     import jax.numpy as jnp
     from ik_llama_cpp_tpu.runtime.generate import Runtime
@@ -135,6 +141,7 @@ def bench_dense(tm, on_tpu):
         "/tmp/bench8b.gguf", **({} if on_tpu else
                                 dict(E=256, H=4, HKV=2, FF=512, V=V)))
     build_s = time.perf_counter() - t0
+    _stage("gguf built; loading")
     t0 = time.perf_counter()
     rt = Runtime.from_gguf(path)
     rt = replicate_layers(rt, NL)
@@ -150,8 +157,10 @@ def bench_dense(tm, on_tpu):
         assert logits.shape[-1] == V and n_past == T
         return kv
 
+    _stage("loaded; PP compile")
     pp_once(0)  # compile
     t_pp = tm.run(pp_once, 3)
+    _stage(f"PP512 {T/t_pp:.1f} t/s")
     pp_tps = T / t_pp
 
     # --- TG via the on-device greedy decode loop -------------------------
@@ -182,12 +191,15 @@ def bench_dense(tm, on_tpu):
 
     # sweep-bench analogue: TG vs filled context (capacities kept at
     # multiples of 1024 so the native-layout decode FA kernel engages)
+    _stage("TG@512 compile+run")
     tg_512 = tg_at(T, 2 * T)
+    _stage(f"tg@512 {tg_512:.2f} t/s")
     sweep = {"tg@512": round(tg_512, 2)}
     if on_tpu:
         for n_kv in (1024, 2048, 4096):
             cap = -(-(n_kv + 2 * N_TG) // 1024) * 1024
             sweep[f"tg@{n_kv}"] = round(tg_at(n_kv, cap), 2)
+            _stage(f"sweep tg@{n_kv} {sweep[f'tg@{n_kv}']}")
 
     # batched-bench analogue: aggregate decode throughput at B slots, each
     # slot at 256 tokens of context (timing-equivalent zero-filled cache;
@@ -210,6 +222,7 @@ def bench_dense(tm, on_tpu):
                 times.append(time.perf_counter() - t0)
             batched[f"tg_agg@B{nb}"] = round(
                 nb * N_TG / max(min(times) - tm.floor, 1e-9), 1)
+            _stage(f"batched B{nb} {batched[f'tg_agg@B{nb}']}")
 
     # --- speculative decode: suffix self-draft on repetitive continuation
     # (the workload self-speculation targets; effective t/s multiplies the
@@ -225,6 +238,7 @@ def bench_dense(tm, on_tpu):
             stage="suffix", capacity=2 * T, stop_at_eos=False)
         return len(out), st
 
+    _stage("spec compile")
     n_out, st0 = spec_once(0)       # compile & warm
     t_spec = tm.run(lambda i: spec_once(i), 3)
 
@@ -329,8 +343,10 @@ def bench_moe(tm, on_tpu):
         logits, kv, n_past = rt.eval_tokens(ids, kv, 0)
         return kv
 
+    _stage("moe PP compile")
     pp_once(0)
     t_pp = tm.run(pp_once, 3)
+    _stage(f"moe PP {T/t_pp:.1f} t/s")
 
     N_TG = 32 if on_tpu else 4
     loop = rt._decode_loop(N_TG)
@@ -345,6 +361,7 @@ def bench_moe(tm, on_tpu):
         _ = np.asarray(toks[0, :4])
         return time.perf_counter() - t0
 
+    _stage("moe TG compile")
     tg_once(0)
     times = [tg_once(i + 1) for i in range(2)]
     t_tg = max(min(times) - tm.floor, 1e-9) / N_TG
@@ -397,6 +414,7 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     tm = Timer()
 
+    _stage(f"backend={jax.default_backend()} floor={tm.floor*1e3:.1f}ms")
     dense = bench_dense(tm, on_tpu)
     moe = bench_moe(tm, on_tpu)
 
