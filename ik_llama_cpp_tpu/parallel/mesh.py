@@ -21,7 +21,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.weights import QLinear, QLinearI4, DenseLinear
+from ..models.weights import QLinear, QLinearI4, QLinearI8, DenseLinear
 from ..ops.moe import ExpertWeights, QuantExpertWeights
 
 DATA_AXIS = "data"
@@ -95,7 +95,7 @@ def _spec_for_leaf_path(path: str, leaf) -> P:
     if kind is None:
         return P()
     if kind == "rep":
-        if isinstance(leaf, (QLinear, QLinearI4, DenseLinear)):
+        if isinstance(leaf, (QLinear, QLinearI4, QLinearI8, DenseLinear)):
             return P(None, None)
         return P(None)
     if kind == "colv":  # 1-D bias sharded on its only dim
@@ -152,6 +152,14 @@ def param_specs(params: Any, *, ep: bool = False) -> Any:
                 P(spec[0], spec[1]) if len(spec) == 2 else spec)
             return QLinear(spec, P(spec[0], spec[1]) if len(spec) == 2 else spec,
                            bias_spec, group=obj.group)
+        if isinstance(obj, QLinearI8):
+            # same layout family as QLinear: codes (K, N), sw (K/256, N),
+            # gbias (K/G, N) — scale rows shard with the code rows
+            spec = _spec_for_leaf_path(path, obj)
+            s2 = P(spec[0], spec[1]) if len(spec) == 2 else spec
+            return QLinearI8(spec, s2,
+                             None if obj.gbias is None else s2,
+                             group=obj.group)
         if isinstance(obj, QLinearI4):
             spec = _spec_for_leaf_path(path, obj)
             bias_spec = None if obj.bias is None else (
@@ -188,6 +196,12 @@ def pad_output_head(params: Any, tp: int) -> Any:
         params["output"] = QLinear(
             _pad_axis(out.codes, 1, tp), _pad_axis(out.scale, 1, tp),
             None if out.bias is None else _pad_axis(out.bias, 1, tp),
+            group=out.group)
+    elif isinstance(out, QLinearI8):
+        params = dict(params)
+        params["output"] = QLinearI8(
+            _pad_axis(out.codes, 1, tp), _pad_axis(out.sw, 1, tp),
+            None if out.gbias is None else _pad_axis(out.gbias, 1, tp),
             group=out.group)
     elif isinstance(out, QLinearI4):
         params = dict(params)

@@ -453,6 +453,32 @@ class Runtime:
         final = np.asarray(logits[0, last_len - 1:last_len])
         return final, kv, n_past
 
+    def _spec_verify(self, width: int, donate: bool = True):
+        """Jitted decode-shaped speculative-verify step: evaluate a (B, W)
+        block of [last_token | draft...] rows and return the per-position
+        argmax predictions (B, W) int32 — the ONLY readback is W ints/row,
+        never the (W, V) logits block. The TPU-native answer to the
+        reference's draft-in-batch verification (server-context.cpp:
+        3564-3599): verification is one decode-shaped device step; the host
+        only counts the leading match length. Rejected-cache rows need no
+        rollback — n_past stays behind them and the next step overwrites."""
+        key = ("spec-verify", width, donate)
+        if key not in self._step_fns:
+            fwd = FORWARDS[self.cfg.arch]
+            cfg, interp = self.cfg, self.interpret
+
+            @functools.partial(jax.jit,
+                               donate_argnums=(2,) if donate else ())
+            def step(params, tokens, kv, n_past):
+                logits, kv = fwd(params, cfg, tokens, kv, n_past,
+                                 interpret=interp)
+                preds = jnp.argmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(jnp.int32)
+                return preds, kv
+
+            self._step_fns[key] = step
+        return self._step_fns[key]
+
     def eval_probe(self, tokens, positions, block_mask, kv, n_past: int):
         """Tree/lookahead probe: evaluate a block whose tokens sit at
         explicit (possibly non-contiguous) ``positions`` with an in-block

@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from .generate import PREFILL_BUCKETS, Runtime
@@ -381,6 +382,107 @@ class DFlashDraft:
         return [int(i) for i in np.asarray(lg).argmax(-1)[1:]]
 
 
+class ReplayDraft:
+    """Oracle/replay drafter: proposes a KNOWN continuation (e.g. the
+    model's own greedy output captured beforehand, or a forced script).
+    Used by spec-bench to measure the verify machinery's ceiling — with a
+    perfect draft the accept rate MUST be 100%, which doubles as a
+    correctness gate on the accept comparison — and by tests."""
+
+    def __init__(self, prompt_len: int, continuation: list[int]):
+        self.prompt_len = prompt_len
+        self.continuation = list(continuation)
+
+    def propose(self, tokens: list[int], n_draft: int) -> list[int]:
+        pos = len(tokens) - self.prompt_len
+        if pos < 0:
+            return []
+        return self.continuation[pos:pos + n_draft]
+
+
+def _greedy_sampler(sp: SamplerParams) -> bool:
+    """True when sampling is exactly argmax(raw logits): temperature 0 and
+    no stage that can displace the top-1 candidate."""
+    return (sp.temp <= 0.0 and sp.penalty_repeat == 1.0
+            and sp.penalty_freq == 0.0 and sp.penalty_present == 0.0
+            and sp.dry_multiplier == 0.0 and not sp.logit_bias
+            and sp.mirostat == 0 and sp.xtc_probability == 0.0
+            and sp.adaptive_target < 0)
+
+
+def _generate_spec_greedy(target: Runtime, ids, max_new_tokens, *, drafter,
+                          n_draft, capacity, stop_at_eos, stats,
+                          draft: Optional[Runtime] = None):
+    """Greedy speculative loop with the ON-DEVICE verify step: one device
+    call per round, W-int readback (runtime/generate.py _spec_verify)."""
+    eos = target.tokenizer.eos_id if target.tokenizer is not None else -1
+    w = 1 + n_draft
+    kv = target.new_cache(1, capacity + w + PREFILL_BUCKETS[0])
+    logits, kv, n_past = target.eval_tokens(ids, kv, 0)
+    out = [int(np.argmax(logits[-1]))]
+    step = target._spec_verify(w)
+
+    d_kv = d_n_past = d_loop = None
+    if draft is not None:
+        d_kv = draft.new_cache(1, capacity + w + PREFILL_BUCKETS[0])
+        _, d_kv, d_n_past = draft.eval_tokens(ids, d_kv, 0)
+        # scan length n_draft: the draft cache must hold a row for EVERY
+        # proposed token (incl. the last) so a fully-accepted round leaves
+        # the cache aligned with the history — the last emitted token of
+        # the scan is discarded below
+        d_loop = draft._decode_loop(n_draft)
+
+    block = np.zeros((1, w), np.int32)
+    while len(out) < max_new_tokens:
+        cur = out[-1]
+        if stop_at_eos and cur == eos:
+            break
+        if n_past + w >= kv.capacity:
+            break                       # caller re-enters with a shift
+        if draft is not None:
+            # draft proposes via ITS on-device decode scan: 2 device calls
+            # (catch-up eval + scan) instead of n_draft round trips
+            dl, d_kv, d_n_past = draft.eval_tokens([cur], d_kv, d_n_past)
+            first = int(np.argmax(dl[-1]))
+            toks, d_kv, _ = d_loop(draft.params,
+                                   jnp.asarray([[first]], jnp.int32),
+                                   d_kv, jnp.int32(d_n_past))
+            proposal = ([first]
+                        + [int(t) for t in np.asarray(toks[0])])[:n_draft]
+            d_n_past += n_draft
+        else:
+            proposal = list(drafter.propose(ids + out, n_draft))[:n_draft]
+        stats.n_rounds += 1
+        stats.n_draft += len(proposal)
+
+        block[0, 0] = cur
+        block[0, 1:] = 0
+        if proposal:
+            block[0, 1:1 + len(proposal)] = proposal
+        preds, kv = step(target.params, jnp.asarray(block), kv,
+                         jnp.int32(n_past))
+        preds = np.asarray(preds[0])    # W ints — the whole readback
+        n_acc = 0
+        while (n_acc < len(proposal) and preds[n_acc] == proposal[n_acc]
+               and (not stop_at_eos or proposal[n_acc] != eos)):
+            n_acc += 1
+        stats.n_accept += n_acc
+        if hasattr(drafter, "accept"):
+            drafter.accept(n_acc)
+        emitted = list(proposal[:n_acc]) + [int(preds[n_acc])]
+        out.extend(emitted)
+        n_past += 1 + n_acc
+        if draft is not None:
+            d_n_past -= len(proposal) - n_acc
+        if stop_at_eos and eos in emitted:
+            break
+
+    out = out[:max_new_tokens]
+    if stop_at_eos and eos in out:
+        out = out[:out.index(eos) + 1]
+    return ids, out, stats
+
+
 def autotune_n_draft(target: Runtime, prompt, *, candidates=(4, 8, 16),
                      n_tokens: int = 32, draft: Optional[Runtime] = None,
                      seed: int = 0):
@@ -422,6 +524,21 @@ def generate_speculative(
         return _generate_mtp(target, ids, max_new_tokens, n_draft=n_draft,
                              sampler=sampler, rng=rng, capacity=capacity,
                              stop_at_eos=stop_at_eos, stats=stats)
+
+    if (_greedy_sampler(sampler) and not target.recurrent
+            and target.pp_runner is None and target.mesh is None):
+        # greedy fast path: on-device verify, W-int readback per round
+        if not isinstance(stage, str):
+            drafter = stage
+        else:
+            drafter = {"ngram-map": NgramMapDraft, "suffix": SuffixDraft,
+                       "ngram-mod": NgramModDraft,
+                       "ngram-cache": NgramCacheDraft, "eagle3": Eagle3Draft,
+                       "ngram": NgramDraft}.get(stage, NgramDraft)()
+        return _generate_spec_greedy(
+            target, ids, max_new_tokens, drafter=drafter, n_draft=n_draft,
+            capacity=capacity, stop_at_eos=stop_at_eos, stats=stats,
+            draft=draft)
 
     kv = target.new_cache(1, capacity)
     logits, kv, n_past = target.eval_tokens(ids, kv, 0)

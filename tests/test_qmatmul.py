@@ -118,8 +118,7 @@ class TestI8MXU:
         x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
         xq, xs = quantize_activations(x)
         ref = qmatmul_i8_ref(xq, xs, jnp.asarray(q8), jnp.asarray(sw))
-        got = qmatmul_i8(xq, xs, jnp.asarray(q8), jnp.asarray(sw),
-                         block_m=32, block_n=128, block_k=256, interpret=True)
+        got = qmatmul_i8(xq, xs, jnp.asarray(q8), jnp.asarray(sw))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
 

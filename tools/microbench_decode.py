@@ -1,0 +1,160 @@
+"""Decode-path microbenchmarks on the live chip (round-4 design probe).
+
+Times M=16 (decode-bucket) matmul variants at the 8B FFN shape to find the
+fastest weight-streaming strategy, plus the decode-FA cost vs KV fill to
+locate the tg@4096 droop. Results drive the round-4 kernel work.
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+M, K, N = 16, 4096, 14336
+G = 32
+SG = 256
+
+
+_FLOOR = None
+
+
+def timed(fn, x0, *args, n=4, inner=32):
+    """Time fn(x, *args) amortized over `inner` sequential calls inside one
+    jit — the carry perturbs x from the full output each step so the body
+    can be neither hoisted nor dead-code-eliminated, the ~29 ms tunnel floor
+    is measured and subtracted, and every timed call uses a DIFFERENT x
+    (the tunnel content-deduplicates identical executions)."""
+    global _FLOOR
+    if _FLOOR is None:
+        tiny = jax.jit(lambda v: v * 2)
+        float(tiny(jnp.ones(8))[0])
+        fs = []
+        for i in range(3):
+            v = jnp.full(8, float(i + 2))
+            float(v[0])
+            t0 = time.perf_counter()
+            float(tiny(v)[0])
+            fs.append(time.perf_counter() - t0)
+        _FLOOR = min(fs)
+
+    # `args` are LISTS of n_w distinct weight-operand tuples totalling
+    # >= 400 MB: a single weight matrix would be loop-invariant and XLA
+    # parks it in VMEM (128 MB on v5e) across the scan, measuring VMEM—not
+    # HBM—streaming. The scan body walks all n_w copies (python-unrolled,
+    # no dynamic gather), so each must re-stream from HBM.
+    n_w = len(args[0])
+    nargs = len(args)
+    flat = [a for tup in zip(*args) for a in tup]   # n_w groups of nargs
+
+    @jax.jit
+    def rep(x, *flat_args):
+        def body(carry, _):
+            i, acc = carry
+            xi = jnp.roll(x, i, axis=0)
+            for wi in range(n_w):
+                ws = flat_args[wi * nargs:(wi + 1) * nargs]
+                y = fn(xi, *ws)
+                acc = acc + y.astype(jnp.float32).sum()
+            return (i + 1, acc), None
+        (_, acc), _ = jax.lax.scan(body, (jnp.int32(0), jnp.float32(0)),
+                                   None, length=inner)
+        return acc
+    xs = [(x0 + jnp.asarray(i + 1, x0.dtype)) for i in range(n + 1)]
+    for xv in xs:
+        xv.block_until_ready()
+    float(rep(xs[0], *flat))          # compile + force
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(rep(xs[i + 1], *flat))
+        ts.append(time.perf_counter() - t0)
+    return (min(ts) - _FLOOR) / (inner * n_w)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n8, n16 = 8, 4            # weight copies: >= 400 MB per variant
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+
+    def mk(gen, n_copies):
+        return [gen(i) for i in range(n_copies)]
+
+    codes_l = mk(lambda i: jnp.asarray(
+        rng.integers(-8, 8, (K, N)), jnp.int8), n8)
+    scales_l = mk(lambda i: jnp.asarray(
+        rng.standard_normal((K // G, N)) * 0.01, jnp.bfloat16), n8)
+    sw_l = mk(lambda i: jnp.asarray(
+        rng.standard_normal((K // SG, N)) * 0.01, jnp.float32), n8)
+    wbf16_l = mk(lambda i: jnp.asarray(
+        rng.standard_normal((K, N)) * 0.01, jnp.bfloat16), n16)
+
+    gb_codes = K * N / 1e9
+    gb_bf16 = 2 * K * N / 1e9
+
+    # 1. XLA dense bf16
+    def dense(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    t = timed(dense, x, wbf16_l)
+    print(f"xla bf16 dense:        {t*1e6:7.1f} us  {gb_bf16/t:6.1f} GB/s",
+          flush=True)
+
+    # 2. XLA fused dequant dot: convert+scale fused into the dot operand?
+    def fused(x, c, s):
+        w = (c.reshape(K // G, G, N).astype(jnp.bfloat16)
+             * s[:, None, :]).reshape(K, N)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    t = timed(fused, x, codes_l, scales_l)
+    print(f"xla fused dequant dot: {t*1e6:7.1f} us  {gb_codes/t:6.1f} GB/s (codes)",
+          flush=True)
+
+    # 3. XLA native int8 dot, supergroup-batched (K/256 dots of K=256)
+    codes_g_l = [c.reshape(K // SG, SG, N) for c in codes_l]
+    xg = x.reshape(M, K // SG, SG).transpose(1, 0, 2).astype(jnp.int8)
+
+    def i8_batched(xq, cg, sw):
+        parts = jax.lax.dot_general(
+            xq, cg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)        # (G, M, N)
+        return jnp.einsum("gmn,gn->mn", parts.astype(jnp.float32), sw)
+    t = timed(i8_batched, xg, codes_g_l, sw_l)
+    print(f"xla i8 sg-batched dot: {t*1e6:7.1f} us  {gb_codes/t:6.1f} GB/s (codes)",
+          flush=True)
+
+    # 4. XLA native int8 single dot, rank-1 correction (per-column scales)
+    swc_l = mk(lambda i: jnp.asarray(
+        rng.standard_normal((N,)) * 0.01, jnp.float32), n8)
+    xq8 = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+
+    def i8_full(xq, c, s):
+        y = jax.lax.dot_general(xq, c, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * s[None, :]
+    t = timed(i8_full, xq8, codes_l, swc_l)
+    print(f"xla i8 full-K dot:     {t*1e6:7.1f} us  {gb_codes/t:6.1f} GB/s (codes)",
+          flush=True)
+
+    # 5. current pallas planar kernel
+    from ik_llama_cpp_tpu.ops.qmatmul import qmatmul
+    def planar(x, c, s):
+        return qmatmul(x, c, s, None, group=G)
+    t = timed(planar, x, codes_l, scales_l)
+    print(f"pallas planar (cur):   {t*1e6:7.1f} us  {gb_codes/t:6.1f} GB/s (codes)",
+          flush=True)
+
+    # 6. current pallas i8 kernel
+    from ik_llama_cpp_tpu.ops.qmatmul import qmatmul_i8, quantize_activations
+    xq, xs = quantize_activations(x.astype(jnp.float32))
+    def pi8(xq, c, s):
+        return qmatmul_i8(xq, xs, c, s)
+    t = timed(pi8, xq, codes_l, sw_l)
+    print(f"pallas i8 MXU (cur):   {t*1e6:7.1f} us  {gb_codes/t:6.1f} GB/s (codes)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
