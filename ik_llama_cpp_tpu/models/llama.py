@@ -24,7 +24,8 @@ from ..ops.flash_attention import (flash_attention, flash_attention_q8,
                                    flash_attention_decode,
                                    flash_attention_decode_q8)
 from ..ops.kv_quant import (dequantize_kv, quantize_kv_rows,
-                             dequantize_kv_q4, quantize_kv_rows_q4)
+                             dequantize_kv_q4, quantize_kv_rows_q4,
+                             dequantize_kv_q6, quantize_kv_rows_q6)
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
 from .weights import (DenseLinear, QLinear, dequant_tensor, fuse_linears,
@@ -56,8 +57,11 @@ class KVCache:
         4-bit per-row — the -ctk/-ctv q4_0 analogue, half the KV memory
         of q8)."""
         shape = (cfg.n_layer, batch, capacity, cfg.n_head_kv, cfg.head_dim)
-        if quant == "q4":
-            qshape = shape[:-1] + (cfg.head_dim // 2,)
+        if quant in ("q4", "q6"):
+            # packed-uint8 codecs, told apart by stored width:
+            # q4 = D/2 bytes, q6 = 3D/4 bytes (two bit-planes, kv_quant.py)
+            w = cfg.head_dim // 2 if quant == "q4" else 3 * cfg.head_dim // 4
+            qshape = shape[:-1] + (w,)
             sshape = shape[:-1]
             return cls(jnp.zeros(qshape, jnp.uint8),
                        jnp.zeros(qshape, jnp.uint8),
@@ -184,6 +188,121 @@ class SwaKVCache:
                    jnp.zeros((ns, batch, sw_cap, hkv, d), dtype),
                    jnp.zeros((ns, batch, sw_cap, hkv, d), dtype),
                    tuple(lm))
+
+
+_KV_CODEC_WIDTH = {  # stored last-dim bytes per head_dim D
+    "q8": lambda d: d, "q4": lambda d: d // 2, "q6": lambda d: 3 * d // 4}
+_KV_CODEC_DTYPE = {"q8": jnp.int8, "q4": jnp.uint8, "q6": jnp.uint8}
+
+
+class _MixedLayerView:
+    """kv.k[i]-style per-layer access over the override/mid codec stacks."""
+
+    def __init__(self, cache: "MixedKVCache", field: str):
+        self._c = cache
+        self._f = field
+
+    def __getitem__(self, i: int):
+        m = self._c.layer_map[i]
+        if m >= 0:
+            return getattr(self._c, self._f + "_ovr")[m]
+        return getattr(self._c, self._f + "_mid")[-m - 1]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MixedKVCache:
+    """Per-layer KV codec overrides — the analogue of the reference's
+    first/last-layer KV-type params (include/llama.h:390-397: e.g. keep the
+    most sensitive first/last layers at q8 while the bulk sits at q4/q6).
+    Two stacks: 'ovr' layers use the override codec, 'mid' the base codec;
+    per-layer codec selection downstream is purely shape-driven (stored
+    uint8 width), so attention/write paths need no extra flags."""
+
+    k_ovr: Any
+    v_ovr: Any
+    ks_ovr: Any
+    vs_ovr: Any
+    k_mid: Any
+    v_mid: Any
+    ks_mid: Any
+    vs_mid: Any
+    layer_map: tuple = ()   # m >= 0 -> ovr[m]; m < 0 -> mid[-m-1]
+
+    def tree_flatten(self):
+        return (self.k_ovr, self.v_ovr, self.ks_ovr, self.vs_ovr,
+                self.k_mid, self.v_mid, self.ks_mid, self.vs_mid), \
+            (self.layer_map,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, layer_map=aux[0])
+
+    @property
+    def k(self):
+        return _MixedLayerView(self, "k")
+
+    @property
+    def v(self):
+        return _MixedLayerView(self, "v")
+
+    @property
+    def k_scale(self):
+        return _MixedLayerView(self, "ks")
+
+    @property
+    def v_scale(self):
+        return _MixedLayerView(self, "vs")
+
+    @property
+    def quantized(self):
+        return True
+
+    @property
+    def capacity(self):
+        return self.k_mid.shape[2]
+
+    def with_layers(self, new_k, new_v, new_ks, new_vs) -> "MixedKVCache":
+        no = self.k_ovr.shape[0]
+        nm = self.k_mid.shape[0]
+        ok, ov, oks, ovs = [None] * no, [None] * no, [None] * no, [None] * no
+        mk, mv, mks, mvs = [None] * nm, [None] * nm, [None] * nm, [None] * nm
+        for i, m in enumerate(self.layer_map):
+            if m >= 0:
+                ok[m], ov[m] = new_k[i], new_v[i]
+                oks[m], ovs[m] = new_ks[i], new_vs[i]
+            else:
+                j = -m - 1
+                mk[j], mv[j] = new_k[i], new_v[i]
+                mks[j], mvs[j] = new_ks[i], new_vs[i]
+        return MixedKVCache(
+            jnp.stack(ok), jnp.stack(ov), jnp.stack(oks), jnp.stack(ovs),
+            jnp.stack(mk), jnp.stack(mv), jnp.stack(mks), jnp.stack(mvs),
+            self.layer_map)
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, capacity: int,
+               mid: str = "q4", override: str = "q8",
+               n_first: int = 1, n_last: int = 1):
+        hkv, d = cfg.n_head_kv, cfg.head_dim
+        lm, no, nm = [], 0, 0
+        for i in range(cfg.n_layer):
+            if i < n_first or i >= cfg.n_layer - n_last:
+                lm.append(no)
+                no += 1
+            else:
+                lm.append(-nm - 1)
+                nm += 1
+        assert no and nm, (n_first, n_last, cfg.n_layer)
+
+        def stacks(codec, n):
+            w = _KV_CODEC_WIDTH[codec](d)
+            dt = _KV_CODEC_DTYPE[codec]
+            q = jnp.zeros((n, batch, capacity, hkv, w), dt)
+            s = jnp.zeros((n, batch, capacity, hkv), jnp.float32)
+            return q, jnp.copy(q), s, jnp.copy(s)
+
+        return cls(*stacks(override, no), *stacks(mid, nm), tuple(lm))
 
 
 def load_llama_params(gg: GGUFModel, cfg: ModelConfig, *, use_quant: bool = True,
@@ -680,9 +799,12 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         wr = jax.vmap(lambda c, new, ix: c.at[ix].set(new, mode="drop"))
         kv_k = wr(kv_k, k.astype(kv_k.dtype), ridx)
         kv_v = wr(kv_v, v.astype(kv_v.dtype), ridx)
-    elif quant:  # quantize-on-write (-ctk/-ctv q8 / q4 analogue)
-        _enc = (quantize_kv_rows_q4 if kv_k.dtype == jnp.uint8
-                else quantize_kv_rows)
+    elif quant:  # quantize-on-write (-ctk/-ctv q8 / q4 / q6 analogue)
+        if kv_k.dtype == jnp.uint8:
+            _enc = (quantize_kv_rows_q6 if kv_k.shape[-1] == 3 * d // 4
+                    else quantize_kv_rows_q4)
+        else:
+            _enc = quantize_kv_rows
         kq, ks = _enc(k)
         vq, vs = _enc(v)
         kv_k = upd(kv_k, kq, npv)
@@ -705,8 +827,11 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_vs_a = kv_vs if (kv_vs is None or kv_vs.shape[2] == hkv) else kv_vs[:, :, :hkv]
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
-    is_q4 = quant and kv_k_a.dtype == jnp.uint8
-    _deq = dequantize_kv_q4 if is_q4 else dequantize_kv
+    is_q6 = quant and kv_k_a.dtype == jnp.uint8 \
+        and kv_k_a.shape[-1] == 3 * d // 4
+    is_q4 = quant and kv_k_a.dtype == jnp.uint8 and not is_q6
+    _deq = (dequantize_kv_q6 if is_q6
+            else dequantize_kv_q4 if is_q4 else dequantize_kv)
     # decode / spec-verify shapes: the native-layout kernel reads the cache
     # without per-step transpose copies, fetches each KV tile once for all q
     # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
@@ -792,7 +917,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
                                attn_chunk=attn_chunk, sinks=sinks)
-    elif sinks is not None and _use_pallas() and not is_q4:
+    elif sinks is not None and _use_pallas() and not (is_q4 or is_q6):
         # quantized-KV + sinks: fused q8 FA kernel (the reference FA handles
         # sinks together with quantized caches, iqk_flash_attn.cpp:121-149)
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv,
@@ -806,7 +931,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       sinks=sinks)
-    elif quant and _use_pallas() and not is_q4:
+    elif quant and _use_pallas() and not (is_q4 or is_q6):
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
                                   swa_window=swa_window, attn_chunk=attn_chunk)
@@ -1100,6 +1225,8 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
 
     if isinstance(kv, SwaKVCache):
         kv = kv.with_layers(new_k, new_v)
+    elif isinstance(kv, MixedKVCache):
+        kv = kv.with_layers(new_k, new_v, new_ks, new_vs)
     else:
         kv = KVCache(jnp.stack(new_k), jnp.stack(new_v),
                      None if new_ks[0] is None else jnp.stack(new_ks),

@@ -490,6 +490,15 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
                                           (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.float32))
                 continue
+            if quant == "q6":
+                # two-bit-plane unpack (ops/kv_quant.py q6 layout)
+                from .kv_quant import unpack_kv_q6
+                kh = (unpack_kv_q6(k_ref[0, :, hh, :]).astype(jnp.float32)
+                      * ks_ref[0, :, hh][:, None])
+                parts.append(jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                continue
             kh = k_ref[0, :, hh, :].astype(jnp.float32)   # (ts, D)
             if quant == "q8":
                 kh = kh * ks_ref[0, :, hh][:, None]
@@ -525,6 +534,14 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
                                  preferred_element_type=jnp.float32)],
                     axis=1))
                 continue
+            if quant == "q6":
+                from .kv_quant import unpack_kv_q6
+                vh = (unpack_kv_q6(v_ref[0, :, hh, :]).astype(jnp.float32)
+                      * vs_ref[0, :, hh][:, None])
+                outs.append(jax.lax.dot(ph.astype(jnp.bfloat16),
+                                        vh.astype(jnp.bfloat16),
+                                        preferred_element_type=jnp.float32))
+                continue
             vh = v_ref[0, :, hh, :].astype(jnp.float32)
             if quant == "q8":
                 vh = vh * vs_ref[0, :, hh][:, None]
@@ -558,6 +575,11 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     rows_pad = max(8, -(-rows // 8) * 8)
     if k_s is None:
         qmode = "none"
+    elif k.dtype == jnp.uint8 and 4 * k.shape[3] == 3 * d:
+        qmode = "q6"            # two-bit-plane codec: 3D/4 stored bytes
+        dv = (4 * dv) // 3
+        if d != dv or d % 4:
+            return None
     elif k.dtype == jnp.uint8:
         qmode = "q4"            # packed nibbles: D stored as D/2 bytes
         dv = 2 * dv             # v.shape[-1] is the packed width
@@ -569,7 +591,7 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     dp0 = -(-max(d, 128) // 128) * 128
     dvp0 = -(-max(dv, 128) // 128) * 128
     # VMEM guard: K+V tiles (double-buffered) must stay under ~6 MB
-    bytes_pp = {"none": 2, "q8": 1, "q4": 0.5}[qmode]
+    bytes_pp = {"none": 2, "q8": 1, "q4": 0.5, "q6": 0.75}[qmode]
     per_row = hkv * (dp0 + dvp0) * bytes_pp
     cap = block_kv
     while cap > 128 and cap * per_row * 2 > 6 * 2**20:
@@ -628,8 +650,9 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
         args.append(sinkrow.reshape(1, rows_pad))
     in_specs.append(pl.BlockSpec((1, rows_pad, dp), q_map))
     args.append(qr)
-    kd = d // 2 if qmode == "q4" else dp     # stored K width per row
-    vd = dv // 2 if qmode == "q4" else dvp
+    # stored K/V width per row (packed codecs carry their packed width)
+    kd = {"q4": d // 2, "q6": 3 * d // 4}.get(qmode, dp)
+    vd = {"q4": dv // 2, "q6": 3 * dv // 4}.get(qmode, dvp)
     if qmode != "none":
         in_specs += [
             pl.BlockSpec((1, ts, hkv, kd), kv_map),

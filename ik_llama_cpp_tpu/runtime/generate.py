@@ -396,6 +396,25 @@ class Runtime:
         # n_past = capacity-1 still writes a PREFILL_BUCKETS[0]-row slab
         b0 = PREFILL_BUCKETS[0]
         capacity = -(-(capacity + b0 - 1) // b0) * b0
+        if isinstance(self.kv_quant, dict):
+            # per-layer first/last codec overrides (llama.h:390-397):
+            # {"type": "q4", "first": "q8", "n_first": 1,
+            #  "last": "q8", "n_last": 1}
+            if FORWARDS.get(self.cfg.arch) is not llama_mod.forward:
+                raise NotImplementedError(
+                    "per-layer KV codec overrides need the standard "
+                    f"attention graph; arch {self.cfg.arch!r} is custom")
+            s = self.kv_quant
+            ovr = s.get("first", s.get("last", "q8"))
+            n_first = int(s.get("n_first", 1 if "first" in s else 0))
+            n_last = int(s.get("n_last", 1 if "last" in s else 0))
+            if n_first + n_last < self.cfg.n_layer:
+                return llama_mod.MixedKVCache.create(
+                    self.cfg, batch, capacity, mid=s.get("type", "q4"),
+                    override=ovr, n_first=n_first, n_last=n_last)
+            # degenerate: every layer overridden -> plain cache of the
+            # override codec
+            return KVCache.create(self.cfg, batch, capacity, quant=ovr)
         if self.pp_runner is not None:
             # list of per-stage caches, each resident on its stage's device
             return self.pp_runner.init_cache(batch, capacity,

@@ -1335,7 +1335,8 @@ def main(argv=None):
                     help="RAM prompt-cache tier in MiB for evicted slot "
                          "states (0 = off, -1 = unlimited); the reference's "
                          "--cache-ram similarity-matched restore")
-    ap.add_argument("--cache-type", choices=["bf16", "q8", "q4"],
+    ap.add_argument("--cache-type",
+                    choices=["bf16", "q8", "q6", "q4"],
                     default="bf16",
                     help="KV cache type (-ctk/-ctv analogue)")
     ap.add_argument("--lora", action="append", default=[],

@@ -246,6 +246,7 @@ class BatchEngine:
         self._decode_fn = None
         self._decode_topk_fn = None
         self._spec_decode_fn = None
+        self._spec_topk_fn = None
         self._jits: dict[Any, Any] = {}
         # metrics
         self.n_prompt_tokens_processed = 0
@@ -438,6 +439,31 @@ class BatchEngine:
 
             self._spec_decode_fn = decode_spec
         return self._spec_decode_fn
+
+    def _spec_decode_topk(self):
+        """Verify step returning only (top-K vals, ids, logsumexp) per
+        POSITION — B x (1+spec_n) x (K+1) floats instead of B x (1+spec_n)
+        x V: the same readback diet as _decode_topk, applied to the
+        speculative batch (the reference verifies drafts in-batch and reads
+        only sampled rows, server-context.cpp:3564-3599)."""
+        if self._spec_topk_fn is None:
+            if self._pp_fwd is not None:
+                return None
+            cfg = self.cfg
+            fwd = self._engine_fwd()
+            K = min(self.TOPK_FETCH, cfg.n_vocab)
+
+            @jax.jit
+            def decode_spec_topk(params, tokens, kv, n_past):
+                logits, kv = fwd(params, cfg, tokens, kv, n_past,
+                                 logits_last_only=False)
+                lg = logits.astype(jnp.float32)          # (B, W, V)
+                vals, idx = jax.lax.top_k(lg, K)
+                lse = jax.scipy.special.logsumexp(lg, axis=-1)
+                return vals, idx, lse, kv
+
+            self._spec_topk_fn = decode_spec_topk
+        return self._spec_topk_fn
 
     # ---------------------------------------------------------------- loop
     def start(self):
@@ -1014,10 +1040,22 @@ class BatchEngine:
             toks[s.idx, 1:1 + len(d)] = d
             n_past[s.idx] = s.n_past
         kv_before = self.kv if self.rt.recurrent else None
-        fn = self._spec_decode()
-        logits, self.kv = fn(self.rt.params, jnp.asarray(toks), self.kv,
-                             jnp.asarray(n_past))
-        logits_np = np.asarray(logits)
+        topk_fn = (self._spec_decode_topk()
+                   if all(self._slot_topk_ok(s) for s in gen) else None)
+        vals_np = idx_np = lse_np = logits_np = None
+        if topk_fn is not None:
+            # readback: B x (1+k) x (K+1) floats instead of B x (1+k) x V
+            self.n_topk_steps += 1
+            vals, idx, lse, self.kv = topk_fn(
+                self.rt.params, jnp.asarray(toks), self.kv,
+                jnp.asarray(n_past))
+            vals_np, idx_np = np.asarray(vals), np.asarray(idx)
+            lse_np = np.asarray(lse)
+        else:
+            fn = self._spec_decode()
+            logits, self.kv = fn(self.rt.params, jnp.asarray(toks), self.kv,
+                                 jnp.asarray(n_past))
+            logits_np = np.asarray(logits)
         consumed: dict[int, int] = {}
         for s in gen:
             d = drafts.get(s.idx, [])
@@ -1026,7 +1064,14 @@ class BatchEngine:
             acc = 0
             while s.state == SlotState.GENERATING:
                 prev_len = len(s.tokens)
-                if self._emit_token(s, logits_np[s.idx, pos]):
+                if topk_fn is not None:
+                    emitted = self._emit_token(
+                        s, None, topk=(vals_np[s.idx, pos],
+                                       idx_np[s.idx, pos],
+                                       float(lse_np[s.idx, pos])))
+                else:
+                    emitted = self._emit_token(s, logits_np[s.idx, pos])
+                if emitted:
                     break        # banned-phrase rewind: n_past already reset
                 tok = s.tokens[prev_len] if len(s.tokens) > prev_len else None
                 s.n_past += 1

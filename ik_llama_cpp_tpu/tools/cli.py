@@ -27,8 +27,13 @@ def main(argv=None):
     ap.add_argument("--repeat-penalty", type=float, default=1.0)
     ap.add_argument("-s", "--seed", type=int, default=-1)
     ap.add_argument("-i", "--interactive", action="store_true")
-    ap.add_argument("-ctk", "--cache-type", choices=["bf16", "q8", "q4"],
-                    default="bf16")
+    ap.add_argument("-ctk", "--cache-type",
+                    choices=["bf16", "q8", "q6", "q4"], default="bf16")
+    ap.add_argument("--cache-type-first", metavar="CODEC:N",
+                    help="override codec for the FIRST N layers, e.g. "
+                         "'q8:1' (llama.h first/last KV-type overrides)")
+    ap.add_argument("--cache-type-last", metavar="CODEC:N",
+                    help="override codec for the LAST N layers")
     ap.add_argument("--swa-compress", action="store_true",
                     help="ring caches on sliding-window layers "
                          "(llama.cpp --swa-compress)")
@@ -56,6 +61,15 @@ def main(argv=None):
         from ..models.weights import set_i8_mxu
         set_i8_mxu(True)
     kvq = False if args.cache_type == "bf16" else args.cache_type
+    if args.cache_type_first or args.cache_type_last:
+        spec = {"type": args.cache_type if kvq else "q8"}
+        for key, v in (("first", args.cache_type_first),
+                       ("last", args.cache_type_last)):
+            if v:
+                codec, _, n = v.partition(":")
+                spec[key] = codec
+                spec["n_" + key] = int(n or 1)
+        kvq = spec
     rt = Runtime.from_gguf(args.model, kv_quant=kvq,
                            swa_compress=args.swa_compress,
                            layer_split=args.layer_split)

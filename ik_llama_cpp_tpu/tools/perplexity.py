@@ -29,7 +29,13 @@ def log_softmax_at(logits: np.ndarray, token: int) -> float:
 
 def compute_perplexity(rt: Runtime, text: str, n_ctx: int = 512,
                        n_chunks: int = -1, verbose: bool = True):
-    tokens = rt.tokenizer.encode(text, add_bos=False, parse_special=False)
+    # the reference tokenizes WITH add_special (perplexity.cpp:
+    # common_tokenize(ctx, prompt, true)) — for add_bos models the stream
+    # starts with BOS and every chunk boundary shifts accordingly;
+    # matching this exactly is required for GGUF-for-GGUF PPL parity
+    add_special = rt.tokenizer.add_bos and rt.tokenizer.bos_id >= 0
+    tokens = rt.tokenizer.encode(text, add_bos=add_special,
+                                 parse_special=False)
     n_chunk_max = len(tokens) // n_ctx
     n_chunk = n_chunk_max if n_chunks < 0 else min(n_chunks, n_chunk_max)
     if n_chunk == 0:

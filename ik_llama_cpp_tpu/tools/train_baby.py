@@ -45,6 +45,7 @@ def train(rt, corpus_ids, *, steps: int = 50, batch: int = 4,
     (DenseLinear leaves — quantized codes have no gradient)."""
     import jax
     import optax
+    from ..models import weights as _W
     cfg = rt.cfg
     ids = np.asarray(corpus_ids, np.int32)
     rng = np.random.default_rng(seed)
@@ -61,13 +62,65 @@ def train(rt, corpus_ids, *, steps: int = 50, batch: int = 4,
         return optax.apply_updates(params, updates), opt_state, loss
 
     losses = []
-    for it in range(steps):
-        tokens = make_batches(ids, batch, seq_len + 1, rng)
-        params, opt_state, loss = step(params, opt_state, tokens)
-        losses.append(float(loss))
-        if it % 10 == 0 or it == steps - 1:
-            log(f"step {it:4d}  loss {losses[-1]:.4f}")
+    # force the XLA attention path for the whole training trace: the Pallas
+    # flash-attention kernels have no VJP rule (inference-only by design),
+    # while ops.attention.attend differentiates end to end
+    prev = _W._USE_PALLAS
+    _W.set_use_pallas(False)
+    try:
+        for it in range(steps):
+            tokens = make_batches(ids, batch, seq_len + 1, rng)
+            params, opt_state, loss = step(params, opt_state, tokens)
+            losses.append(float(loss))
+            if it % 10 == 0 or it == steps - 1:
+                log(f"step {it:4d}  loss {losses[-1]:.4f}")
+    finally:
+        _W.set_use_pallas(prev)
     return params, losses
+
+
+def export_f32_gguf(params, cfg, src_gguf_path, out_path):
+    """Write trained params back out as an f32 GGUF (standard llama tensor
+    names), copying all metadata from the source file — the baby-llama
+    'save the trained checkpoint' step. Supports the standard dense-llama
+    param layout (DenseLinear leaves + norm arrays + tok_embd)."""
+    from ..gguf.reader import load_gguf
+    from ..gguf.writer import GGUFWriter
+
+    src = load_gguf(str(src_gguf_path))
+    w = GGUFWriter(str(out_path), arch=cfg.arch)
+    for k, v in src.metadata.items():
+        if k == "general.architecture":
+            continue
+        w.add(k, v)
+
+    def lin(name, obj):
+        # DenseLinear holds (K, N) with K = contraction dim; GGUF rows are
+        # output neurons: store (N, K) row-major with ne = (K, N)
+        arr = np.asarray(obj.w, np.float32).T
+        w.add_tensor(name, np.ascontiguousarray(arr),
+                     shape=(arr.shape[1], arr.shape[0]))
+
+    def dense(name, a):
+        w.add_tensor(name, np.ascontiguousarray(np.asarray(a, np.float32)))
+
+    dense("token_embd.weight", params["tok_embd"])
+    dense("output_norm.weight", params["output_norm"])
+    if "output" in params:
+        lin("output.weight", params["output"])
+    for i, blk in enumerate(params["blocks"]):
+        p = f"blk.{i}."
+        dense(p + "attn_norm.weight", blk["attn_norm"])
+        dense(p + "ffn_norm.weight", blk["ffn_norm"])
+        lin(p + "attn_q.weight", blk["wq"])
+        lin(p + "attn_k.weight", blk["wk"])
+        lin(p + "attn_v.weight", blk["wv"])
+        lin(p + "attn_output.weight", blk["wo"])
+        lin(p + "ffn_gate.weight", blk["ffn_gate"])
+        lin(p + "ffn_up.weight", blk["ffn_up"])
+        lin(p + "ffn_down.weight", blk["ffn_down"])
+    w.write()
+    return out_path
 
 
 def main(argv=None):
@@ -78,18 +131,24 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seq-len", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("-o", "--output", help="write the trained model as an "
+                    "f32 GGUF (round-trips through the normal loader)")
     args = ap.parse_args(argv)
 
     from ..runtime.generate import Runtime
-    rt = Runtime.from_gguf(args.gguf, use_quant=False)
+    # fuse=False keeps separate q/k/v tensors so the export maps 1:1
+    rt = Runtime.from_gguf(args.gguf, use_quant=False, fuse=False)
     if args.text:
         ids = rt.tokenizer.encode(open(args.text).read())
     else:
         ids = rt.tokenizer.encode("the quick brown fox jumps over the lazy "
                                   "dog " * 64)
-    _, losses = train(rt, ids, steps=args.steps, batch=args.batch,
-                      seq_len=args.seq_len, lr=args.lr)
+    params, losses = train(rt, ids, steps=args.steps, batch=args.batch,
+                           seq_len=args.seq_len, lr=args.lr)
     print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    if args.output:
+        export_f32_gguf(params, rt.cfg, args.gguf, args.output)
+        print(f"saved {args.output}")
     return 0 if losses[-1] < losses[0] else 1
 
 

@@ -295,3 +295,92 @@ def test_fa_decode_q4_matches_oracle():
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_kv_q6_codec_roundtrip():
+    from ik_llama_cpp_tpu.ops.kv_quant import (quantize_kv_rows_q6,
+                                               dequantize_kv_q6)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 3, 64)), jnp.float32)
+    q, s = quantize_kv_rows_q6(x)
+    assert q.shape == (2, 5, 3, 48) and q.dtype == jnp.uint8
+    back = dequantize_kv_q6(q, s)
+    # 6-bit absmax codec: error bounded by scale/2 per element
+    err = np.abs(np.asarray(back - x))
+    bound = np.asarray(s)[..., None] / 2 + 1e-6
+    assert (err <= bound).all()
+    # q6 must be strictly tighter than q4 on the same data
+    from ik_llama_cpp_tpu.ops.kv_quant import (quantize_kv_rows_q4,
+                                               dequantize_kv_q4)
+    q4, s4 = quantize_kv_rows_q4(x)
+    err4 = np.abs(np.asarray(dequantize_kv_q4(q4, s4) - x)).mean()
+    assert err.mean() < err4.mean() / 2
+
+
+def test_q6_kv_cache_end_to_end():
+    """-ctk/-ctv q6_0 analogue: 0.75-byte two-plane KV cache."""
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    p = make_tiny_llama_gguf("/tmp/kvq6_tiny.gguf", seed=7, n_embd=128,
+                             n_head=4, n_head_kv=2, n_ff=256)
+    rt_f = Runtime.from_gguf(p)
+    rt_q = Runtime.from_gguf(p, kv_quant="q6")
+    kv = rt_q.new_cache(1, 64)
+    assert kv.k.dtype == jnp.uint8 and kv.k.shape[-1] == 24  # 3*32/4
+    ids = list(range(10, 34))
+    lf = rt_f.all_position_logits(ids)
+    lq = rt_q.all_position_logits(ids)
+    assert np.all(np.isfinite(lq))
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree > 0.85, f"argmax agreement {agree:.2%}"
+    c = np.corrcoef(lf.ravel(), np.asarray(lq).ravel())[0, 1]
+    assert c > 0.99, f"logit correlation {c:.4f}"
+
+
+def test_fa_decode_q6_matches_oracle():
+    """q6 two-plane KV decode kernel vs the dequantize-then-attend oracle."""
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode_q8
+    from ik_llama_cpp_tpu.ops.kv_quant import (quantize_kv_rows_q6,
+                                               dequantize_kv_q6)
+    b, t, s, h, hkv, d = 1, 2, 256, 8, 2, 128
+    q, k, v = make(b, t, s, h, hkv, d, seed=16)
+    kq, ks = quantize_kv_rows_q6(k)
+    vq, vs = quantize_kv_rows_q6(v)
+    n_past = 100
+    kv_len = jnp.full((b,), n_past + t, jnp.int32)
+    npv = jnp.full((b,), n_past, jnp.int32)
+    q_pos = n_past + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    scale = 1.0 / np.sqrt(d)
+    ref = attend(q, dequantize_kv_q6(kq, ks), dequantize_kv_q6(vq, vs),
+                 q_pos=q_pos, kv_len=kv_len, scale=scale)
+    got = flash_attention_decode_q8(q, kq, ks, vq, vs, npv, kv_len,
+                                    scale=scale, block_kv=128,
+                                    interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_mixed_kv_cache_per_layer_overrides():
+    """First/last layers at q8 with q4 mid layers (llama.h:390-397)."""
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    p = make_tiny_llama_gguf("/tmp/kvmix_tiny.gguf", seed=7, n_layer=4,
+                             n_embd=128, n_head=4, n_head_kv=2, n_ff=256)
+    rt_f = Runtime.from_gguf(p)
+    spec = {"type": "q4", "first": "q8", "n_first": 1,
+            "last": "q8", "n_last": 1}
+    rt_m = Runtime.from_gguf(p, kv_quant=spec)
+    kv = rt_m.new_cache(1, 64)
+    assert kv.k_ovr.dtype == jnp.int8 and kv.k_ovr.shape[0] == 2
+    assert kv.k_mid.dtype == jnp.uint8 and kv.k_mid.shape[0] == 2
+    assert kv.k_mid.shape[-1] == 16                     # q4: D/2
+    ids = list(range(10, 34))
+    lf = rt_f.all_position_logits(ids)
+    lm = rt_m.all_position_logits(ids)
+    assert np.all(np.isfinite(lm))
+    agree = (lf.argmax(-1) == np.asarray(lm).argmax(-1)).mean()
+    assert agree > 0.7, f"argmax agreement {agree:.2%}"
+    # decode continues correctly from the mixed cache
+    _, out = rt_m.generate(ids, max_new_tokens=4, stop_at_eos=False)
+    assert len(out) == 4

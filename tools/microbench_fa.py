@@ -45,12 +45,14 @@ def timed_scan(step, carry0, n=4, inner=32):
 
 def bench_fa(fill, cap):
     from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode
-    rng = np.random.default_rng(0)
-    k = jnp.asarray(rng.standard_normal((L, B, cap, HKV, D)) * 0.1,
-                    jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((L, B, cap, HKV, D)) * 0.1,
-                    jnp.bfloat16)
-    q0 = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.bfloat16)
+    # device-generated (H2D through the tunnel is ~1 GB/s; a 4k cache is
+    # ~0.5 GB — uploading it would dominate the run)
+    kk = jax.random.split(jax.random.PRNGKey(0), 3)
+    k = (jax.random.normal(kk[0], (L, B, cap, HKV, D)) * 0.1
+         ).astype(jnp.bfloat16)
+    v = (jax.random.normal(kk[1], (L, B, cap, HKV, D)) * 0.1
+         ).astype(jnp.bfloat16)
+    q0 = jax.random.normal(kk[2], (B, 1, H, D)).astype(jnp.bfloat16)
 
     npv = jnp.full((B,), fill - 1, jnp.int32)
     kvl = jnp.full((B,), fill, jnp.int32)
@@ -71,11 +73,11 @@ def bench_fa(fill, cap):
 
 
 def bench_append(cap):
-    rng = np.random.default_rng(1)
-    k = jnp.asarray(rng.standard_normal((L, B, cap, HKV, D)) * 0.1,
-                    jnp.bfloat16)
-    new = jnp.asarray(rng.standard_normal((L, B, 1, HKV, D)) * 0.1,
-                      jnp.bfloat16)
+    kk = jax.random.split(jax.random.PRNGKey(1), 2)
+    k = (jax.random.normal(kk[0], (L, B, cap, HKV, D)) * 0.1
+         ).astype(jnp.bfloat16)
+    new = (jax.random.normal(kk[1], (L, B, 1, HKV, D)) * 0.1
+           ).astype(jnp.bfloat16)
 
     def step(kc, i):
         return jax.lax.dynamic_update_slice(

@@ -1,0 +1,204 @@
+"""GGUF-for-GGUF perplexity gate vs the reference engine.
+
+The BASELINE bar is "WikiText-2 PPL within 0.01 of the reference
+GGUF-for-GGUF at equal bit-width" on a pretrained checkpoint. This
+environment has no network and no pretrained weights on disk, so the gate
+exercises the full protocol on the strongest available substitute: a
+small llama TRAINED IN-REPO (tools/train_baby, the baby-llama analogue)
+on a deterministic corpus, so its output distributions are peaked and the
+PPL comparison is meaningful (a random-weight model sits at the
+uniform-logits degenerate point where PPL ~ n_vocab and log-prob noise is
+maximal).
+
+  * train a 2-layer llama (REAL llama SPM vocab, copied from the
+    reference's own fixture ggml-vocab-llama-spm.gguf) on the corpus;
+  * write ONE GGUF per bit-width (Q8_0 / Q4_0 / Q4_K) with OUR encoders;
+  * run the same file + corpus through the reference's llama-perplexity
+    ("Final estimate", examples/perplexity/perplexity.cpp:779) and through
+    ik_llama_cpp_tpu.tools.perplexity (the protocol clone);
+  * gate: |ln ppl_ours - ln ppl_ref| <= 1.2e-3 per bit-width — the relative
+    tolerance equivalent to the 0.01-at-PPL~9 bar, covering our bf16-matmul
+    vs the reference's f32-matmul engine difference.
+
+Run via scripts/ref_ci.sh (needs /tmp/refbuild).
+"""
+from __future__ import annotations
+
+import math
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+REFBUILD = Path(os.environ.get("BUILD", "/tmp/refbuild"))
+VOCAB_GGUF = Path("/root/reference/models/ggml-vocab-llama-spm.gguf")
+LN_TOL = 1.2e-3
+
+WORDS = ("the quick brown fox jumps over a lazy dog while seven wizards "
+         "brew strong coffee and twelve ships sail past the old harbor "
+         "under bright winter stars because every story needs its own "
+         "beginning middle and end with people talking about weather "
+         "history music science mountains rivers cities and dreams").split()
+
+
+def make_corpus(path: Path, n_words: int = 9000, seed: int = 7) -> Path:
+    """Deterministic corpus with learnable bigram structure: each word's
+    successor distribution is a fixed sparse table (so a trained model has
+    something real to predict) with zipf-ish word frequencies."""
+    rng = np.random.default_rng(seed)
+    n = len(WORDS)
+    succ = {i: rng.integers(0, n, 3) for i in range(n)}   # 3 successors/word
+    text = ""
+    cur = 0
+    for i in range(n_words):
+        text += WORDS[cur] + ("\n" if (i + 1) % 17 == 0 else " ")
+        if rng.random() < 0.15:                            # 15% random jumps
+            cur = int(rng.integers(0, n))
+        else:
+            cur = int(succ[cur][rng.integers(0, 3)])
+    path.write_text(text)
+    return path
+
+
+GATE_VERSION = "r4-2"
+TRAIN_STEPS = int(os.environ.get("PPL_GATE_STEPS", "180"))
+
+
+def build_base_gguf(path: Path) -> Path:
+    """Small f32 llama with the REAL SPM vocab (random init; trained next)."""
+    from ik_llama_cpp_tpu.gguf.reader import load_gguf
+    from ik_llama_cpp_tpu.gguf.writer import GGUFWriter
+
+    vm = load_gguf(str(VOCAB_GGUF)).metadata
+    tokens = vm["tokenizer.ggml.tokens"]
+    scores = vm["tokenizer.ggml.scores"]
+    types = vm["tokenizer.ggml.token_type"]
+    V = len(tokens)
+    L, E, H, HKV, FF = 2, 256, 4, 2, 768   # FF % 256 == 0 for k-quants
+    D = E // H
+    rng = np.random.default_rng(3)
+
+    w = GGUFWriter(path, arch="llama")
+    w.add("general.name", "ppl-gate")
+    w.add("llama.block_count", L)
+    w.add("llama.context_length", 1024)
+    w.add("llama.embedding_length", E)
+    w.add("llama.feed_forward_length", FF)
+    w.add("llama.attention.head_count", H)
+    w.add("llama.attention.head_count_kv", HKV)
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", 10000.0)
+    w.add("llama.rope.dimension_count", D)
+    w.add("llama.vocab_size", V)
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.unknown_token_id", 0)
+    w.add("tokenizer.ggml.add_bos_token", True)
+    w.add("tokenizer.ggml.add_eos_token", False)
+
+    def t(name, rows, cols):
+        arr = (rng.standard_normal((rows, cols))
+               / np.sqrt(cols)).astype(np.float32)
+        w.add_tensor(name, np.ascontiguousarray(arr), shape=(cols, rows))
+
+    def dense(name, arr):
+        w.add_tensor(name, arr.astype(np.float32))
+
+    t("token_embd.weight", V, E)
+    t("output.weight", V, E)
+    dense("output_norm.weight", np.ones(E))
+    for i in range(L):
+        p = f"blk.{i}."
+        dense(p + "attn_norm.weight", np.ones(E))
+        dense(p + "ffn_norm.weight", np.ones(E))
+        t(p + "attn_q.weight", E, E)
+        t(p + "attn_k.weight", HKV * D, E)
+        t(p + "attn_v.weight", HKV * D, E)
+        t(p + "attn_output.weight", E, E)
+        t(p + "ffn_gate.weight", FF, E)
+        t(p + "ffn_up.weight", FF, E)
+        t(p + "ffn_down.weight", E, FF)
+    w.write()
+    return path
+
+
+def trained_f32(corpus: Path) -> Path:
+    """Train the base model on the corpus (peaked, meaningful PPL) and
+    export f32; cached across runs."""
+    out = Path(f"/tmp/ppl_gate_trained_{GATE_VERSION}_{TRAIN_STEPS}.gguf")
+    if out.exists() and out.stat().st_size > 0:
+        return out
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.tools.train_baby import train, export_f32_gguf
+    base = build_base_gguf(Path("/tmp/ppl_gate_base_f32.gguf"))
+    rt = Runtime.from_gguf(str(base), use_quant=False, fuse=False)
+    ids = rt.tokenizer.encode(corpus.read_text())
+    params, losses = train(rt, ids, steps=TRAIN_STEPS, batch=4, seq_len=48,
+                           lr=3e-3, log=lambda *a: None)
+    print(f"ppl_gate train: loss {losses[0]:.3f} -> {losses[-1]:.3f} "
+          f"({TRAIN_STEPS} steps)", flush=True)
+    assert losses[-1] < losses[0] - 1.0, "training did not converge"
+    export_f32_gguf(params, rt.cfg, base, out)
+    return out
+
+
+def quantize_model(f32: Path, ftype: str) -> Path:
+    """f32 -> quantized GGUF through OUR llama-quantize analogue."""
+    from ik_llama_cpp_tpu.tools.quantize import main as quantize_main
+    out = Path(f"/tmp/ppl_gate_{ftype}.gguf")
+    rc = quantize_main([str(f32), str(out), ftype])
+    assert rc in (0, None), rc
+    return out
+
+
+def ref_ppl(model: Path, corpus: Path, n_ctx: int) -> float:
+    exe = REFBUILD / "bin/llama-perplexity"
+    env = dict(os.environ,
+               LD_LIBRARY_PATH=f"{REFBUILD}/src:{REFBUILD}/ggml/src")
+    r = subprocess.run(
+        [str(exe), "-m", str(model), "-f", str(corpus), "-c", str(n_ctx),
+         "--no-warmup", "-t", "1", "-b", str(n_ctx)],
+        env=env, capture_output=True, text=True, timeout=1800)
+    out = r.stdout + r.stderr
+    m = re.search(r"Final estimate:.* = ([0-9.]+)", out)
+    assert m, f"no Final estimate in reference output:\n{out[-2000:]}"
+    return float(m.group(1))
+
+
+def our_ppl(model: Path, corpus: Path, n_ctx: int) -> float:
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.tools.perplexity import compute_perplexity
+    rt = Runtime.from_gguf(str(model))
+    res = compute_perplexity(rt, corpus.read_text(), n_ctx=n_ctx,
+                             verbose=False)
+    return res[0] if isinstance(res, tuple) else res["ppl"]
+
+
+def main():
+    n_ctx = 256
+    corpus = make_corpus(Path("/tmp/ppl_gate_corpus.txt"))
+    f32 = trained_f32(corpus)
+    ok = True
+    for ftype in ("Q8_0", "Q4_0", "Q4_K_M"):
+        model = quantize_model(f32, ftype)
+        p_ref = ref_ppl(model, corpus, n_ctx)
+        p_our = our_ppl(model, corpus, n_ctx)
+        dln = abs(math.log(p_our) - math.log(p_ref))
+        status = "OK" if dln <= LN_TOL else "FAIL"
+        ok &= dln <= LN_TOL
+        print(f"ppl_gate {ftype:6s}: ref {p_ref:.4f}  ours {p_our:.4f}  "
+              f"|dln| {dln:.2e} (tol {LN_TOL:.1e})  {status}", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
