@@ -169,6 +169,11 @@ class DistributedEngine(BatchEngine):
         # the followers don't know about — use the plain decode everywhere
         return None
 
+    def _spec_decode_topk(self):
+        # same rule for the speculative-verify top-K variant: followers run
+        # the plain OP_SPEC program, so host 0 must too
+        return None
+
     def _decode(self):
         fn = super()._decode()
         if not self._is_leader():
