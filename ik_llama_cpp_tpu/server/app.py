@@ -1020,14 +1020,47 @@ class Server:
             resp = web.StreamResponse(headers={"Content-Type": "text/event-stream", "Access-Control-Allow-Origin": "*"})
             await resp.prepare(request)
 
-            async def on_token(piece, done):
+            async def emit(delta, finish=None):
                 chunk = {"id": rid, "object": "chat.completion.chunk",
                          "created": int(time.time()), "model": self.model_name,
-                         "choices": [{"index": 0, "delta": {"content": piece},
-                                      "finish_reason": "stop" if done else None}]}
-                await resp.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                         "choices": [{"index": 0, "delta": delta,
+                                      "finish_reason": finish}]}
+                await resp.write(b"data: " + json.dumps(chunk).encode()
+                                 + b"\n\n")
+
+            # streamed reasoning/tool-call split (the reference's streaming
+            # chat parsers, common/chat.cpp): re-parse the accumulated text
+            # each token and emit reasoning_content / content DELTAS; a
+            # small holdback keeps half-open markers ("<thi", a partial
+            # tool-call opener) from leaking into content mid-stream
+            HOLDBACK = 24
+            st = {"acc": "", "r": "", "c": ""}
+
+            async def on_token(piece, done):
+                st["acc"] += piece
+                reasoning, content, _ = self._parse_chat_output(st["acc"])
+                delta = {}
+                if (len(reasoning) > len(st["r"])
+                        and reasoning.startswith(st["r"])):
+                    delta["reasoning_content"] = reasoning[len(st["r"]):]
+                    st["r"] = reasoning
+                lim = len(content) if done else max(0,
+                                                    len(content) - HOLDBACK)
+                if lim > len(st["c"]) and content.startswith(st["c"]):
+                    delta["content"] = content[len(st["c"]):lim]
+                    st["c"] = content[:lim]
+                if delta:
+                    await emit(delta)
 
             await self._run(ids, body, True, on_token)
+            _, _, calls = self._parse_chat_output(st["acc"])
+            if calls:
+                await emit({"tool_calls": [
+                    {"index": i, "id": c.id, "type": "function",
+                     "function": {"name": c.name, "arguments": c.arguments}}
+                    for i, c in enumerate(calls)]}, "tool_calls")
+            else:
+                await emit({}, "stop")
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
