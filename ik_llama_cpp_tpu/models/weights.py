@@ -25,8 +25,9 @@ from ..quant.dequant import dequantize
 from ..quant.planar import PLANAR_FNS, planar_decode
 from ..ops.qmatmul import (qmatmul, qmatmul_ref, qmatmul4,
                            qmatmul4_ref, pack_int4, qmatmul_i8,
-                           qmatmul_i8_ref, quantize_activations,
-                           requant_supergroup, SUPERGROUP)
+                           qmatmul_i8_mxu, qmatmul_i8_ref,
+                           quantize_activations, requant_supergroup,
+                           SUPERGROUP, I8_MXU_MIN_M)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -140,9 +141,16 @@ class QLinearI8:
         k = orig_shape[-1]
         x2 = x.reshape(-1, k)
         xq, xs = quantize_activations(x2)
-        # pure-XLA everywhere: the supergroup-batched native int8 dot is
-        # the fastest weight-streaming path measured on v5e (HBM peak)
-        y = qmatmul_i8(xq, xs, self.codes, self.sw)
+        if x2.shape[0] >= I8_MXU_MIN_M and _use_pallas():
+            # prefill: Pallas MXU kernel — the XLA einsum materializes its
+            # (G, M, N) int32 partials inside fused model graphs at large M
+            # (PP512 8040 -> 3580 t/s measured before this dispatch)
+            y = qmatmul_i8_mxu(xq, xs.T, self.codes, self.sw,
+                               interpret=interpret)
+        else:
+            # decode/verify: the supergroup-batched native int8 dot streams
+            # weights at HBM peak (tools/microbench_i8m.py)
+            y = qmatmul_i8(xq, xs, self.codes, self.sw)
         if self.gbias is not None:
             xg = x2.astype(jnp.float32).reshape(-1, k // self.group,
                                                 self.group).sum(axis=2)

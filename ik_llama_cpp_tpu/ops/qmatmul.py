@@ -425,6 +425,15 @@ def qmatmul_i8(x_q, x_s, codes, sw, *, interpret: bool = False):
     m, k = x_q.shape
     k2, n = codes.shape
     assert k == k2 and k % SUPERGROUP == 0
+    if m < 8:
+        # M=1 (decode-scan) int8 dots collapse to ~80 GB/s on v5e (the MXU
+        # needs >= 8 sublanes); zero-padding M to 8 restores the full
+        # ~720 GB/s stream — 9x — for the cost of 7 dead rows
+        # (tools/microbench_i8m.py)
+        pad = 8 - m
+        x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
+        x_s = jnp.pad(x_s, ((0, pad), (0, 0)))
+        return qmatmul_i8(x_q, x_s, codes, sw, interpret=interpret)[:m]
     nsg = k // SUPERGROUP
     xg = x_q.reshape(m, nsg, SUPERGROUP).transpose(1, 0, 2)   # (G, M, SG)
     wg = codes.reshape(nsg, SUPERGROUP, n)                    # (G, SG, N)
@@ -433,6 +442,112 @@ def qmatmul_i8(x_q, x_s, codes, sw, *, interpret: bool = False):
         preferred_element_type=jnp.int32)                     # (G, M, N)
     return jnp.einsum("gmn,mg,gn->mn", parts.astype(jnp.float32),
                       x_s.astype(jnp.float32), sw.astype(jnp.float32))
+
+
+def _make_kernel_i8(nsg_blk: int):
+    def kernel(xq_ref, xst_ref, w_ref, sw_ref, out_ref, acc_ref):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # per-supergroup int8 MXU dots with rank-1 f32 scale correction:
+        # 2 VPU ops per OUTPUT per supergroup, MXU at its doubled int8 rate
+        for g in range(nsg_blk):
+            part = jax.lax.dot_general(
+                xq_ref[:, g * SUPERGROUP:(g + 1) * SUPERGROUP],
+                w_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            corr = xst_ref[g, :][:, None] * sw_ref[g, :][None, :]
+            acc_ref[:] += part.astype(jnp.float32) * corr
+
+        @pl.when(kk == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def qmatmul_i8_mxu(x_q, x_s_t, codes, sw, *, block_m: int = 512,
+                   block_n: int = 512, block_k: int = 2048,
+                   interpret: bool = False):
+    """Pallas int8 (M,K) @ int8 (K,N) -> f32 (M,N), supergroup corrections.
+
+    The LARGE-M (prefill) variant of qmatmul_i8: the XLA einsum formulation
+    is fast standalone but collapses inside full model graphs at M >= 256
+    (XLA materializes the (G, M, N) int32 partials when the consumer chain
+    is non-trivial — PP512 8040 -> 3580 t/s measured). This kernel keeps
+    the f32 accumulator in VMEM scratch across the K sweep, so partials
+    never touch HBM, and runs the MXU at its doubled int8 rate — the TPU
+    analogue of the reference's Q8_K int8 GEMM (iqk_mul_mat.cpp:246-308).
+
+    x_s_t: f32 (K/256, M) — the activation scales TRANSPOSED so the
+    per-supergroup slice lands on the sublane dim (lane-dim dynamic
+    slicing is not supported by Mosaic). block_k must be a multiple of
+    256 with block_k/256 >= 8 (scale-block sublane alignment).
+    """
+    m, k = x_q.shape
+    k2, n = codes.shape
+    assert k == k2 and k % SUPERGROUP == 0
+    assert x_s_t.shape == (k // SUPERGROUP, m)
+
+    bm = min(block_m, _round_up(m, 128))
+    bk = min(block_k, _round_up(k, 2048))
+    bn = min(block_n, _round_up(n, 128))
+    mp, kp, np_ = _round_up(m, bm), _round_up(k, bk), _round_up(n, bn)
+    nsg_blk = bk // SUPERGROUP
+
+    if (mp, kp) != (m, k):
+        x_q = jnp.pad(x_q, ((0, mp - m), (0, kp - k)))
+    if x_s_t.shape != (kp // SUPERGROUP, mp):
+        x_s_t = jnp.pad(x_s_t, ((0, kp // SUPERGROUP - k // SUPERGROUP),
+                                (0, mp - m)))
+    if (kp, np_) != (k, n):
+        codes = jnp.pad(codes, ((0, kp - k), (0, np_ - n)))
+        sw = jnp.pad(sw, ((0, (kp - k) // SUPERGROUP), (0, np_ - n)))
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+    out = pl.pallas_call(
+        _make_kernel_i8(nsg_blk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsg_blk, bm), lambda i, j, kk: (kk, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsg_blk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_
+            + (kp // SUPERGROUP) * (mp + np_) * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_q, x_s_t, codes, sw)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+# in-model prefill dispatch threshold: below this M the XLA einsum
+# formulation streams weights at HBM peak (tools/microbench_i8m.py); at or
+# above it the einsum's (G, M, N) int32 partials can materialize inside
+# fused model graphs, so the Pallas MXU kernel takes over
+I8_MXU_MIN_M = 256
 
 
 def qmatmul_i8_ref(x_q, x_s, codes, sw):

@@ -122,6 +122,26 @@ class TestI8MXU:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
 
+    @pytest.mark.parametrize("m,k,n", [(256, 512, 384), (300, 2048, 640),
+                                       (512, 4096, 256)])
+    def test_mxu_kernel_matches_oracle(self, m, k, n):
+        """Pallas prefill kernel (qmatmul_i8_mxu) == the einsum/oracle
+        numerics, including M/K/N padding paths."""
+        from ik_llama_cpp_tpu.ops.qmatmul import (
+            qmatmul_i8_mxu, qmatmul_i8_ref, quantize_activations,
+            requant_supergroup)
+        rng = np.random.default_rng(7)
+        codes = rng.integers(-127, 128, (k, n), dtype=np.int8)
+        scale = (rng.random((k // 32, n), dtype=np.float32) * 0.1)
+        q8, sw = requant_supergroup(codes, scale)
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+        xq, xs = quantize_activations(x)
+        ref = qmatmul_i8_ref(xq, xs, jnp.asarray(q8), jnp.asarray(sw))
+        got = qmatmul_i8_mxu(xq, xs.T, jnp.asarray(q8), jnp.asarray(sw),
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
     def test_requant_close_to_exact(self):
         """Supergroup recode error stays far below 4-bit quantization step."""
         from ik_llama_cpp_tpu.ops.qmatmul import requant_supergroup

@@ -55,7 +55,9 @@ def timed(fn, x0, *args, n=4, inner=32):
     def rep(x, *flat_args):
         def body(carry, _):
             i, acc = carry
-            xi = jnp.roll(x, i, axis=0)
+            # roll along the LAST axis: axis 0 is a no-op at M=1 and the
+            # whole body would hoist out of the scan as loop-invariant
+            xi = jnp.roll(x, i, axis=-1)
             for wi in range(n_w):
                 ws = flat_args[wi * nargs:(wi + 1) * nargs]
                 y = fn(xi, *ws)
