@@ -163,8 +163,17 @@ def _allowlist_fields(body: dict, srv) -> dict:
 def _grammar_from(body: dict) -> str | None:
     """GBNF grammar text from the request: native ``grammar`` /
     ``json_schema`` fields (server.cpp params_from_json_cmpl) or the OpenAI
-    ``response_format`` object (json_object / json_schema types)."""
+    ``response_format`` object (json_object / json_schema types).
+
+    A ``grammar_kind`` of regex/lark/json routes ``grammar`` through the
+    llguidance-analogue adapter (runtime/llg.py; common/llguidance.cpp) —
+    kinds are normalized to GBNF here so every downstream path (lazy
+    triggers, allowlists, spec rollback) works unchanged."""
     if body.get("grammar"):
+        kind = str(body.get("grammar_kind") or "gbnf")
+        if kind not in ("gbnf", "grammar"):
+            from ..runtime.llg import to_gbnf
+            return to_gbnf(kind, str(body["grammar"]))
         return str(body["grammar"])
     if body.get("json_schema") is not None:
         from ..runtime.json_schema import json_schema_to_gbnf

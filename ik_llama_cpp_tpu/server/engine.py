@@ -41,7 +41,12 @@ class Request:
     sampler: SamplerParams = field(default_factory=lambda: SamplerParams(temp=0.8))
     seed: int = 0
     stop: list[str] = field(default_factory=list)
-    grammar: str | None = None         # GBNF text (constrained decoding)
+    grammar: str | None = None         # grammar text (constrained decoding)
+    # grammar_data dialect — the reference's optional llguidance adapter
+    # (common/llguidance.cpp) accepts gbnf/regex/json-schema/lark; non-gbnf
+    # kinds compile through runtime/llg.py (or an external registered
+    # backend when one is importable)
+    grammar_kind: str = "gbnf"
     # lazy grammar: dormant until a trigger word appears in the generated
     # text, then enforced from the trigger onward (grammar_lazy +
     # grammar_triggers request fields; common_grammar_trigger WORD type)
@@ -553,12 +558,23 @@ class BatchEngine:
             slot.sampler_state = SamplerState()
             slot.grammar = None
             slot.lazy_grammar = None
-            if req.grammar and req.grammar_lazy and req.grammar_triggers:
-                slot.lazy_grammar = (req.grammar,
+            g_text = req.grammar
+            if g_text and req.grammar_kind not in ("gbnf", "grammar"):
+                from ..runtime import llg
+                if req.grammar_kind in llg._BACKENDS:
+                    # externally registered engine: stateful sampler object
+                    slot.grammar = llg.constraint_from(
+                        req.grammar_kind, g_text, self.rt.tokenizer,
+                        backend=req.grammar_kind)
+                    g_text = None
+                else:
+                    g_text = llg.to_gbnf(req.grammar_kind, g_text)
+            if g_text and req.grammar_lazy and req.grammar_triggers:
+                slot.lazy_grammar = (g_text,
                                      [str(t) for t in req.grammar_triggers])
-            elif req.grammar:
+            elif g_text:
                 from ..runtime.grammar import Grammar, GrammarSampler
-                slot.grammar = GrammarSampler(Grammar(req.grammar),
+                slot.grammar = GrammarSampler(Grammar(g_text),
                                               self.rt.tokenizer)
             slot.gen_pieces = []
             slot.pos_bans = {}
