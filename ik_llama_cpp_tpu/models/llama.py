@@ -709,12 +709,16 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                 kv_ks=None, kv_vs=None, swa_window=None,
                 n_head=None, n_head_kv=None, attn_chunk=0,
                 attn_scale_vec=None, ring=0, n_valid=None, sp_axis=None,
-                block_mask=None):
+                block_mask=None, kv_stack=None):
     """One attention sublayer. x: (B, T, E). kv_*: (B, S, Hkv, D). Returns (y, k, v).
 
     ``sp_axis``: sequence-parallel prefill — x/kv hold this shard's T/P
     chunk, q_pos is already absolute; attention runs as ring attention over
-    the freshly projected local k/v (ops/ring_attention.py)."""
+    the freshly projected local k/v (ops/ring_attention.py).
+
+    ``kv_stack``: (layer_idx, k, v, k_scale, v_scale) with the WHOLE stacked
+    (L, B, S, Hkv, D) cache — the copy-free decode fast path; kv_k/kv_v are
+    ignored and the returned kv tuple holds the updated STACKS."""
     b, t, _ = x.shape
     h, hkv, d = cfg.n_head, cfg.n_head_kv, cfg.head_dim
     if n_head is not None:       # deci/openelm per-layer head counts
@@ -782,12 +786,73 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
 
     # append to cache at each row's n_past (vector for continuous batching)
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
+    attn = None
+    out_kv = None
+    if kv_stack is not None:
+        # ---- copy-free decode fast path ---------------------------------
+        # The WHOLE stacked (L, B, S, Hkv, D) cache is threaded through the
+        # step: fresh rows land via in-place dynamic_update_slice at the
+        # static layer index, and the decode FA kernel DMAs its tiles
+        # straight out of the stack (flash_attention_decode layer arg). The
+        # per-layer slab extract + jnp.stack re-assembly of the slab path
+        # copies the full capacity-sized cache every token — at 4k context
+        # ~3 GB/token, the measured tg@4096 droop (PERF_NOTES round 4).
+        il_s, st_k, st_v, st_ks, st_vs = kv_stack
+        quant = st_ks is not None
+        if quant:
+            if st_k.dtype == jnp.uint8:
+                _enc = (quantize_kv_rows_q6 if st_k.shape[-1] == 3 * d // 4
+                        else quantize_kv_rows_q4)
+            else:
+                _enc = quantize_kv_rows
+            kq, ks = _enc(k)
+            vq, vs = _enc(v)
+        else:
+            kq, vq = k.astype(st_k.dtype), v.astype(st_v.dtype)
+
+        def _wr(c, new, st, _i=il_s):
+            return jax.lax.dynamic_update_slice(
+                c, new[None], (_i, st, jnp.int32(0), jnp.int32(0)))
+
+        wr5 = jax.vmap(_wr, in_axes=(1, 0, 0), out_axes=1)
+        st_k = wr5(st_k, kq, npv)
+        st_v = wr5(st_v, vq, npv)
+        if quant:
+            def _wrs(c, new, st, _i=il_s):
+                return jax.lax.dynamic_update_slice(
+                    c, new[None], (_i, st, jnp.int32(0)))
+
+            wr4 = jax.vmap(_wrs, in_axes=(1, 0, 0), out_axes=1)
+            st_ks = wr4(st_ks, ks, npv)
+            st_vs = wr4(st_vs, vs, npv)
+        out_kv = (st_k, st_v, st_ks, st_vs)
+
+        _swa = cfg.swa_window if swa_window is None else swa_window
+        dec = (flash_attention_decode_q8 if quant
+               else flash_attention_decode)
+        kv_args = ((st_k, st_ks, st_v, st_vs) if quant else (st_k, st_v))
+        from ..ops import tuning as _tuning
+        fa_cfg = _tuning.get("fa_decode", t, st_k.shape[2], st_k.shape[3])
+        attn = dec(q.astype(jnp.bfloat16), *kv_args, npv, npv + t, il_s,
+                   scale=cfg.f_attention_scale or (1.0 / float(np.sqrt(d))),
+                   softcap=cfg.attn_softcap, swa_window=_swa,
+                   attn_chunk=attn_chunk, sinks=blk.get("attn_sinks"),
+                   interpret=interpret, **fa_cfg)
+        if attn is None:
+            # unsupported shape: slab views of the already-updated stacks;
+            # the generic dispatch below takes over (copies, but correct)
+            kv_k, kv_v = st_k[il_s], st_v[il_s]
+            kv_ks = st_ks[il_s] if quant else None
+            kv_vs = st_vs[il_s] if quant else None
+
     upd = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
         c, new, (st, jnp.int32(0), jnp.int32(0))))
     upd_s = jax.vmap(lambda c, new, st: jax.lax.dynamic_update_slice(
         c, new, (st, jnp.int32(0))))
     quant = kv_ks is not None
-    if ring > 0:
+    if kv_stack is not None:
+        pass                                   # rows already written above
+    elif ring > 0:
         # --swa-compress ring write: position p lives in slot p % ring.
         # Padded prefill rows (>= n_valid) would WRAP onto live window rows,
         # unlike the full cache where they land beyond kv_len — route them
@@ -821,8 +886,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_len = npv + t
     # per-layer head counts (deci): the shared cache is allocated at the max
     # kv-head count; attend over this layer's leading head slots only
-    kv_k_a = kv_k if kv_k.shape[2] == hkv else kv_k[:, :, :hkv]
-    kv_v_a = kv_v if kv_v.shape[2] == hkv else kv_v[:, :, :hkv]
+    kv_k_a = kv_k if (kv_k is None or kv_k.shape[2] == hkv) else kv_k[:, :, :hkv]
+    kv_v_a = kv_v if (kv_v is None or kv_v.shape[2] == hkv) else kv_v[:, :, :hkv]
     kv_ks_a = kv_ks if (kv_ks is None or kv_ks.shape[2] == hkv) else kv_ks[:, :, :hkv]
     kv_vs_a = kv_vs if (kv_vs is None or kv_vs.shape[2] == hkv) else kv_vs[:, :, :hkv]
     qb = q.astype(jnp.bfloat16)
@@ -834,9 +899,11 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
             else dequantize_kv_q4 if is_q4 else dequantize_kv)
     # decode / spec-verify shapes: the native-layout kernel reads the cache
     # without per-step transpose copies, fetches each KV tile once for all q
-    # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench)
-    attn = None
-    if block_mask is not None:
+    # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench).
+    # ``attn`` may already be set by the stacked fast path above.
+    if attn is not None:
+        pass
+    elif block_mask is not None:
         # tree/lookahead probe (the llama_batch seq_id mask of
         # examples/lookahead): queries may be at non-contiguous positions and
         # in-block visibility is branch-structured, so route to the XLA
@@ -973,6 +1040,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     if tp_axis is not None:
         # the reference's GGML_OP_REDUCE / ncclAllReduce (reduce.cu:164)
         out = jax.lax.psum(out, tp_axis)
+    if out_kv is not None:      # stacked fast path: updated stacks
+        return out, out_kv
     return out, (kv_k, kv_v, kv_ks, kv_vs)
 
 
@@ -1069,6 +1138,16 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                      * cfg.attn_temp_scale + 1.0)
     stats = {} if collect_stats else None
     layer_hiddens = []
+    # copy-free decode fast path (plain KVCache, decode/verify-sized T):
+    # thread the stacked (L, B, S, Hkv, D) cache through the layers — rows
+    # are written in place and the decode FA kernel indexes the layer via a
+    # prefetched scalar, so no per-layer slab of the capacity-sized cache
+    # is ever materialized (the slab+restack copies were the tg@4096 droop)
+    fast_stack = (t <= 16 and _use_pallas() and type(kv) is KVCache
+                  and block_mask is None and sp_axis is None
+                  and n_valid is None and cfg.alibi_max_bias <= 0
+                  and not cfg.n_head_arr and not cfg.n_head_kv_arr)
+    st = (kv.k, kv.v, kv.k_scale, kv.v_scale) if fast_stack else None
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, blk in enumerate(params["blocks"]):
         iabs = i + layer_offset   # absolute layer index for config lookups
@@ -1118,19 +1197,26 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
                 cfg.attn_chunk > 0 and (not cfg.swa_layer_mask
                                         or cfg.swa_layer_mask[iabs])) else 0
             attn_out, (k_i, v_i, ks_i, vs_i) = _attn_block(
-                blk, h_attn, cfg, kv.k[i], kv.v[i], n_past, q_pos,
+                blk, h_attn, cfg,
+                None if fast_stack else kv.k[i],
+                None if fast_stack else kv.v[i], n_past, q_pos,
                 None if nope else (cos_swa_l if is_swa else cos_l),
                 None if nope else (sin_swa_l if is_swa else sin_l), interpret,
                 tp_axis=tp_axis, stats=stats, il=iabs,
-                kv_ks=None if kv.k_scale is None else kv.k_scale[i],
-                kv_vs=None if kv.v_scale is None else kv.v_scale[i],
+                kv_ks=None if fast_stack or kv.k_scale is None
+                else kv.k_scale[i],
+                kv_vs=None if fast_stack or kv.v_scale is None
+                else kv.v_scale[i],
                 swa_window=cfg.swa_window if is_swa else 0,
                 n_head=n_head_l if cfg.n_head_arr else None,
                 n_head_kv=n_head_kv_l if cfg.n_head_kv_arr else None,
                 attn_chunk=chunk_l,
                 attn_scale_vec=attn_temp if nope else None,
                 ring=kv.ring(i) if isinstance(kv, SwaKVCache) else 0,
-                n_valid=n_valid, sp_axis=sp_axis, block_mask=block_mask)
+                n_valid=n_valid, sp_axis=sp_axis, block_mask=block_mask,
+                kv_stack=None if not fast_stack else (i, *st))
+            if fast_stack:
+                st = (k_i, v_i, ks_i, vs_i)
         if "attn_post_norm" in blk:   # gemma2/3/glm4 sandwich norm
             attn_out = L.rms_norm(attn_out, blk["attn_post_norm"], cfg.rms_eps)
         if cfg.residual_branch_scale > 0:   # minicpm scale_res on the branch
@@ -1223,7 +1309,10 @@ def forward(params, cfg: ModelConfig, tokens, kv: KVCache, n_past,
         new_ks.append(ks_i)
         new_vs.append(vs_i)
 
-    if isinstance(kv, SwaKVCache):
+    if fast_stack:
+        # stacks were updated in place layer by layer — no re-assembly
+        kv = KVCache(st[0], st[1], st[2], st[3])
+    elif isinstance(kv, SwaKVCache):
         kv = kv.with_layers(new_k, new_v)
     elif isinstance(kv, MixedKVCache):
         kv = kv.with_layers(new_k, new_v, new_ks, new_vs)

@@ -408,8 +408,8 @@ def _pow2_tile(s: int, cap: int = 1024, floor: int = 128) -> int:
     return 0
 
 
-def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
-                   hkv, g, rows, rows_pad, d, dv, has_sinks=False,
+def _fa_dec_kernel(qpos_ref, kvlen_ref, lyr_ref, *rest, scale, softcap, swa,
+                   t, ts, hkv, g, rows, rows_pad, d, dv, has_sinks=False,
                    quant="none", attn_chunk=0, dh=0):
     """TG/spec-verify attention kernel reading (S, Hkv, D) cache tiles.
 
@@ -419,6 +419,12 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
     transpose/pad copies of the capacity-sized cache, and the grid is
     (B, S/ts) instead of (B*H, ..) — the analogue of the reference's TG fattn
     path (iqk_flash_attn.cpp) which also walks the cache once per kv head.
+
+    The cache refs carry a leading LAYER axis (block size 1, selected by the
+    prefetched ``lyr_ref`` scalar): kernels DMA tiles straight out of the
+    model's whole stacked (L, B, S, Hkv, D) cache, so the decode step never
+    materializes a per-layer slice of it (at 4k context those slice+restack
+    copies were ~3 GB/token — the tg@4096 droop).
     """
     if quant != "none":
         if has_sinks:
@@ -478,8 +484,8 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
             qh = q[hh * g:(hh + 1) * g] if hkv > 1 else q
             if quant == "q4":
                 # packed nibbles: low = dims [0, dh), high = [dh, 2*dh)
-                pk = k_ref[0, :, hh, :].astype(jnp.int32)
-                sc = ks_ref[0, :, hh][:, None]
+                pk = k_ref[0, 0, :, hh, :].astype(jnp.int32)
+                sc = ks_ref[0, 0, :, hh][:, None]
                 lo = ((pk & 0x0F) - 8).astype(jnp.float32) * sc
                 hi = ((pk >> 4) - 8).astype(jnp.float32) * sc
                 parts.append(
@@ -493,15 +499,15 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
             if quant == "q6":
                 # two-bit-plane unpack (ops/kv_quant.py q6 layout)
                 from .kv_quant import unpack_kv_q6
-                kh = (unpack_kv_q6(k_ref[0, :, hh, :]).astype(jnp.float32)
-                      * ks_ref[0, :, hh][:, None])
+                kh = (unpack_kv_q6(k_ref[0, 0, :, hh, :]).astype(jnp.float32)
+                      * ks_ref[0, 0, :, hh][:, None])
                 parts.append(jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32))
                 continue
-            kh = k_ref[0, :, hh, :].astype(jnp.float32)   # (ts, D)
+            kh = k_ref[0, 0, :, hh, :].astype(jnp.float32)   # (ts, D)
             if quant == "q8":
-                kh = kh * ks_ref[0, :, hh][:, None]
+                kh = kh * ks_ref[0, 0, :, hh][:, None]
             parts.append(jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))      # (g, ts)
@@ -522,8 +528,8 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
         for hh in range(hkv):
             ph = p[hh * g:(hh + 1) * g] if hkv > 1 else p[:rows_pad]
             if quant == "q4":
-                pv = v_ref[0, :, hh, :].astype(jnp.int32)
-                sv = vs_ref[0, :, hh][:, None]
+                pv = v_ref[0, 0, :, hh, :].astype(jnp.int32)
+                sv = vs_ref[0, 0, :, hh][:, None]
                 vlo = ((pv & 0x0F) - 8).astype(jnp.float32) * sv
                 vhi = ((pv >> 4) - 8).astype(jnp.float32) * sv
                 pb = ph.astype(jnp.bfloat16)
@@ -536,15 +542,15 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
                 continue
             if quant == "q6":
                 from .kv_quant import unpack_kv_q6
-                vh = (unpack_kv_q6(v_ref[0, :, hh, :]).astype(jnp.float32)
-                      * vs_ref[0, :, hh][:, None])
+                vh = (unpack_kv_q6(v_ref[0, 0, :, hh, :]).astype(jnp.float32)
+                      * vs_ref[0, 0, :, hh][:, None])
                 outs.append(jax.lax.dot(ph.astype(jnp.bfloat16),
                                         vh.astype(jnp.bfloat16),
                                         preferred_element_type=jnp.float32))
                 continue
-            vh = v_ref[0, :, hh, :].astype(jnp.float32)
+            vh = v_ref[0, 0, :, hh, :].astype(jnp.float32)
             if quant == "q8":
-                vh = vh * vs_ref[0, :, hh][:, None]
+                vh = vh * vs_ref[0, 0, :, hh][:, None]
             if quant == "q8":
                 outs.append(jax.lax.dot(ph.astype(jnp.bfloat16),
                                         vh.astype(jnp.bfloat16),
@@ -565,17 +571,24 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, t, ts,
 
 
 def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
-                      swa_window, attn_chunk, sinks, block_kv, interpret):
+                      swa_window, attn_chunk, sinks, block_kv, interpret,
+                      layer=0):
     b, t, h, d = q.shape
-    s = k.shape[1]
-    hkv = k.shape[2]
-    dv = v.shape[3]
+    if k.ndim == 4:
+        # per-layer slab: view as a 1-layer stack (free reshape)
+        k, v = k[None], v[None]
+        if k_s is not None:
+            k_s, v_s = k_s[None], v_s[None]
+        layer = 0
+    s = k.shape[2]
+    hkv = k.shape[3]
+    dv = v.shape[4]
     g = (h // hkv) * t                      # q rows per kv head
     rows = h * t
     rows_pad = max(8, -(-rows // 8) * 8)
     if k_s is None:
         qmode = "none"
-    elif k.dtype == jnp.uint8 and 4 * k.shape[3] == 3 * d:
+    elif k.dtype == jnp.uint8 and 4 * k.shape[4] == 3 * d:
         qmode = "q6"            # two-bit-plane codec: 3D/4 stored bytes
         dv = (4 * dv) // 3
         if d != dv or d % 4:
@@ -624,21 +637,22 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
                                 (q_lo // attn_chunk) * attn_chunk // ts)
         return jnp.clip(j, jnp.maximum(first, 0), jnp.maximum(last, 0))
 
-    def q_map(bb, j, qpos, kvlen):
+    def q_map(bb, j, qpos, kvlen, lyr):
         return bb, 0, 0
 
-    def kv_map(bb, j, qpos, kvlen):
-        return bb, clamp(bb, j, qpos, kvlen), 0, 0
+    def kv_map(bb, j, qpos, kvlen, lyr):
+        return lyr[0], bb, clamp(bb, j, qpos, kvlen), 0, 0
 
-    def kvs_map(bb, j, qpos, kvlen):
-        return bb, clamp(bb, j, qpos, kvlen), 0
+    def kvs_map(bb, j, qpos, kvlen, lyr):
+        return lyr[0], bb, clamp(bb, j, qpos, kvlen), 0
 
-    def o_map(bb, j, qpos, kvlen):
+    def o_map(bb, j, qpos, kvlen, lyr):
         return bb, 0, 0
 
     args = [
         jnp.broadcast_to(jnp.asarray(q_pos0, jnp.int32).reshape(-1), (b,)),
         jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,)),
+        jnp.asarray(layer, jnp.int32).reshape(1),
     ]
     in_specs = []
     if sinks is not None:
@@ -646,7 +660,7 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
         sinkrow = jnp.repeat(jnp.asarray(sinks, jnp.float32).reshape(h), t)
         sinkrow = jnp.pad(sinkrow, (0, rows_pad - rows))
         in_specs.append(pl.BlockSpec((1, rows_pad),
-                                     lambda bb, j, qpos, kvlen: (0, 0)))
+                                     lambda bb, j, qpos, kvlen, lyr: (0, 0)))
         args.append(sinkrow.reshape(1, rows_pad))
     in_specs.append(pl.BlockSpec((1, rows_pad, dp), q_map))
     args.append(qr)
@@ -655,16 +669,16 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     vd = {"q4": dv // 2, "q6": 3 * dv // 4}.get(qmode, dvp)
     if qmode != "none":
         in_specs += [
-            pl.BlockSpec((1, ts, hkv, kd), kv_map),
-            pl.BlockSpec((1, ts, hkv), kvs_map),
-            pl.BlockSpec((1, ts, hkv, vd), kv_map),
-            pl.BlockSpec((1, ts, hkv), kvs_map),
+            pl.BlockSpec((1, 1, ts, hkv, kd), kv_map),
+            pl.BlockSpec((1, 1, ts, hkv), kvs_map),
+            pl.BlockSpec((1, 1, ts, hkv, vd), kv_map),
+            pl.BlockSpec((1, 1, ts, hkv), kvs_map),
         ]
         args += [k, k_s, v, v_s]
     else:
         in_specs += [
-            pl.BlockSpec((1, ts, hkv, kd), kv_map),
-            pl.BlockSpec((1, ts, hkv, vd), kv_map),
+            pl.BlockSpec((1, 1, ts, hkv, kd), kv_map),
+            pl.BlockSpec((1, 1, ts, hkv, vd), kv_map),
         ]
         args += [k, v]
 
@@ -675,7 +689,7 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
                           d=dp, dv=dvp, has_sinks=sinks is not None,
                           quant=qmode, dh=d // 2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, rows_pad, dvp), o_map),
@@ -701,11 +715,16 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     static_argnames=("scale", "softcap", "swa_window", "attn_chunk",
                      "block_kv", "interpret"),
 )
-def flash_attention_decode(q, k, v, q_pos0, kv_len, *, scale: float,
+def flash_attention_decode(q, k, v, q_pos0, kv_len, layer=0, *,
+                           scale: float,
                            softcap: float = 0.0, swa_window: int = 0,
                            attn_chunk: int = 0, sinks=None,
                            block_kv: int = 1024, interpret: bool = False):
-    """Decode/spec-verify FA over the native (B, S, Hkv, D) cache layout.
+    """Decode/spec-verify FA over the native (B, S, Hkv, D) cache layout —
+    or, with 5-D k/v, over the model's WHOLE stacked (L, B, S, Hkv, D)
+    cache with ``layer`` selecting the layer inside the kernel's index
+    maps (no per-layer slice of the capacity-sized cache is ever
+    materialized; the decode step stays copy-free at any context).
 
     Requires S divisible by a power-of-two tile >=128 and 128-aligned head
     dims; returns None when the shape is unsupported (caller falls back)."""
@@ -713,7 +732,7 @@ def flash_attention_decode(q, k, v, q_pos0, kv_len, *, scale: float,
                              scale=scale, softcap=softcap,
                              swa_window=swa_window, attn_chunk=attn_chunk,
                              sinks=sinks, block_kv=block_kv,
-                             interpret=interpret)
+                             interpret=interpret, layer=layer)
 
 
 @functools.partial(
@@ -721,14 +740,16 @@ def flash_attention_decode(q, k, v, q_pos0, kv_len, *, scale: float,
     static_argnames=("scale", "softcap", "swa_window", "attn_chunk",
                      "block_kv", "interpret"),
 )
-def flash_attention_decode_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *,
+def flash_attention_decode_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len,
+                              layer=0, *,
                               scale: float, softcap: float = 0.0,
                               swa_window: int = 0, attn_chunk: int = 0,
                               sinks=None, block_kv: int = 1024,
                               interpret: bool = False):
-    """Decode FA over the int8 quantized native-layout cache."""
+    """Decode FA over the quantized native-layout cache (q8/q4/q6 codecs;
+    4-D per-layer slabs or the 5-D stacked cache + ``layer``)."""
     return _fa_decode_common(q, k_q, v_q, k_s, v_s, q_pos0, kv_len,
                              scale=scale, softcap=softcap,
                              swa_window=swa_window, attn_chunk=attn_chunk,
                              sinks=sinks, block_kv=block_kv,
-                             interpret=interpret)
+                             interpret=interpret, layer=layer)

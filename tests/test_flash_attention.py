@@ -384,3 +384,110 @@ def test_mixed_kv_cache_per_layer_overrides():
     # decode continues correctly from the mixed cache
     _, out = rt_m.generate(ids, max_new_tokens=4, stop_at_eos=False)
     assert len(out) == 4
+
+
+def test_fa_decode_stacked_layers_match_slabs():
+    """5-D stacked-cache + layer index == per-layer 4-D slab calls (the
+    copy-free decode fast path: rows written in place, kernel DMAs tiles
+    straight from the (L, B, S, Hkv, D) stack)."""
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode
+    rng = np.random.default_rng(21)
+    L, b, t, s, h, hkv, d = 3, 2, 1, 256, 8, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    ks = jnp.asarray(rng.standard_normal((L, b, s, hkv, d)), jnp.bfloat16)
+    vs = jnp.asarray(rng.standard_normal((L, b, s, hkv, d)), jnp.bfloat16)
+    npv = jnp.asarray([100, 37], jnp.int32)
+    kv_len = npv + t
+    scale = 1.0 / np.sqrt(d)
+    for lyr in range(L):
+        ref = flash_attention_decode(q, ks[lyr], vs[lyr], npv, kv_len,
+                                     scale=scale, block_kv=128,
+                                     interpret=True)
+        got = flash_attention_decode(q, ks, vs, npv, kv_len, lyr,
+                                     scale=scale, block_kv=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_fa_decode_stacked_q8():
+    from ik_llama_cpp_tpu.ops.flash_attention import flash_attention_decode_q8
+    from ik_llama_cpp_tpu.ops.kv_quant import quantize_kv_rows
+    rng = np.random.default_rng(22)
+    L, b, t, s, h, hkv, d = 2, 1, 4, 256, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((L, b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, b, s, hkv, d)), jnp.float32)
+    kq, ksc = quantize_kv_rows(k)
+    vq, vsc = quantize_kv_rows(v)
+    npv = jnp.asarray([59], jnp.int32)
+    kv_len = npv + t
+    scale = 1.0 / np.sqrt(d)
+    for lyr in range(L):
+        ref = flash_attention_decode_q8(q, kq[lyr], ksc[lyr], vq[lyr],
+                                        vsc[lyr], npv, kv_len, scale=scale,
+                                        block_kv=128, interpret=True)
+        got = flash_attention_decode_q8(q, kq, ksc, vq, vsc, npv, kv_len,
+                                        lyr, scale=scale, block_kv=128,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("kv_quant", [False, "q8", "q4"])
+def test_model_fast_stack_path_matches_oracle(tmp_path, kv_quant):
+    """End-to-end forward through the copy-free stacked decode path
+    (set_use_pallas(True) + interpret kernels on CPU) == the XLA oracle
+    path, logits AND cache contents, bf16 + quantized codecs."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_tiny_llama_gguf
+    from ik_llama_cpp_tpu.models import weights as W
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+
+    p = make_tiny_llama_gguf(tmp_path / "t128.gguf", n_embd=256, n_head=2,
+                             n_head_kv=1, n_ff=64, seed=5)
+    ids = [3, 7, 11, 13, 5, 2, 9, 4]
+
+    def run(pallas):
+        W.set_use_pallas(pallas)
+        try:
+            rt = Runtime.from_gguf(str(p), use_quant=False,
+                                   interpret=pallas, kv_quant=kv_quant)
+            kv = rt.new_cache(1, 120)       # rounds to 128 = pow2 tile
+            logits, kv, n_past = rt.eval_tokens(ids, kv, 0)
+            outs = [logits[-1]]
+            tok = int(np.argmax(logits[-1]))
+            for _ in range(3):
+                logits, kv, n_past = rt.eval_tokens([tok], kv, n_past)
+                outs.append(logits[-1])
+                tok = int(np.argmax(logits[-1]))
+            return np.stack(outs), kv
+        finally:
+            W.set_use_pallas(None)
+
+    ref_logits, ref_kv = run(False)
+    got_logits, got_kv = run(True)
+    assert np.argmax(got_logits, -1).tolist() == \
+        np.argmax(ref_logits, -1).tolist()
+    if not kv_quant:
+        np.testing.assert_allclose(got_logits, ref_logits,
+                                   atol=5e-2, rtol=5e-2)
+        np.testing.assert_allclose(np.asarray(got_kv.k, np.float32),
+                                   np.asarray(ref_kv.k, np.float32),
+                                   atol=1e-2, rtol=1e-2)
+    else:
+        # coarse codecs: sub-ulp attention differences (kernel f32 scales
+        # vs oracle bf16 dequant) shift quantization TIES, so packed codes
+        # legitimately differ by one step and the difference compounds
+        # over decode rows — compare dequantized caches within 2 codec
+        # steps and keep the greedy-continuation equality as the gate
+        from ik_llama_cpp_tpu.ops.kv_quant import (dequantize_kv,
+                                                   dequantize_kv_q4)
+        deq = dequantize_kv_q4 if kv_quant == "q4" else dequantize_kv
+        dg = np.asarray(deq(got_kv.k, got_kv.k_scale), np.float32)
+        dr = np.asarray(deq(ref_kv.k, ref_kv.k_scale), np.float32)
+        step = np.maximum(np.asarray(got_kv.k_scale, np.float32),
+                          np.asarray(ref_kv.k_scale, np.float32))[..., None]
+        assert (np.abs(dg - dr) <= 2 * step + 1e-5).all()
+        assert np.mean(np.abs(got_logits - ref_logits)) < 0.2
