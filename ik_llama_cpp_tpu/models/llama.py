@@ -810,21 +810,22 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         else:
             kq, vq = k.astype(st_k.dtype), v.astype(st_v.dtype)
 
-        def _wr(c, new, st, _i=il_s):
-            return jax.lax.dynamic_update_slice(
-                c, new[None], (_i, st, jnp.int32(0), jnp.int32(0)))
-
-        wr5 = jax.vmap(_wr, in_axes=(1, 0, 0), out_axes=1)
-        st_k = wr5(st_k, kq, npv)
-        st_v = wr5(st_v, vq, npv)
-        if quant:
-            def _wrs(c, new, st, _i=il_s):
-                return jax.lax.dynamic_update_slice(
-                    c, new[None], (_i, st, jnp.int32(0)))
-
-            wr4 = jax.vmap(_wrs, in_axes=(1, 0, 0), out_axes=1)
-            st_ks = wr4(st_ks, ks, npv)
-            st_vs = wr4(st_vs, vs, npv)
+        # static python loop over batch rows: a vmap over the batch axis
+        # makes XLA pick a batch-major layout for the DUS fusion and insert
+        # full-cache layout-change copies around every kernel call (6x the
+        # capacity-sized cache per decode step in the compiled HLO); plain
+        # 5-D updates alias in place
+        z = jnp.int32(0)
+        for bb in range(b):
+            st_k = jax.lax.dynamic_update_slice(
+                st_k, kq[bb][None, None], (il_s, bb, npv[bb], z, z))
+            st_v = jax.lax.dynamic_update_slice(
+                st_v, vq[bb][None, None], (il_s, bb, npv[bb], z, z))
+            if quant:
+                st_ks = jax.lax.dynamic_update_slice(
+                    st_ks, ks[bb][None, None], (il_s, bb, npv[bb], z))
+                st_vs = jax.lax.dynamic_update_slice(
+                    st_vs, vs[bb][None, None], (il_s, bb, npv[bb], z))
         out_kv = (st_k, st_v, st_ks, st_vs)
 
         _swa = cfg.swa_window if swa_window is None else swa_window

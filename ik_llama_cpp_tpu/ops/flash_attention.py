@@ -460,15 +460,6 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, lyr_ref, *rest, scale, softcap, swa,
     q_pos0 = qpos_ref[batch]
     kv_len = kvlen_ref[batch]
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, ts), 0)
-    q_rows = q_pos0 + row_i % t
-    k_cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (rows_pad, ts), 1)
-    mask = (k_cols <= q_rows) & (k_cols < kv_len) & (row_i < rows)
-    if swa > 0:
-        mask &= k_cols > q_rows - swa
-    if attn_chunk > 0:
-        mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
-
     tile_live = (j * ts <= q_pos0 + t - 1) & (j * ts < kv_len)
     if swa > 0:
         tile_live &= j * ts + ts - 1 > q_pos0 - swa
@@ -477,6 +468,18 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, lyr_ref, *rest, scale, softcap, swa,
 
     @pl.when(tile_live)
     def _():
+        # mask/iota work INSIDE the live guard: dead grid steps (clamped
+        # tiles over unfilled capacity) must cost scalars only — per-step
+        # vector work on dead tiles was ~40% of the tg@4096 step time
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, ts), 0)
+        q_rows = q_pos0 + row_i % t
+        k_cols = j * ts + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (rows_pad, ts), 1)
+        mask = (k_cols <= q_rows) & (k_cols < kv_len) & (row_i < rows)
+        if swa > 0:
+            mask &= k_cols > q_rows - swa
+        if attn_chunk > 0:
+            mask &= k_cols >= (q_rows // attn_chunk) * attn_chunk
         q = q_ref[0].astype(jnp.float32)              # (rows_pad, D)
         # per-head scores: K tile is (ts, hkv, D); unrolled over kv heads
         parts = []
@@ -603,11 +606,14 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
 
     dp0 = -(-max(d, 128) // 128) * 128
     dvp0 = -(-max(dv, 128) // 128) * 128
-    # VMEM guard: K+V tiles (double-buffered) must stay under ~6 MB
+    # VMEM guard: K+V tiles (double-buffered) under ~24 MB of the 128 MB
+    # VMEM. Bigger tiles matter: each grid step costs ~8 us of fixed
+    # overhead per layer, so at 4k context a 512-row tile spends more time
+    # stepping than streaming (tg@4096 probe, PERF_NOTES round 4)
     bytes_pp = {"none": 2, "q8": 1, "q4": 0.5, "q6": 0.75}[qmode]
     per_row = hkv * (dp0 + dvp0) * bytes_pp
     cap = block_kv
-    while cap > 128 and cap * per_row * 2 > 6 * 2**20:
+    while cap > 128 and cap * per_row * 2 > 24 * 2**20:
         cap //= 2
     ts = _pow2_tile(s, cap)
     if ts == 0:
@@ -719,7 +725,7 @@ def flash_attention_decode(q, k, v, q_pos0, kv_len, layer=0, *,
                            scale: float,
                            softcap: float = 0.0, swa_window: int = 0,
                            attn_chunk: int = 0, sinks=None,
-                           block_kv: int = 1024, interpret: bool = False):
+                           block_kv: int = 2048, interpret: bool = False):
     """Decode/spec-verify FA over the native (B, S, Hkv, D) cache layout —
     or, with 5-D k/v, over the model's WHOLE stacked (L, B, S, Hkv, D)
     cache with ``layer`` selecting the layer inside the kernel's index
@@ -744,7 +750,7 @@ def flash_attention_decode_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len,
                               layer=0, *,
                               scale: float, softcap: float = 0.0,
                               swa_window: int = 0, attn_chunk: int = 0,
-                              sinks=None, block_kv: int = 1024,
+                              sinks=None, block_kv: int = 2048,
                               interpret: bool = False):
     """Decode FA over the quantized native-layout cache (q8/q4/q6 codecs;
     4-D per-layer slabs or the 5-D stacked cache + ``layer``)."""

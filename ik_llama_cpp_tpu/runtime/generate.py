@@ -393,9 +393,14 @@ class Runtime:
 
     def new_cache(self, batch: int = 1, capacity: int = 512) -> KVCache:
         # pad so bucket-rounded writes near the end fit: a decode at
-        # n_past = capacity-1 still writes a PREFILL_BUCKETS[0]-row slab
-        b0 = PREFILL_BUCKETS[0]
-        capacity = -(-(capacity + b0 - 1) // b0) * b0
+        # n_past = capacity-1 still writes a PREFILL_BUCKETS[0]-row slab.
+        # Rounded to a multiple of 256 — the decode FA kernel needs a
+        # power-of-two KV tile >= 128 dividing the capacity; an 8-rounded
+        # capacity silently dropped every serving-path decode onto the
+        # copy-heavy slab fallback (<= 255 wasted rows is noise next to
+        # that)
+        b0 = max(PREFILL_BUCKETS[0], 256)
+        capacity = -(-(capacity + PREFILL_BUCKETS[0] - 1) // b0) * b0
         if isinstance(self.kv_quant, dict):
             # per-layer first/last codec overrides (llama.h:390-397):
             # {"type": "q4", "first": "q8", "n_first": 1,
