@@ -178,8 +178,38 @@ def bench_dense(tm, on_tpu, quick=False):
 
     _stage("loaded; PP compile")
     pp_once(0)  # compile
-    t_pp = tm.run(pp_once, 3)
-    _stage(f"PP512 {T/t_pp:.1f} t/s")
+    # one-shot PP timing is dominated by the ~26-31 ms tunnel floor's
+    # variance (measured 7.7k-11.3k t/s for the SAME code); amortize the
+    # SAME engine step executable over R chained calls inside one jit,
+    # exactly like the TG scan measurement
+    import jax
+    R_PP = 8
+    step = rt._step(T, False)
+
+    def _mk_pp_args(seed):
+        rngl = np.random.default_rng(seed)
+        toks = jnp.asarray(rngl.integers(3, V, (R_PP, 1, T)), jnp.int32)
+        kvs = tuple(rt.new_cache(1, 2 * T) for _ in range(R_PP))
+        return toks, kvs
+
+    @jax.jit
+    def pp_rep(params, toks, kvs):
+        acc = jnp.float32(0)
+        for r in range(R_PP):
+            logits, _ = step(params, toks[r], kvs[r], jnp.int32(0))
+            acc += logits[0, -1, 0].astype(jnp.float32)
+        return acc
+
+    float(pp_rep(rt.params, *_mk_pp_args(100)))   # compile
+    pp_times = []
+    for i in range(3):
+        toks, kvs = _mk_pp_args(i)
+        jax.block_until_ready(toks)
+        t0 = time.perf_counter()
+        float(pp_rep(rt.params, toks, kvs))
+        pp_times.append(time.perf_counter() - t0)
+    t_pp = max(min(pp_times) - tm.floor, 1e-9) / R_PP
+    _stage(f"PP512 {T/t_pp:.1f} t/s (x{R_PP}-amortized)")
     pp_tps = T / t_pp
 
     # --- TG via the on-device greedy decode loop -------------------------
@@ -225,18 +255,36 @@ def bench_dense(tm, on_tpu, quick=False):
             _stage(f"sweep tg@{n_kv} {sweep[f'tg@{n_kv}']}")
 
         # PP half of the sweep table (sweep-bench.cpp's S_PP column): 512
-        # fresh prompt tokens against an already-filled cache
-        def pp_at(n_kv):
+        # fresh prompt tokens against an already-filled cache, amortized
+        # over R chained steps like the headline PP (tunnel-floor variance)
+        def pp_at(n_kv, R=4):
             cap = -(-(n_kv + T + 64) // 1024) * 1024
+            step = rt._step(T, False)
+            npv = jnp.int32(n_kv)
+
+            @jax.jit
+            def rep(params, toks, kvs):
+                acc = jnp.float32(0)
+                for r in range(R):
+                    logits, _ = step(params, toks[r], kvs[r], npv)
+                    acc += logits[0, -1, 0].astype(jnp.float32)
+                return acc
+
+            def mk(seed):
+                rngl = np.random.default_rng(seed)
+                toks = jnp.asarray(rngl.integers(3, V, (R, 1, T)), jnp.int32)
+                kvs = tuple(warm_cache(n_kv, cap)[0] for _ in range(R))
+                return toks, kvs
+
+            float(rep(rt.params, *mk(100)))
             times = []
-            for i in range(3):
-                kv, n_past = warm_cache(n_kv, cap)
-                ids = [int(x) for x in rng.integers(3, V, T)]
+            for i in range(2):
+                toks, kvs = mk(i)
+                jax.block_until_ready(toks)
                 t0 = time.perf_counter()
-                logits, kv, _ = rt.eval_tokens(ids, kv, n_past)
-                assert logits.shape[-1] == V
+                float(rep(rt.params, toks, kvs))
                 times.append(time.perf_counter() - t0)
-            return T / max(min(times) - tm.floor, 1e-9)
+            return T * R / max(min(times) - tm.floor, 1e-9)
 
         for n_kv in (1024, 2048, 4096):
             sweep[f"pp@{n_kv}"] = round(pp_at(n_kv), 1)
@@ -546,8 +594,12 @@ def main():
             "tg_tokens_per_s": round(dense["tg_tps"], 2),
             "tg_vs_baseline": round(dense["tg_tps"] / baseline_tg, 2),
             # PP compute efficiency: ~16.1 GFLOP/token on the 8B config
-            # against 197 TF/s v5e bf16 peak (BASELINE.md north star >=90%)
+            # against 197 TF/s v5e bf16 peak (BASELINE.md north star >=90%).
+            # The int8-MXU path can exceed 100% of the bf16 definition (the
+            # MXU runs int8 at 2x); the _int8_peak row anchors against that
             "pp_mfu_pct": round(dense["pp_tps"] * 16.1e9 / 197e12 * 100, 1),
+            "pp_mfu_int8_peak_pct": round(
+                dense["pp_tps"] * 16.1e9 / 394e12 * 100, 1),
             "sweep": dense["sweep"],
             "batched": dense["batched"],
             **dense["spec"],
@@ -559,6 +611,13 @@ def main():
             **moe,
         },
     }
+    # cross-engine perplexity-gate evidence (tools/ppl_gate.py via
+    # scripts/ref_ci.sh writes the committed artifact)
+    gate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "PPL_GATE.json")
+    if os.path.exists(gate):
+        with open(gate) as f:
+            result["detail"]["ppl_gate"] = json.load(f)
     print(json.dumps(result))
 
 

@@ -188,6 +188,7 @@ def main():
     corpus = make_corpus(Path("/tmp/ppl_gate_corpus.txt"))
     f32 = trained_f32(corpus)
     ok = True
+    rows = {}
     for ftype in ("Q8_0", "Q4_0", "Q4_K_M"):
         model = quantize_model(f32, ftype)
         p_ref = ref_ppl(model, corpus, n_ctx)
@@ -195,8 +196,20 @@ def main():
         dln = abs(math.log(p_our) - math.log(p_ref))
         status = "OK" if dln <= LN_TOL else "FAIL"
         ok &= dln <= LN_TOL
+        rows[ftype] = {"ppl_ref": round(p_ref, 4), "ppl_ours": round(p_our, 4),
+                       "abs_dln": round(dln, 6), "status": status}
         print(f"ppl_gate {ftype:6s}: ref {p_ref:.4f}  ours {p_our:.4f}  "
               f"|dln| {dln:.2e} (tol {LN_TOL:.1e})  {status}", flush=True)
+    # committed artifact: bench.py folds this into its detail line so the
+    # cross-engine PPL evidence survives environments without /tmp/refbuild
+    import json
+    art = Path(__file__).resolve().parent.parent / "PPL_GATE.json"
+    art.write_text(json.dumps({
+        "gate": "GGUF-for-GGUF perplexity vs reference llama-perplexity "
+                "(perplexity.cpp:779 protocol), trained-in-repo model, "
+                "own encoders", "ln_tol": LN_TOL,
+        "train_steps": TRAIN_STEPS, "results": rows,
+        "passed": ok}, indent=1) + "\n")
     sys.exit(0 if ok else 1)
 
 
