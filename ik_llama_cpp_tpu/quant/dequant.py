@@ -857,4 +857,11 @@ def dequantize(data: np.ndarray, ggml_type: GGMLType, n_per_row: int) -> np.ndar
     fn = DEQUANT_FNS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"dequantize: unsupported ggml type {ggml_type!r}")
-    return fn(data, n_per_row)
+    # Fuzzed/garbage blocks can hold f16 scales that decode to inf/NaN; the
+    # products legitimately propagate non-finite values exactly like the
+    # reference's C decoders (no FP traps there either). Silencing numpy's
+    # over/invalid warnings here keeps the suite's warning channel clear for
+    # REAL masked-NaN bugs. Golden tests compare the full output, so a wrong
+    # non-finite pattern would still fail.
+    with np.errstate(over="ignore", invalid="ignore"):
+        return fn(data, n_per_row)

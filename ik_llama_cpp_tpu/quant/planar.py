@@ -41,9 +41,12 @@ class PlanarWeight:
         g = self.group
         nr, k = self.codes.shape
         s = np.repeat(self.scale, g, axis=1)
-        y = self.codes.astype(np.float32) * s
-        if self.bias is not None:
-            y += np.repeat(self.bias, g, axis=1)
+        # garbage/fuzz blocks decode to inf/NaN scales; propagate silently
+        # like the reference C decoders (see dequant.dequantize)
+        with np.errstate(over="ignore", invalid="ignore"):
+            y = self.codes.astype(np.float32) * s
+            if self.bias is not None:
+                y += np.repeat(self.bias, g, axis=1)
         return y
 
 
@@ -665,5 +668,8 @@ def planar_decode(data: np.ndarray, ggml_type: GGMLType, n_per_row: int) -> Plan
     fn = PLANAR_FNS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"planar_decode: unsupported type {ggml_type!r}")
-    codes, scale, bias, group = fn(data, n_per_row)
+    # inf/NaN f16 scales from garbage blocks propagate silently, matching the
+    # reference C decoders (see dequant.dequantize for the rationale)
+    with np.errstate(over="ignore", invalid="ignore"):
+        codes, scale, bias, group = fn(data, n_per_row)
     return PlanarWeight(codes=codes, scale=scale, bias=bias, group=group)
