@@ -503,6 +503,139 @@ class Runtime:
             self._step_fns[key] = step
         return self._step_fns[key]
 
+    def _spec_loop(self, width: int, rounds: int, *, draft: str = "ngram",
+                   ngram_n: int = 4, table_bits: int = 16):
+        """Fully ON-DEVICE speculative decoding: ``rounds`` draft+verify
+        rounds inside ONE jit (lax.scan) — zero host round-trips per round,
+        the way _decode_loop chains plain decode steps. The r4 design paid
+        one ~26 ms tunnel round-trip per spec round (host drafter propose +
+        one _spec_verify call), which made every realistic drafter a net
+        slowdown; here the drafter itself lives on device.
+
+        draft="ngram": a device-resident modular-hash n-gram table — the
+        TPU re-design of the reference's ngram_mod stage (common/
+        ngram-mod.cpp + common_speculative_state_ngram_mod, speculative.cpp:
+        786-848): an open-addressed int32 array indexed by an FNV-1a hash of
+        the last ``ngram_n`` tokens, storing the following token. Lookup
+        chains width-1 proposals; accepted tokens are folded back into the
+        table inside the same scan step. A table miss proposes token 0
+        (verification is fixed-width, so a junk proposal costs nothing over
+        proposing fewer).
+
+        draft="replay": proposals stream from a pre-supplied continuation
+        buffer (the oracle/spec-bench drafter; also the building block for
+        server-side static drafts).
+
+        Returns a jitted callable:
+          ngram:  (params, table, win, cur, kv, n_past)
+                  -> (buf, counts, table, win, cur, kv, n_past)
+          replay: (params, replay, pos, cur, kv, n_past)
+                  -> (buf, counts, pos, cur, kv, n_past)
+        where buf is (rounds*width,) int32 whose first sum(counts) entries
+        are the newly generated tokens and counts (rounds,) is the
+        per-round emission count (1 + accepted). kv (and the ngram table)
+        are donated.
+        """
+        key = ("spec-loop", width, rounds, draft, ngram_n, table_bits)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        if self.recurrent or self.pp_runner is not None or self.mesh is not None:
+            raise NotImplementedError(
+                "on-device spec loop needs a single-chip non-recurrent "
+                "graph (positional KV rewind); use generate_speculative")
+        fwd = FORWARDS[self.cfg.arch]
+        cfg, interp = self.cfg, self.interpret
+        W = width
+        size = 1 << table_bits
+
+        def _hash(win):
+            # FNV-1a over the n-gram, uint32 wraparound (matches the host
+            # prefeed in runtime/speculative.py _ngram_mod_prefeed)
+            h = jnp.uint32(2166136261)
+            for i in range(ngram_n):
+                h = (h ^ win[i].astype(jnp.uint32)) * jnp.uint32(16777619)
+            return (h & jnp.uint32(size - 1)).astype(jnp.int32)
+
+        def _verify(params, cur, proposal, kv, n_past):
+            block = jnp.concatenate([cur[None], proposal])[None]   # (1, W)
+            logits, kv = fwd(params, cfg, block, kv, n_past,
+                             interpret=interp)
+            preds = jnp.argmax(logits[0].astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)          # (W,)
+            match = (preds[:-1] == proposal).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match))
+            return preds, n_acc, kv
+
+        def _compact(em, cs):
+            # (rounds, W) emissions, (rounds,) counts -> packed buffer;
+            # cs is returned too so the host can attribute acceptance
+            # per-round (rounds past the caller's token budget emit valid
+            # greedy tokens but must not dilute the accept-rate stats)
+            offs = jnp.cumsum(cs) - cs
+            idx = offs[:, None] + jnp.arange(W)[None, :]
+            idx = jnp.where(jnp.arange(W)[None, :] < cs[:, None], idx,
+                            rounds * W)
+            buf = jnp.full((rounds * W,), -1, jnp.int32)
+            buf = buf.at[idx.reshape(-1)].set(em.reshape(-1), mode="drop")
+            return buf, cs
+
+        if draft == "ngram":
+            @functools.partial(jax.jit, donate_argnums=(1, 4))
+            def loop(params, table, win, cur, kv, n_past):
+                def body(carry, _):
+                    table, win, cur, kv, n_past = carry
+
+                    def dstep(w, _):
+                        t = jnp.maximum(table[_hash(w)], 0)
+                        return jnp.concatenate([w[1:], t[None]]), t
+
+                    _, proposal = jax.lax.scan(dstep, win, None, length=W - 1)
+                    preds, n_acc, kv = _verify(params, cur, proposal, kv,
+                                               n_past)
+                    c = n_acc + 1
+
+                    def ustep(state, j):
+                        table, w = state
+                        tok = preds[j]
+                        valid = j < c
+                        h = _hash(w)
+                        table = table.at[h].set(
+                            jnp.where(valid, tok, table[h]))
+                        w = jnp.where(valid,
+                                      jnp.concatenate([w[1:], tok[None]]), w)
+                        return (table, w), None
+
+                    (table, win), _ = jax.lax.scan(ustep, (table, win),
+                                                   jnp.arange(W))
+                    cur = preds[n_acc]
+                    return (table, win, cur, kv, n_past + c), (preds, c)
+
+                (table, win, cur, kv, n_past), (em, cs) = jax.lax.scan(
+                    body, (table, win, cur, kv, n_past), None, length=rounds)
+                buf, cs = _compact(em, cs)
+                return buf, cs, table, win, cur, kv, n_past
+        elif draft == "replay":
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def loop(params, replay, pos, cur, kv, n_past):
+                def body(carry, _):
+                    pos, cur, kv, n_past = carry
+                    proposal = jax.lax.dynamic_slice(replay, (pos,), (W - 1,))
+                    preds, n_acc, kv = _verify(params, cur, proposal, kv,
+                                               n_past)
+                    c = n_acc + 1
+                    cur = preds[n_acc]
+                    return (pos + c, cur, kv, n_past + c), (preds, c)
+
+                (pos, cur, kv, n_past), (em, cs) = jax.lax.scan(
+                    body, (pos, cur, kv, n_past), None, length=rounds)
+                buf, cs = _compact(em, cs)
+                return buf, cs, pos, cur, kv, n_past
+        else:
+            raise ValueError(f"unknown device draft kind {draft!r}")
+
+        self._step_fns[key] = loop
+        return loop
+
     def eval_probe(self, tokens, positions, block_mask, kv, n_past: int):
         """Tree/lookahead probe: evaluate a block whose tokens sit at
         explicit (possibly non-contiguous) ``positions`` with an in-block

@@ -483,6 +483,107 @@ def _generate_spec_greedy(target: Runtime, ids, max_new_tokens, *, drafter,
     return ids, out, stats
 
 
+def _ngram_mod_prefeed(tokens, *, n: int, table_bits: int) -> np.ndarray:
+    """Host-side table prefeed for the DEVICE ngram drafter: insert every
+    (n-gram -> next token) of the prompt with the same FNV-1a/uint32 hash
+    the device kernel uses (Runtime._spec_loop _hash)."""
+    size = 1 << table_bits
+    table = np.full((size,), -1, np.int32)
+    for p in range(n, len(tokens)):
+        h = 2166136261
+        for t in tokens[p - n:p]:
+            h = ((h ^ int(t)) * 16777619) & 0xFFFFFFFF
+        table[h & (size - 1)] = tokens[p]
+    return table
+
+
+def generate_speculative_device(
+    target: Runtime,
+    prompt,
+    max_new_tokens: int = 64,
+    *,
+    n_draft: int = 8,
+    rounds_per_call: int = 8,
+    capacity: int = 1024,
+    stop_at_eos: bool = True,
+    replay: Optional[list[int]] = None,
+    ngram_n: int = 4,
+    table_bits: int = 16,
+):
+    """Greedy speculative decoding with the WHOLE draft+verify loop on
+    device: ``rounds_per_call`` rounds run inside one jit scan per device
+    call (Runtime._spec_loop), so a generation pays ~max_new/(rounds*accepted)
+    host round-trips instead of one per round. Drafting is the device
+    ngram-mod table, or a replay oracle when ``replay`` (a known greedy
+    continuation, including its first token) is given.
+
+    Returns (prompt_ids, generated_ids, SpecStats) like generate_speculative.
+    """
+    ids = (target.tokenizer.encode(prompt) if isinstance(prompt, str)
+           else list(prompt))
+    stats = SpecStats()
+    eos = target.tokenizer.eos_id if target.tokenizer is not None else -1
+    W = 1 + n_draft
+    chunk_adv = rounds_per_call * W
+    kv = target.new_cache(1, capacity + chunk_adv + PREFILL_BUCKETS[0])
+    logits, kv, n_past = target.eval_tokens(ids, kv, 0)
+    cur_t = int(np.argmax(logits[-1]))
+    out = [cur_t]
+    kind = "replay" if replay is not None else "ngram"
+    loop = target._spec_loop(W, rounds_per_call, draft=kind,
+                             ngram_n=ngram_n, table_bits=table_bits)
+
+    cur = jnp.int32(cur_t)
+    if kind == "replay":
+        # replay[0] is the first generated token (== cur); pad the tail so
+        # in-scan slices past the end propose -1 (always rejected)
+        pad = np.full((len(replay) + chunk_adv + W,), -1, np.int32)
+        pad[:len(replay)] = replay
+        rbuf = jnp.asarray(pad)
+        pos = jnp.int32(1)
+    else:
+        seq = ids + [cur_t]
+        table = jnp.asarray(_ngram_mod_prefeed(seq, n=ngram_n,
+                                               table_bits=table_bits))
+        win = np.zeros((ngram_n,), np.int32)
+        tailn = min(ngram_n, len(seq))
+        win[ngram_n - tailn:] = seq[-tailn:]
+        win = jnp.asarray(win)
+
+    while (len(out) < max_new_tokens
+           and n_past + chunk_adv <= kv.capacity
+           and not (stop_at_eos and eos in out)):
+        need = max_new_tokens - len(out)
+        if kind == "replay":
+            buf, cs, pos, cur, kv, _ = loop(
+                target.params, rbuf, pos, cur, kv, jnp.int32(n_past))
+        else:
+            buf, cs, table, win, cur, kv, _ = loop(
+                target.params, table, win, cur, kv, jnp.int32(n_past))
+        cs = np.asarray(cs)
+        total = int(cs.sum())
+        toks = [int(t) for t in np.asarray(buf[:total])]
+        out.extend(toks)
+        n_past += total
+        # stats: only rounds up to the caller's budget count — rounds past
+        # it still emit valid greedy tokens (truncated below) but with a
+        # replay buffer they run on exhausted (-1) proposals and would
+        # dilute the accept rate without being machinery failures
+        got = 0
+        for c in cs:
+            stats.n_rounds += 1
+            stats.n_draft += n_draft
+            stats.n_accept += int(c) - 1
+            got += int(c)
+            if got >= need:
+                break
+
+    out = out[:max_new_tokens]
+    if stop_at_eos and eos in out:
+        out = out[:out.index(eos) + 1]
+    return ids, out, stats
+
+
 def autotune_n_draft(target: Runtime, prompt, *, candidates=(4, 8, 16),
                      n_tokens: int = 32, draft: Optional[Runtime] = None,
                      seed: int = 0):
