@@ -558,6 +558,18 @@ def _planar_stacked(info):
         codes.reshape(n_expert, n, k).transpose(0, 2, 1))       # (G, K, N)
     scale = np.ascontiguousarray(
         scale.reshape(n_expert, n, k // group).transpose(0, 2, 1))
+    from .weights import _i8_mxu_enabled
+    from ..ops.qmatmul import SUPERGROUP, requant_supergroup
+    if _i8_mxu_enabled() and k % SUPERGROUP == 0:
+        # supergroup-256 recode (same trick as QLinearI8, exact-value
+        # requantization, error <= S/254): feeds the int8 MXU decode
+        # kernels (ops/moe_decode.py *_i8) — no per-weight VPU dequant.
+        # Scales become f32 (K/256, N): 4x FEWER scale bytes than bf16 K/32
+        q8 = np.empty_like(codes)
+        sw = np.empty((n_expert, k // SUPERGROUP, n), np.float32)
+        for e in range(n_expert):
+            q8[e], sw[e] = requant_supergroup(codes[e], scale[e], group=group)
+        return jnp.asarray(q8), jnp.asarray(sw), SUPERGROUP
     # bf16 scale storage: numerically identical (kernels round scales to
     # bf16 in-register), half the scale HBM traffic
     return jnp.asarray(codes), jnp.asarray(scale, jnp.bfloat16), group

@@ -317,6 +317,323 @@ def moe_decode_down(
     return out
 
 
+# ---------------------------------------------------------------------------
+# int8 x int8 MXU variants (round 5)
+# ---------------------------------------------------------------------------
+# The bf16-dequant kernels above stream expert codes at ~350 GB/s on v5e —
+# the per-weight VPU convert+mul chain is the ceiling (PERF_NOTES.md), which
+# left MoE decode at 51.5% of its HBM roofline while the DENSE decode path
+# reached ~95% by switching to supergroup int8 MXU dots (ops/qmatmul.py
+# qmatmul_i8). These kernels apply the same design to the routed-expert
+# matvecs: experts stored as supergroup-256 re-coded int8 + f32 scales
+# (models/weights.py requants at load), activations quantized per
+# (row, supergroup) on the fly, int32 MXU dots with a rank-1 (sx outer sw)
+# correction — 2 VPU ops per OUTPUT per supergroup instead of 2 per WEIGHT.
+# The analogue of the reference's Q8_K-activation int8 expert GEMM
+# (iqk_mul_mat.cpp:246-308 applied through iqk_moe_fused_up_gate).
+#
+# The dot runs over ALL 8 resident pair rows (padded) against the current
+# pair's expert tile — int8 MXU dots need >= 8 sublanes (an M=1 int8 dot
+# collapses to ~80 GB/s, tools/microbench_i8m.py); the extra rows are free
+# because the kernel is HBM-bound, and the wrong-pair rows are masked at the
+# final write.
+
+SUPERGROUP = 256
+
+
+def _gate_up_kernel_i8(activation: str, act_limit: float, has_bias: bool,
+                       nsg_blk: int):
+    def kernel(ids_ref, xq_ref, xst_ref, gc_ref, gs_ref, uc_ref, us_ref,
+               *rest):
+        if has_bias:
+            gb_ref, ub_ref, h_ref, accg, accu = rest
+        else:
+            h_ref, accg, accu = rest
+        p_i = pl.program_id(1)
+        k_i = pl.program_id(2)
+        k_last = pl.num_programs(2) - 1
+
+        @pl.when(k_i == 0)
+        def _():
+            accg[...] = jnp.zeros_like(accg)
+            accu[...] = jnp.zeros_like(accu)
+
+        for g in range(nsg_blk):
+            xg = xq_ref[:, g * SUPERGROUP:(g + 1) * SUPERGROUP]
+            sx = xst_ref[g, :][:, None]                    # (pq, 1) f32
+            pg = jax.lax.dot_general(
+                xg, gc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accg[...] += pg.astype(jnp.float32) * (sx * gs_ref[g, :][None, :])
+            pu = jax.lax.dot_general(
+                xg, uc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accu[...] += pu.astype(jnp.float32) * (sx * us_ref[g, :][None, :])
+
+        @pl.when(k_i == k_last)
+        def _():
+            g, u = accg[...], accu[...]
+            if has_bias:
+                g = g + gb_ref[...].astype(jnp.float32)
+                u = u + ub_ref[...].astype(jnp.float32)
+            val = _act(g, u, activation, act_limit).astype(jnp.bfloat16)
+            hrows = lax.broadcasted_iota(jnp.int32, h_ref.shape, 0)
+            h_ref[...] = jnp.where(hrows == p_i, val, h_ref[...])
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "act_limit", "block_f", "block_k",
+                     "interpret"),
+)
+def moe_decode_gate_up_i8(
+    xq,            # int8 (P, K) quantized per-pair inputs
+    xst,           # f32 (K//256, P) activation scales TRANSPOSED
+    ids,           # i32 (P,) expert id per pair
+    gate_c, gate_sw,  # int8 (G, K, FF), f32 (G, K//256, FF)
+    up_c, up_sw,
+    gate_b=None, up_b=None,
+    *,
+    activation: str = "silu",
+    act_limit: float = 0.0,
+    block_f: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """int8 MXU fused gate/up matvec + activation for routed pairs.
+
+    Returns h bf16 (P, FF). K and FF must be multiples of 256/128."""
+    p, k = xq.shape
+    g, k2, f = gate_c.shape
+    assert k == k2 and up_c.shape == (g, k, f) and k % SUPERGROUP == 0
+    assert xst.shape == (k // SUPERGROUP, p)
+    has_bias = gate_b is not None
+
+    tk = min(block_k, _round_up(k, 2 * SUPERGROUP))
+    tf = min(block_f, _round_up(f, 128))
+    kp, fp = _round_up(k, tk), _round_up(f, tf)
+    pq = _round_up(p, 8)
+    nsg_blk = tk // SUPERGROUP
+    if (kp, fp) != (k, f):
+        pad_c = ((0, 0), (0, kp - k), (0, fp - f))
+        pad_s = ((0, 0), (0, (kp - k) // SUPERGROUP), (0, fp - f))
+        gate_c = jnp.pad(gate_c, pad_c)
+        gate_sw = jnp.pad(gate_sw, pad_s)
+        up_c = jnp.pad(up_c, pad_c)
+        up_sw = jnp.pad(up_sw, pad_s)
+        if has_bias and fp != f:
+            gate_b = jnp.pad(gate_b, ((0, 0), (0, fp - f)))
+            up_b = jnp.pad(up_b, ((0, 0), (0, fp - f)))
+    if (pq, kp) != (p, k):
+        xq = jnp.pad(xq, ((0, pq - p), (0, kp - k)))
+        xst = jnp.pad(xst, ((0, (kp - k) // SUPERGROUP), (0, pq - p)))
+
+    in_specs = [
+        pl.BlockSpec((pq, tk), lambda fi, pi, ki, ids: (0, ki)),
+        pl.BlockSpec((nsg_blk, pq), lambda fi, pi, ki, ids: (ki, 0)),
+        pl.BlockSpec((None, tk, tf), lambda fi, pi, ki, ids: (ids[pi], ki, fi)),
+        pl.BlockSpec((None, nsg_blk, tf),
+                     lambda fi, pi, ki, ids: (ids[pi], ki, fi)),
+        pl.BlockSpec((None, tk, tf), lambda fi, pi, ki, ids: (ids[pi], ki, fi)),
+        pl.BlockSpec((None, nsg_blk, tf),
+                     lambda fi, pi, ki, ids: (ids[pi], ki, fi)),
+    ]
+    args = [xq, xst, gate_c, gate_sw, up_c, up_sw]
+    if has_bias:
+        b_map = lambda fi, pi, ki, ids: (ids[pi], fi)  # noqa: E731
+        in_specs += [pl.BlockSpec((None, tf), b_map),
+                     pl.BlockSpec((None, tf), b_map)]
+        args += [gate_b, up_b]
+
+    grid = (fp // tf, p, kp // tk)
+    h = pl.pallas_call(
+        _gate_up_kernel_i8(activation, act_limit, has_bias, nsg_blk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((pq, tf), lambda fi, pi, ki, ids: (0, fi)),
+            scratch_shapes=[pltpu.VMEM((pq, tf), jnp.float32),
+                            pltpu.VMEM((pq, tf), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((pq, fp), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * pq * kp * fp,
+            bytes_accessed=2 * p * kp * fp + p * fp * 2,
+            transcendentals=p * fp,
+        ),
+        interpret=interpret,
+    )(ids.astype(jnp.int32), *args)
+    if (pq, fp) != (p, f):
+        h = h[:p, :f]
+    return h
+
+
+def _down_kernel_i8(top_k: int, nsg_blk: int):
+    def kernel(ids_ref, hq_ref, hst_ref, dc_ref, dsw_ref, out_ref, acc):
+        t_i = pl.program_id(1)
+        e_i = pl.program_id(2)
+        f_i = pl.program_id(3)
+        first = (e_i == 0) & (f_i == 0)
+        last = ((e_i == top_k - 1)
+                & (f_i == pl.num_programs(3) - 1))
+
+        @pl.when(first)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        pq = hq_ref.shape[0]
+        p = t_i * top_k + e_i
+        rows = lax.broadcasted_iota(jnp.int32, (pq, 1), 0)
+        for g in range(nsg_blk):
+            hg = hq_ref[:, g * SUPERGROUP:(g + 1) * SUPERGROUP]
+            part = jax.lax.dot_general(
+                hg, dc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (pq, te)
+            contrib = part.astype(jnp.float32) * (
+                hst_ref[g, :][:, None] * dsw_ref[g, :][None, :])
+            # fold ONLY the current pair's row into the token accumulator
+            acc[0:1, :] += jnp.sum(jnp.where(rows == p, contrib, 0.0),
+                                   axis=0, keepdims=True)
+
+        @pl.when(last)
+        def _():
+            orows = lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+            out_ref[...] = jnp.where(orows == t_i, acc[0:1, :], out_ref[...])
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "block_e", "block_f", "interpret"),
+)
+def moe_decode_down_i8(
+    hq,            # int8 (P, FF) quantized weighted activations
+    hst,           # f32 (FF//256, P) activation scales TRANSPOSED
+    ids,           # i32 (P,) expert id per pair, P == T * top_k
+    down_c, down_sw,  # int8 (G, FF, E), f32 (G, FF//256, E)
+    *,
+    top_k: int,
+    block_e: int = 2048,
+    block_f: int = 1024,
+    interpret: bool = False,
+):
+    """int8 MXU routing-weighted down-projection sum: returns f32 (T, E).
+
+    ``hq`` rows must already carry the routing weight (folded in before
+    quantization) so the top_k accumulation directly produces
+    sum_e w_e * (h_e @ W_down[e])."""
+    pp, f = hq.shape
+    g, f2, e = down_c.shape
+    assert f == f2 and pp % top_k == 0 and f % SUPERGROUP == 0
+    assert hst.shape == (f // SUPERGROUP, pp)
+    t = pp // top_k
+
+    tf = min(block_f, _round_up(f, 2 * SUPERGROUP))
+    te = min(block_e, _round_up(e, 128))
+    fp, ep = _round_up(f, tf), _round_up(e, te)
+    pq = _round_up(pp, 8)
+    tq = _round_up(t, 8)
+    nsg_blk = tf // SUPERGROUP
+    if (fp, ep) != (f, e):
+        down_c = jnp.pad(down_c, ((0, 0), (0, fp - f), (0, ep - e)))
+        down_sw = jnp.pad(down_sw,
+                          ((0, 0), (0, (fp - f) // SUPERGROUP), (0, ep - e)))
+    if (pq, fp) != (pp, f):
+        hq = jnp.pad(hq, ((0, pq - pp), (0, fp - f)))
+        hst = jnp.pad(hst, ((0, (fp - f) // SUPERGROUP), (0, pq - pp)))
+
+    grid = (ep // te, t, top_k, fp // tf)
+    out = pl.pallas_call(
+        _down_kernel_i8(top_k, nsg_blk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((pq, tf), lambda ni, ti, ei, fi, ids: (0, fi)),
+                pl.BlockSpec((nsg_blk, pq),
+                             lambda ni, ti, ei, fi, ids: (fi, 0)),
+                pl.BlockSpec((None, tf, te),
+                             lambda ni, ti, ei, fi, ids:
+                             (ids[ti * top_k + ei], fi, ni)),
+                pl.BlockSpec((None, nsg_blk, te),
+                             lambda ni, ti, ei, fi, ids:
+                             (ids[ti * top_k + ei], fi, ni)),
+            ],
+            out_specs=pl.BlockSpec((tq, te),
+                                   lambda ni, ti, ei, fi, ids: (0, ni)),
+            scratch_shapes=[pltpu.VMEM((8, te), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((tq, ep), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pq * fp * ep,
+            bytes_accessed=pp * fp * ep + t * ep * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids.astype(jnp.int32), hq, hst, down_c, down_sw)
+    if (tq, ep) != (t, e):
+        out = out[:t, :e]
+    return out
+
+
+def moe_decode_i8_ref(x, w, idx, experts, *, activation="silu",
+                      act_limit: float = 0.0, weight_before_ffn: bool = False):
+    """jnp oracle for the int8 decode path: the SAME activation quantization
+    and exact-int32-dot + f32-correction numerics as the Pallas kernels, so
+    CPU runs and TPU runs of a supergroup-expert model agree bit-for-bit
+    on the matmul results (activation-quant error included in both)."""
+    from .qmatmul import quantize_activations
+    t, k = idx.shape
+    ids = idx.reshape(-1)
+    xp = jnp.repeat(x.astype(jnp.bfloat16), k, axis=0)
+    if weight_before_ffn:
+        xp = xp * w.reshape(-1)[:, None].astype(jnp.bfloat16)
+    xq, xs = quantize_activations(xp)           # (P, K) i8, (P, K/256) f32
+
+    def i8mm(q, qs, codes, sw):
+        # per-pair exact int dot with rank-1 corrections
+        p, kk = q.shape
+        nsg = kk // SUPERGROUP
+        qg = q.astype(jnp.int32).reshape(p, nsg, SUPERGROUP)
+        wg = codes.astype(jnp.int32).reshape(p, nsg, SUPERGROUP, -1)
+        part = jnp.einsum("pgs,pgsn->pgn", qg, wg).astype(jnp.float32)
+        return jnp.einsum("pgn,pg,pgn->pn", part, qs.astype(jnp.float32),
+                          sw.astype(jnp.float32))
+
+    g = i8mm(xq, xs, experts.gate[ids], experts.gate_s[ids])
+    u = i8mm(xq, xs, experts.up[ids], experts.up_s[ids])
+    if experts.gate_b is not None:
+        g = g + experts.gate_b[ids].astype(jnp.float32)
+        u = u + experts.up_b[ids].astype(jnp.float32)
+    h = _act(g, u, activation, act_limit).astype(jnp.bfloat16)
+    if not weight_before_ffn:
+        h = (h.astype(jnp.float32)
+             * w.reshape(-1)[:, None]).astype(jnp.bfloat16)
+    hq, hs = quantize_activations(h)
+    y = i8mm(hq, hs, experts.down[ids], experts.down_s[ids])
+    y = y.reshape(t, k, -1)
+    out = jnp.sum(y, axis=1)
+    if experts.down_b is not None:
+        db = experts.down_b[ids].reshape(t, k, -1).astype(jnp.float32)
+        if weight_before_ffn:
+            out = out + jnp.sum(db, axis=1)
+        else:
+            out = out + jnp.sum(db * w[:, :, None], axis=1)
+    return out
+
+
 def moe_decode_ref(x, w, idx, experts, *, activation="silu",
                    act_limit: float = 0.0, weight_before_ffn: bool = False):
     """jnp oracle: dense gather-dequant per (token, expert) pair."""
