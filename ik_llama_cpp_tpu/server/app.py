@@ -443,6 +443,12 @@ class Server:
         body = await request.json()
         ids = self.rt.tokenizer.encode(body.get("content", ""),
                                        add_bos=bool(body.get("add_special", False)))
+        if body.get("with_pieces"):
+            # reference /tokenize?with_pieces: [{id, piece}] rows
+            # (server.cpp handle_tokenize)
+            toks = [{"id": int(t), "piece": self.rt.tokenizer.decode([int(t)])}
+                    for t in ids]
+            return web.json_response({"tokens": toks})
         return web.json_response({"tokens": ids})
 
     async def detokenize(self, request):

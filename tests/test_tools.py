@@ -213,3 +213,10 @@ def test_webui_served(tmp_path):
     from pathlib import Path
     html = (Path("ik_llama_cpp_tpu/server/webui.html")).read_text()
     assert "/v1/chat/completions" in html
+    # multi-view SPA (reference public/ WebUI family parity): chat + pad
+    # (mikupad analogue) + metrics dashboard + tokenizer playground
+    for marker in ("v-chat", "v-pad", "v-metrics", "v-tokens",
+                   "/completion", "/metrics", "/slots", "/tokenize",
+                   "grammar_kind", "reasoning_content", "tool_calls",
+                   "dry_multiplier", "mirostat"):
+        assert marker in html, marker

@@ -10,15 +10,24 @@ PPL comparison is meaningful (a random-weight model sits at the
 uniform-logits degenerate point where PPL ~ n_vocab and log-prob noise is
 maximal).
 
-  * train a 2-layer llama (REAL llama SPM vocab, copied from the
+  * train a 4-layer llama (REAL llama SPM vocab, copied from the
     reference's own fixture ggml-vocab-llama-spm.gguf) on the corpus;
-  * write ONE GGUF per bit-width (Q8_0 / Q4_0 / Q4_K) with OUR encoders;
+  * write ONE GGUF per bit-width (Q8_0 / Q4_0 / Q4_K_M / Q6_0 / IQ4_KS /
+    IQ2_K, + IQ2_KT with PPL_GATE_KT=1 — the numpy trellis encoder is
+    minutes-per-Mweight slow) with OUR encoders;
   * run the same file + corpus through the reference's llama-perplexity
     ("Final estimate", examples/perplexity/perplexity.cpp:779) and through
     ik_llama_cpp_tpu.tools.perplexity (the protocol clone);
   * gate: |ln ppl_ours - ln ppl_ref| <= 1.2e-3 per bit-width — the relative
     tolerance equivalent to the 0.01-at-PPL~9 bar, covering our bf16-matmul
-    vs the reference's f32-matmul engine difference.
+    vs the reference's f32-matmul engine difference;
+  * KLD column (perplexity.cpp:323-378 / kl_divergence:1840-2030): each
+    quant's KL divergence vs the f32 model's logits, measured independently
+    by BOTH engines on the same files (ours: tools/perplexity.kl_divergence;
+    reference: --kl-divergence-base + --kl-divergence, "Mean KLD" line);
+    gate |kld_ours - kld_ref| <= max(0.3 * kld_ref, 3e-4) — the reference
+    stores its base log-probs as uint16 (quantized), so sub-1e-4 agreement
+    is not expected.
 
 Run via scripts/ref_ci.sh (needs /tmp/refbuild).
 """
@@ -65,8 +74,8 @@ def make_corpus(path: Path, n_words: int = 9000, seed: int = 7) -> Path:
     return path
 
 
-GATE_VERSION = "r4-2"
-TRAIN_STEPS = int(os.environ.get("PPL_GATE_STEPS", "180"))
+GATE_VERSION = "r5-1"
+TRAIN_STEPS = int(os.environ.get("PPL_GATE_STEPS", "240"))
 
 
 def build_base_gguf(path: Path) -> Path:
@@ -79,7 +88,7 @@ def build_base_gguf(path: Path) -> Path:
     scores = vm["tokenizer.ggml.scores"]
     types = vm["tokenizer.ggml.token_type"]
     V = len(tokens)
-    L, E, H, HKV, FF = 2, 256, 4, 2, 768   # FF % 256 == 0 for k-quants
+    L, E, H, HKV, FF = 4, 256, 4, 2, 768   # FF % 256 == 0 for k-quants
     D = E // H
     rng = np.random.default_rng(3)
 
@@ -183,31 +192,108 @@ def our_ppl(model: Path, corpus: Path, n_ctx: int) -> float:
     return res[0] if isinstance(res, tuple) else res["ppl"]
 
 
+# ---------------------------------------------------------------------------
+# KLD vs the f32 model (perplexity.cpp kl_divergence protocol)
+# ---------------------------------------------------------------------------
+
+def make_kld_corpus(full: Path, n_ctx: int, n_chunks: int = 8) -> Path:
+    """Short corpus slice for the KLD phase: full-logits bases are
+    (chunks, n_ctx, 32000) — 8 chunks keep both engines' base files small."""
+    words = full.read_text().split()
+    # ~1.3 tokens/word with this vocab; oversupply then let n_ctx chunking cap
+    out = Path("/tmp/ppl_gate_kld_corpus.txt")
+    out.write_text(" ".join(words[: n_ctx * n_chunks]))
+    return out
+
+
+def ref_kld_base(f32: Path, corpus: Path, n_ctx: int) -> Path:
+    base = Path("/tmp/ppl_gate_ref_base.kld")
+    exe = REFBUILD / "bin/llama-perplexity"
+    env = dict(os.environ,
+               LD_LIBRARY_PATH=f"{REFBUILD}/src:{REFBUILD}/ggml/src")
+    r = subprocess.run(
+        [str(exe), "-m", str(f32), "-f", str(corpus), "-c", str(n_ctx),
+         "--no-warmup", "-t", "1", "-b", str(n_ctx),
+         "--kl-divergence-base", str(base)],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert base.exists() and base.stat().st_size > 0, \
+        f"reference base save failed:\n{(r.stdout + r.stderr)[-2000:]}"
+    return base
+
+
+def ref_kld(model: Path, base: Path, corpus: Path, n_ctx: int) -> float:
+    exe = REFBUILD / "bin/llama-perplexity"
+    env = dict(os.environ,
+               LD_LIBRARY_PATH=f"{REFBUILD}/src:{REFBUILD}/ggml/src")
+    r = subprocess.run(
+        [str(exe), "-m", str(model), "-f", str(corpus), "-c", str(n_ctx),
+         "--no-warmup", "-t", "1", "-b", str(n_ctx),
+         "--kl-divergence-base", str(base), "--kl-divergence"],
+        env=env, capture_output=True, text=True, timeout=1800)
+    out = r.stdout + r.stderr
+    m = re.search(r"Mean\s+KLD:\s*([0-9.eE+-]+)", out)
+    assert m, f"no Mean KLD in reference output:\n{out[-2000:]}"
+    return float(m.group(1))
+
+
+def our_kld_base(f32: Path, corpus: Path, n_ctx: int) -> Path:
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.tools.perplexity import save_logits
+    base = "/tmp/ppl_gate_our_base.npz"
+    rt = Runtime.from_gguf(str(f32))
+    save_logits(rt, corpus.read_text(), base, n_ctx=n_ctx)
+    return Path(base)
+
+
+def our_kld(model: Path, base: Path) -> float:
+    from ik_llama_cpp_tpu.runtime.generate import Runtime
+    from ik_llama_cpp_tpu.tools.perplexity import kl_divergence
+    rt = Runtime.from_gguf(str(model))
+    return kl_divergence(rt, str(base), verbose=False)["kld_mean"]
+
+
+FTYPES = ("Q8_0", "Q4_0", "Q4_K_M", "Q6_0", "IQ4_KS", "IQ2_K")
+
+
 def main():
     n_ctx = 256
     corpus = make_corpus(Path("/tmp/ppl_gate_corpus.txt"))
     f32 = trained_f32(corpus)
+    kld_corpus = make_kld_corpus(corpus, n_ctx)
+    print("ppl_gate: building KLD bases (f32 logits, both engines)",
+          flush=True)
+    rbase = ref_kld_base(f32, kld_corpus, n_ctx)
+    obase = our_kld_base(f32, kld_corpus, n_ctx)
     ok = True
     rows = {}
-    for ftype in ("Q8_0", "Q4_0", "Q4_K_M"):
+    ftypes = FTYPES + (("IQ2_KT",) if os.environ.get("PPL_GATE_KT") else ())
+    for ftype in ftypes:
         model = quantize_model(f32, ftype)
         p_ref = ref_ppl(model, corpus, n_ctx)
         p_our = our_ppl(model, corpus, n_ctx)
         dln = abs(math.log(p_our) - math.log(p_ref))
-        status = "OK" if dln <= LN_TOL else "FAIL"
-        ok &= dln <= LN_TOL
+        k_ref = ref_kld(model, rbase, kld_corpus, n_ctx)
+        k_our = our_kld(model, obase)
+        kld_tol = max(0.3 * k_ref, 3e-4)
+        dk = abs(k_our - k_ref)
+        status = "OK" if (dln <= LN_TOL and dk <= kld_tol) else "FAIL"
+        ok &= status == "OK"
         rows[ftype] = {"ppl_ref": round(p_ref, 4), "ppl_ours": round(p_our, 4),
-                       "abs_dln": round(dln, 6), "status": status}
-        print(f"ppl_gate {ftype:6s}: ref {p_ref:.4f}  ours {p_our:.4f}  "
-              f"|dln| {dln:.2e} (tol {LN_TOL:.1e})  {status}", flush=True)
+                       "abs_dln": round(dln, 6),
+                       "kld_ref": round(k_ref, 6), "kld_ours": round(k_our, 6),
+                       "status": status}
+        print(f"ppl_gate {ftype:7s}: ppl ref {p_ref:.4f} ours {p_our:.4f} "
+              f"|dln| {dln:.2e} (tol {LN_TOL:.1e}) | kld ref {k_ref:.6f} "
+              f"ours {k_our:.6f} (tol {kld_tol:.1e})  {status}", flush=True)
     # committed artifact: bench.py folds this into its detail line so the
     # cross-engine PPL evidence survives environments without /tmp/refbuild
     import json
     art = Path(__file__).resolve().parent.parent / "PPL_GATE.json"
     art.write_text(json.dumps({
-        "gate": "GGUF-for-GGUF perplexity vs reference llama-perplexity "
-                "(perplexity.cpp:779 protocol), trained-in-repo model, "
-                "own encoders", "ln_tol": LN_TOL,
+        "gate": "GGUF-for-GGUF perplexity + KLD-vs-f32 vs reference "
+                "llama-perplexity (perplexity.cpp:779 + kl_divergence "
+                "protocol), trained-in-repo 4-layer model, own encoders",
+        "ln_tol": LN_TOL, "kld_tol": "max(0.3*ref, 3e-4)",
         "train_steps": TRAIN_STEPS, "results": rows,
         "passed": ok}, indent=1) + "\n")
     sys.exit(0 if ok else 1)
