@@ -26,8 +26,20 @@ GATING_SQRT_SOFTPLUS = 4    # deepseek4: sqrt(softplus(x)) (ggml.c:3329)
 
 def _ragged_qmm(xs, codes, scale, group_sizes, group):
     """Fused dequant grouped GEMM on TPU; jnp oracle elsewhere (the two are
-    differential-tested against each other in tests/test_moe_qmm.py)."""
-    from .moe_qmm import ragged_qmatmul, ragged_qmatmul_ref
+    differential-tested against each other in tests/test_moe_qmm.py).
+
+    Supergroup-256 experts (the TPU default load format since round 5,
+    models/llama.py) take the int8 x int8 MXU ragged kernel — activations
+    quantized per (row, supergroup), so prefill runs the MXU at its doubled
+    int8 rate; the CPU oracle shares the exact-int-dot numerics."""
+    from .moe_qmm import (SUPERGROUP, ragged_qmatmul, ragged_qmatmul_i8,
+                          ragged_qmatmul_i8_ref, ragged_qmatmul_ref)
+    if group == SUPERGROUP:
+        from .qmatmul import quantize_activations
+        xq, xsc = quantize_activations(xs.astype(jnp.bfloat16))
+        if jax.default_backend() == "cpu":
+            return ragged_qmatmul_i8_ref(xq, xsc, codes, scale, group_sizes)
+        return ragged_qmatmul_i8(xq, xsc.T, codes, scale, group_sizes)
     if jax.default_backend() == "cpu":
         return ragged_qmatmul_ref(xs, codes, scale, group_sizes, group=group)
     block_m = 256 if xs.shape[0] >= 256 else 16

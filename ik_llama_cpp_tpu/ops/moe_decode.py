@@ -412,7 +412,11 @@ def moe_decode_gate_up_i8(
     assert xst.shape == (k // SUPERGROUP, p)
     has_bias = gate_b is not None
 
-    tk = min(block_k, _round_up(k, 2 * SUPERGROUP))
+    # xst blocks are (nsg_blk, pq) with nsg_blk = tk/256 on the SUBLANE dim:
+    # either one k-tile spans the whole (padded) K so the block equals the
+    # full dim, or nsg_blk must be a multiple of 8 (tk % 2048 == 0)
+    k_sg = _round_up(k, SUPERGROUP)
+    tk = k_sg if k_sg <= block_k else max(2048, block_k // 2048 * 2048)
     tf = min(block_f, _round_up(f, 128))
     kp, fp = _round_up(k, tk), _round_up(f, tf)
     pq = _round_up(p, 8)
@@ -536,7 +540,9 @@ def moe_decode_down_i8(
     assert hst.shape == (f // SUPERGROUP, pp)
     t = pp // top_k
 
-    tf = min(block_f, _round_up(f, 2 * SUPERGROUP))
+    # hst blocks are (nsg_blk, pq): same sublane rule as the gate/up kernel
+    f_sg = _round_up(f, SUPERGROUP)
+    tf = f_sg if f_sg <= block_f else max(2048, block_f // 2048 * 2048)
     te = min(block_e, _round_up(e, 128))
     fp, ep = _round_up(f, tf), _round_up(e, te)
     pq = _round_up(pp, 8)

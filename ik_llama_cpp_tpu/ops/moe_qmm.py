@@ -93,6 +93,165 @@ def _metadata(group_sizes, m_padded: int, tm: int, n_groups: int):
     return offs, step_group, step_tile, num_steps
 
 
+SUPERGROUP = 256
+
+
+def ragged_qmatmul_i8_ref(xq, xs, codes, sw, group_sizes):
+    """jnp oracle for the int8 ragged kernel: exact int32 dots per supergroup
+    with rank-1 f32 scale corrections — the same numerics as the Pallas
+    kernel AND the XLA path, so CPU/TPU MoE prefill agree bit-for-bit.
+
+    xq: int8 (M, K); xs: f32 (M, K/256); codes: int8 (G, K, N);
+    sw: f32 (G, K/256, N); group_sizes: i32 (G,).
+    """
+    m, k = xq.shape
+    nsg = k // SUPERGROUP
+    # expand each row's expert weights via the group assignment
+    ends = jnp.cumsum(group_sizes.astype(jnp.int32))
+    rid = jnp.sum(jnp.arange(m)[:, None] >= ends[None, :], axis=1)
+    rid = jnp.minimum(rid, codes.shape[0] - 1)
+    xg = xq.astype(jnp.int32).reshape(m, nsg, SUPERGROUP)
+    wg = codes.astype(jnp.int32)[rid].reshape(m, nsg, SUPERGROUP, -1)
+    part = jnp.einsum("mgs,mgsn->mgn", xg, wg).astype(jnp.float32)
+    return jnp.einsum("mgn,mg,mgn->mn", part, xs.astype(jnp.float32),
+                      sw.astype(jnp.float32)[rid])
+
+
+def _kernel_i8(nsg_blk: int):
+    def kernel(offs_ref, gid_ref, tid_ref, xq_ref, xst_ref, c_ref, sw_ref,
+               out_ref, acc_ref):
+        sid = pl.program_id(1)
+        k_i = pl.program_id(2)
+        k_last = pl.num_programs(2) - 1
+
+        @pl.when(k_i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        # per-supergroup int8 MXU dots with rank-1 f32 corrections — the
+        # grouped-expert variant of qmatmul_i8_mxu (ops/qmatmul.py): MXU at
+        # its doubled int8 rate, 2 VPU ops per OUTPUT per supergroup
+        for g in range(nsg_blk):
+            part = lax.dot_general(
+                xq_ref[:, g * SUPERGROUP:(g + 1) * SUPERGROUP],
+                c_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            corr = xst_ref[g, :][:, None] * sw_ref[g, :][None, :]
+            acc_ref[...] += part.astype(jnp.float32) * corr
+
+        @pl.when(k_i == k_last)
+        def _():
+            gid = gid_ref[sid]
+            row0 = tid_ref[sid] * acc_ref.shape[0]
+            rows = row0 + lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+            mask = (rows >= offs_ref[gid]) & (rows < offs_ref[gid + 1])
+            out_ref[...] = jnp.where(mask, acc_ref[...], out_ref[...])
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret"),
+)
+def ragged_qmatmul_i8(
+    xq,
+    xst,
+    codes,
+    sw,
+    group_sizes,
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 2048,
+    interpret: bool = False,
+):
+    """Grouped int8 x int8 MXU matmul: (M, K) x (G, K, N) -> f32 (M, N).
+
+    The MoE PREFILL path for supergroup-256 requantized experts
+    (models/llama.py expert load): activations quantized per
+    (row, supergroup), int32 MXU dots, rank-1 (sx outer sw) correction —
+    the grouped analogue of the reference's Q8_K int8 expert GEMM
+    (iqk_mul_mat.cpp:246-308 via iqk_moe_fused_up_gate / mmq_id.cu).
+
+    xq: int8 (M, K) rows sorted by group; xst: f32 (K/256, M) activation
+    scales TRANSPOSED (per-supergroup slices must land on the sublane dim);
+    codes: int8 (G, K, N); sw: f32 (G, K/256, N); group_sizes i32 (G,).
+    """
+    m, k = xq.shape
+    g, k2, n = codes.shape
+    assert k == k2 and k % SUPERGROUP == 0, (xq.shape, codes.shape)
+    assert xst.shape == (k // SUPERGROUP, m), (xst.shape,)
+    assert sw.shape == (g, k // SUPERGROUP, n), (sw.shape,)
+
+    # tm lane-aligned to 128: xst blocks are (nsg, tm) so tm is a LANE dim
+    tm = min(block_m, _round_up(m, 128))
+    # scale blocks are (nsg_blk, .) with nsg_blk = tk/256 on the SUBLANE dim:
+    # either one k-tile spans the whole K (block == full dim, any nsg_blk) or
+    # nsg_blk must be a multiple of 8 (tk % 2048 == 0)
+    k_sg = _round_up(k, SUPERGROUP)
+    if k_sg <= block_k:
+        tk = k_sg
+    else:
+        tk = max(2048, block_k // 2048 * 2048)
+    tn = min(block_n, _round_up(n, 128))
+    mp, kp, np_ = _round_up(m, tm), _round_up(k, tk), _round_up(n, tn)
+    nsg_blk = tk // SUPERGROUP
+
+    if (mp, kp) != (m, k):
+        xq = jnp.pad(xq, ((0, mp - m), (0, kp - k)))
+    if xst.shape != (kp // SUPERGROUP, mp):
+        xst = jnp.pad(xst, ((0, (kp - k) // SUPERGROUP), (0, mp - m)))
+    if (kp, np_) != (k, n):
+        codes = jnp.pad(codes, ((0, 0), (0, kp - k), (0, np_ - n)))
+        sw = jnp.pad(sw, ((0, 0), (0, (kp - k) // SUPERGROUP), (0, np_ - n)))
+
+    offs, step_group, step_tile, num_steps = _metadata(group_sizes, mp, tm, g)
+
+    def x_map(n_i, s, k_i, offs, gid, tid):
+        return tid[s], k_i
+
+    def xs_map(n_i, s, k_i, offs, gid, tid):
+        return k_i, tid[s]
+
+    def w_map(n_i, s, k_i, offs, gid, tid):
+        return jnp.minimum(gid[s], g - 1), k_i, n_i
+
+    def out_map(n_i, s, k_i, offs, gid, tid):
+        return tid[s], n_i
+
+    grid = (np_ // tn, num_steps, kp // tk)
+    out = pl.pallas_call(
+        _kernel_i8(nsg_blk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tk), x_map),
+                pl.BlockSpec((nsg_blk, tm), xs_map),
+                pl.BlockSpec((None, tk, tn), w_map),
+                pl.BlockSpec((None, nsg_blk, tn), w_map),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), out_map),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * np_,
+            bytes_accessed=mp * kp + kp * np_
+            + (kp // SUPERGROUP) * (mp + np_) * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(offs, step_group, step_tile, xq, xst, codes, sw)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
 def _kernel(group: int, n_groups: int):
     def kernel(offs_ref, gid_ref, tid_ref, x_ref, c_ref, s_ref, out_ref,
                acc_ref):

@@ -67,6 +67,90 @@ def test_ragged_qmatmul_padding_rows_ignored():
                                rtol=1e-5, atol=1e-5)
 
 
+def _mk_i8(m, k, n, g, seed=0):
+    from ik_llama_cpp_tpu.ops.qmatmul import quantize_activations
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    codes = rng.integers(-127, 128, size=(g, k, n), dtype=np.int8)
+    sw = (np.abs(rng.standard_normal((g, k // 256, n))) * 0.02 + 1e-4
+          ).astype(np.float32)
+    xq, xs = quantize_activations(jnp.asarray(x, jnp.bfloat16))
+    return xq, xs, jnp.asarray(codes), jnp.asarray(sw)
+
+
+@pytest.mark.parametrize("m,k,n,g,sizes", [
+    (64, 256, 128, 4, [1, 1, 1, 1]),           # even split
+    (96, 256, 128, 4, [5, 1, 1, 3]),           # tile boundary crossings
+    (40, 512, 128, 4, [1, 0, 2, 1]),           # empty group, odd row count
+    (8, 256, 128, 8, [1, 0, 3, 0, 0, 2, 1, 1]),  # decode-sized, sparse
+])
+def test_ragged_qmatmul_i8_matches_oracle(m, k, n, g, sizes):
+    """int8 supergroup ragged kernel (interpret) vs exact-int-dot oracle."""
+    from ik_llama_cpp_tpu.ops.moe_qmm import (ragged_qmatmul_i8,
+                                              ragged_qmatmul_i8_ref)
+    xq, xs, codes, sw = _mk_i8(m, k, n, g)
+    gs = _sizes(g, m, sizes)
+    ref = ragged_qmatmul_i8_ref(xq, xs, codes, sw, gs)
+    out = ragged_qmatmul_i8(xq, xs.T, codes, sw, gs,
+                            block_m=128, block_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_qmatmul_i8_multi_ktile():
+    """K spanning several 2048-wide tiles exercises the accumulator sweep."""
+    from ik_llama_cpp_tpu.ops.moe_qmm import (ragged_qmatmul_i8,
+                                              ragged_qmatmul_i8_ref)
+    m, k, n, g = 32, 4096, 128, 3
+    xq, xs, codes, sw = _mk_i8(m, k, n, g, seed=7)
+    gs = jnp.asarray([10, 2, 20], jnp.int32)
+    ref = ragged_qmatmul_i8_ref(xq, xs, codes, sw, gs)
+    out = ragged_qmatmul_i8(xq, xs.T, codes, sw, gs,
+                            block_m=128, block_n=128, block_k=2048,
+                            interpret=True)
+    # k-tile sweep reorders the f32 correction accumulation vs the oracle's
+    # single einsum — tolerance covers that reassociation, nothing else
+    np.testing.assert_allclose(np.asarray(out)[:32], np.asarray(ref)[:32],
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_moe_ffn_supergroup_prefill_matches_decode_path():
+    """moe_ffn PREFILL (t>8, supergroup experts -> i8 ragged path) must agree
+    with the decode i8 oracle on the same tokens — the two paths share the
+    activation-quant + exact-int-dot numerics contract."""
+    from ik_llama_cpp_tpu.ops.moe import QuantExpertWeights, moe_ffn, route
+    from ik_llama_cpp_tpu.ops.moe_decode import SUPERGROUP, moe_decode_i8_ref
+    rng = np.random.default_rng(13)
+    t, e, ff, g, k = 16, 256, 512, 8, 2
+    x = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((t, g)).astype(np.float32))
+
+    def q(kk, nn):
+        codes = rng.integers(-127, 128, (g, kk, nn), np.int8)
+        sw = (np.abs(rng.standard_normal((g, kk // SUPERGROUP, nn))) * 0.02
+              + 1e-4).astype(np.float32)
+        return jnp.asarray(codes), jnp.asarray(sw)
+
+    gc, gs_ = q(e, ff)
+    uc, us = q(e, ff)
+    dc, ds = q(ff, e)
+    qew = QuantExpertWeights(gate=gc, gate_s=gs_, up=uc, up_s=us,
+                             down=dc, down_s=ds,
+                             gate_group=SUPERGROUP, up_group=SUPERGROUP,
+                             down_group=SUPERGROUP)
+    out = moe_ffn(x, logits, qew, k)
+    w, idx = route(logits, k)
+    ref = moe_decode_i8_ref(x, w, idx, qew)
+    # the two paths quantize h at different points (decode folds the routing
+    # weight in BEFORE the int8 re-quant, prefill applies it after the down
+    # projection), so per-element they agree only to within the
+    # per-supergroup activation-quant step, amplified by cancellation in the
+    # FF-dim sum. The tolerance is that quant noise; real dispatch bugs
+    # (wrong expert, wrong scale row) produce ~100% error and still trip it.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.12, atol=400.0)
+
+
 def test_moe_ffn_quant_matches_dense():
     """moe_ffn with QuantExpertWeights == moe_ffn with the dequantized bf16
     experts (same routing, same numerics contract)."""
