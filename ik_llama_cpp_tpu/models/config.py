@@ -114,6 +114,10 @@ class ModelConfig:
     n_head_arr: tuple = ()
     n_head_kv_arr: tuple = ()
     n_ff_arr: tuple = ()
+    # -khad/-vhad (reference GGML_OP_HADAMARD, ggml-cuda/hadamard.cu):
+    # Hadamard-rotate K (+q) / V before KV quantize-on-write
+    k_hadamard: bool = False
+    v_hadamard: bool = False
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     def layer_is_swa(self, il: int) -> bool:

@@ -25,7 +25,9 @@ from ..ops.flash_attention import (flash_attention, flash_attention_q8,
                                    flash_attention_decode_q8)
 from ..ops.kv_quant import (dequantize_kv, quantize_kv_rows,
                              dequantize_kv_q4, quantize_kv_rows_q4,
-                             dequantize_kv_q6, quantize_kv_rows_q6)
+                             dequantize_kv_q6, quantize_kv_rows_q6,
+                             KV_ENCODERS, KV_DECODERS, kv_codec_of,
+                             hadamard_rotate)
 from .weights import _use_pallas
 from .config import ModelConfig, config_from_gguf
 from .weights import (DenseLinear, QLinear, dequant_tensor, fuse_linears,
@@ -53,18 +55,21 @@ class KVCache:
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, capacity: int,
                dtype=jnp.bfloat16, quant: "bool | str" = False):
-        """quant: False (bf16), True/'q8' (int8 per-row), 'q4' (packed
-        4-bit per-row — the -ctk/-ctv q4_0 analogue, half the KV memory
-        of q8)."""
+        """quant: False (bf16), True/'q8' (int8 per-row), 'q4'/'q6'/'nl4'
+        (packed per-row codecs — the -ctk/-ctv q4_0 / q6_0 / iq4_nl
+        analogues; see ops/kv_quant.py for the layouts)."""
         shape = (cfg.n_layer, batch, capacity, cfg.n_head_kv, cfg.head_dim)
-        if quant in ("q4", "q6"):
-            # packed-uint8 codecs, told apart by stored width:
-            # q4 = D/2 bytes, q6 = 3D/4 bytes (two bit-planes, kv_quant.py)
-            w = cfg.head_dim // 2 if quant == "q4" else 3 * cfg.head_dim // 4
+        if quant in ("q4", "q6", "nl4", "iq4_nl"):
+            # packed codecs, told apart by (dtype, stored width):
+            # q4 = uint8 D/2, q6 = uint8 3D/4 (two bit-planes), nl4 =
+            # int8 D/2 (IQ4_NL value grid) — kv_quant.kv_codec_of
+            codec = "nl4" if quant == "iq4_nl" else quant
+            w = _KV_CODEC_WIDTH[codec](cfg.head_dim)
+            dt = _KV_CODEC_DTYPE[codec]
             qshape = shape[:-1] + (w,)
             sshape = shape[:-1]
-            return cls(jnp.zeros(qshape, jnp.uint8),
-                       jnp.zeros(qshape, jnp.uint8),
+            return cls(jnp.zeros(qshape, dt),
+                       jnp.zeros(qshape, dt),
                        jnp.zeros(sshape, jnp.float32),
                        jnp.zeros(sshape, jnp.float32))
         if quant:
@@ -191,8 +196,13 @@ class SwaKVCache:
 
 
 _KV_CODEC_WIDTH = {  # stored last-dim bytes per head_dim D
-    "q8": lambda d: d, "q4": lambda d: d // 2, "q6": lambda d: 3 * d // 4}
-_KV_CODEC_DTYPE = {"q8": jnp.int8, "q4": jnp.uint8, "q6": jnp.uint8}
+    "q8": lambda d: d, "q4": lambda d: d // 2, "q6": lambda d: 3 * d // 4,
+    "nl4": lambda d: d // 2}
+_KV_CODEC_DTYPE = {"q8": jnp.int8, "q4": jnp.uint8, "q6": jnp.uint8,
+                   "nl4": jnp.int8}
+# user-facing alias (-ctk/-ctv iq4_nl)
+_KV_CODEC_WIDTH["iq4_nl"] = _KV_CODEC_WIDTH["nl4"]
+_KV_CODEC_DTYPE["iq4_nl"] = _KV_CODEC_DTYPE["nl4"]
 
 
 class _MixedLayerView:
@@ -796,6 +806,16 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         q = (q.astype(jnp.float32) * attn_scale_vec[..., None, None]
              ).astype(q.dtype)
 
+    # -khad/-vhad (reference ggml-cuda/hadamard.cu): rotate K+q (scores
+    # unchanged: Hq . Hk = q . k) and/or V by a head-dim Hadamard before
+    # quantize-on-write, spreading outliers so the row-absmax KV codecs
+    # lose less. V is un-rotated after attention (H is its own inverse).
+    if cfg.k_hadamard:
+        k = hadamard_rotate(k)
+        q = hadamard_rotate(q)
+    if cfg.v_hadamard:
+        v = hadamard_rotate(v)
+
     # append to cache at each row's n_past (vector for continuous batching)
     npv = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (b,))
     attn = None
@@ -812,11 +832,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         il_s, st_k, st_v, st_ks, st_vs = kv_stack
         quant = st_ks is not None
         if quant:
-            if st_k.dtype == jnp.uint8:
-                _enc = (quantize_kv_rows_q6 if st_k.shape[-1] == 3 * d // 4
-                        else quantize_kv_rows_q4)
-            else:
-                _enc = quantize_kv_rows
+            _enc = KV_ENCODERS[kv_codec_of(st_k, d)]
             kq, ks = _enc(k)
             vq, vs = _enc(v)
         else:
@@ -877,12 +893,8 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         wr = jax.vmap(lambda c, new, ix: c.at[ix].set(new, mode="drop"))
         kv_k = wr(kv_k, k.astype(kv_k.dtype), ridx)
         kv_v = wr(kv_v, v.astype(kv_v.dtype), ridx)
-    elif quant:  # quantize-on-write (-ctk/-ctv q8 / q4 / q6 analogue)
-        if kv_k.dtype == jnp.uint8:
-            _enc = (quantize_kv_rows_q6 if kv_k.shape[-1] == 3 * d // 4
-                    else quantize_kv_rows_q4)
-        else:
-            _enc = quantize_kv_rows
+    elif quant:  # quantize-on-write (-ctk/-ctv q8/q4/q6/iq4_nl analogue)
+        _enc = KV_ENCODERS[kv_codec_of(kv_k, d)]
         kq, ks = _enc(k)
         vq, vs = _enc(v)
         kv_k = upd(kv_k, kq, npv)
@@ -905,11 +917,11 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
     kv_vs_a = kv_vs if (kv_vs is None or kv_vs.shape[2] == hkv) else kv_vs[:, :, :hkv]
     qb = q.astype(jnp.bfloat16)
     sinks = blk.get("attn_sinks")
-    is_q6 = quant and kv_k_a.dtype == jnp.uint8 \
-        and kv_k_a.shape[-1] == 3 * d // 4
-    is_q4 = quant and kv_k_a.dtype == jnp.uint8 and not is_q6
-    _deq = (dequantize_kv_q6 if is_q6
-            else dequantize_kv_q4 if is_q4 else dequantize_kv)
+    _codec = kv_codec_of(kv_k_a, d) if quant else None
+    # packed sub-byte codecs have no fused prefill-FA kernel yet: the
+    # generic paths below dequantize first (flash_attention_q8 is q8-only)
+    is_packed = _codec in ("q4", "q6", "nl4")
+    _deq = KV_DECODERS[_codec] if quant else dequantize_kv
     # decode / spec-verify shapes: the native-layout kernel reads the cache
     # without per-step transpose copies, fetches each KV tile once for all q
     # heads, and its grid is (B, S/ts) — flat TG vs context (sweep-bench).
@@ -997,7 +1009,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         attn = flash_attention(qb, kv_k_a, kv_v_a, npv, kv_len, scale=scale,
                                softcap=cfg.attn_softcap, swa_window=swa_window,
                                attn_chunk=attn_chunk, sinks=sinks)
-    elif sinks is not None and _use_pallas() and not (is_q4 or is_q6):
+    elif sinks is not None and _use_pallas() and not is_packed:
         # quantized-KV + sinks: fused q8 FA kernel (the reference FA handles
         # sinks together with quantized caches, iqk_flash_attn.cpp:121-149)
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv,
@@ -1011,7 +1023,7 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
                       q_pos=q_pos, kv_len=kv_len, scale=scale,
                       softcap=cfg.attn_softcap, swa_window=swa_window,
                       sinks=sinks)
-    elif quant and _use_pallas() and not (is_q4 or is_q6):
+    elif quant and _use_pallas() and not is_packed:
         attn = flash_attention_q8(qb, kv_k_a, kv_ks_a, kv_v_a, kv_vs_a, npv, kv_len,
                                   scale=scale, softcap=cfg.attn_softcap,
                                   swa_window=swa_window, attn_chunk=attn_chunk)
@@ -1029,6 +1041,9 @@ def _attn_block(blk, x, cfg: ModelConfig, kv_k, kv_v, n_past, q_pos, cos, sin,
         attn = attend(qb, kv_k_a, kv_v_a, q_pos=q_pos, kv_len=kv_len,
                       scale=scale, softcap=cfg.attn_softcap,
                       swa_window=swa_window, attn_chunk=attn_chunk)
+    if cfg.v_hadamard:
+        # undo the V rotation: attn = A @ (V H), so attn @ H = A @ V
+        attn = hadamard_rotate(attn)
     if "attn_gate" in blk:
         # step35: per-head sigmoid gate; laguna: SOFTPLUS gate, per-head
         # (XS.2) or per-output-element (M.1) — width inferred from the

@@ -224,8 +224,12 @@ def flash_attention(q, k, v, q_pos0, kv_len, *, scale: float,
 
 
 def _fa_q8_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts,
-                  d, dv, h, has_sinks=False, attn_chunk=0):
-    """Same online-softmax loop, KV tiles arrive as int8 + per-row scales."""
+                  d, dv, h, hkv, has_sinks=False, attn_chunk=0):
+    """Same online-softmax loop, KV tiles arrive as int8 + per-row scales.
+
+    Scale blocks span the WHOLE (B*Hkv) row axis (a (1, ts) block is not a
+    legal Mosaic tile when B*Hkv > 1: the sublane dim must be divisible by
+    8 or equal the array dim) — the kernel picks its kv-head row here."""
     if has_sinks:
         (sinks_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
          o_ref, acc_ref, m_ref, l_ref) = rest
@@ -255,6 +259,10 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts,
     q_pos0 = qpos_ref[batch]
     kv_len = kvlen_ref[batch]
     i = pl.program_id(1)
+    # this program's row in the (B*Hkv, ts) scale blocks; computed at kernel
+    # top level (program_id is not bindable inside a pl.when body under
+    # interpret mode)
+    kvrow = batch * hkv + (pl.program_id(0) % h) // (h // hkv)
 
     q_rows = q_pos0 + i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
     k_cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1)
@@ -274,7 +282,7 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts,
     @pl.when(tile_live)
     def _():
         q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32) * ks_ref[0][:, None]   # dequant (TS, D)
+        k = k_ref[0].astype(jnp.float32) * ks_ref[kvrow][:, None]  # (TS, D)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if softcap > 0.0:
@@ -285,7 +293,7 @@ def _fa_q8_kernel(qpos_ref, kvlen_ref, *rest, scale, softcap, swa, tq, ts,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + p.sum(axis=1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32) * vs_ref[0][:, None]
+        v = v_ref[0].astype(jnp.float32) * vs_ref[kvrow][:, None]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
             p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
@@ -346,10 +354,6 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
         return ((bh // _h) * _hkv + (bh % _h) // _rep,
                 clamp(bh, i, j, qpos, kvlen), 0)
 
-    def kvs_map(bh, i, j, qpos, kvlen, _rep=rep, _h=h, _hkv=hkv):
-        return ((bh // _h) * _hkv + (bh % _h) // _rep,
-                clamp(bh, i, j, qpos, kvlen))
-
     def o_map(bh, i, j, qpos, kvlen):
         return bh, i, 0
 
@@ -361,18 +365,25 @@ def flash_attention_q8(q, k_q, k_s, v_q, v_s, q_pos0, kv_len, *, scale: float,
     if sinks is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # sinks (H,)
         args_prefix.append(jnp.asarray(sinks, jnp.float32).reshape(h))
+    def kvs_map_all(bh, i, j, qpos, kvlen):
+        # whole (B*Hkv) row axis per block: a (1, ts) scale tile is not a
+        # legal Mosaic block when B*Hkv > 1 (sublane dim must divide 8 or
+        # equal the array dim); the kernel indexes its kv-head row
+        return 0, clamp(bh, i, j, qpos, kvlen)
+
     in_specs += [
         pl.BlockSpec((1, tq, dp), q_map),
         pl.BlockSpec((1, ts, dp), kv_map),
-        pl.BlockSpec((1, ts), kvs_map),
+        pl.BlockSpec((b * hkv, ts), kvs_map_all),
         pl.BlockSpec((1, ts, dvp), kv_map),
-        pl.BlockSpec((1, ts), kvs_map),
+        pl.BlockSpec((b * hkv, ts), kvs_map_all),
     ]
 
     out = pl.pallas_call(
         functools.partial(_fa_q8_kernel, scale=scale, softcap=softcap,
                           attn_chunk=attn_chunk, has_sinks=sinks is not None,
-                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h),
+                          swa=swa_window, tq=tq, ts=ts, d=dp, dv=dvp, h=h,
+                          hkv=hkv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -499,6 +510,21 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, lyr_ref, *rest, scale, softcap, swa,
                                           (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.float32))
                 continue
+            if quant == "nl4":
+                # IQ4_NL nibbles: binary-select LUT (no TPU gather needed)
+                from .kv_quant import lut16_select
+                pk = k_ref[0, 0, :, hh, :].astype(jnp.int32) & 0xFF
+                sc = ks_ref[0, 0, :, hh][:, None]
+                lo = lut16_select(pk & 0x0F) * sc
+                hi = lut16_select((pk >> 4) & 0x0F) * sc
+                parts.append(
+                    jax.lax.dot_general(qh[:, :dh], lo,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(qh[:, dh:2 * dh], hi,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32))
+                continue
             if quant == "q6":
                 # two-bit-plane unpack (ops/kv_quant.py q6 layout)
                 from .kv_quant import unpack_kv_q6
@@ -535,6 +561,20 @@ def _fa_dec_kernel(qpos_ref, kvlen_ref, lyr_ref, *rest, scale, softcap, swa,
                 sv = vs_ref[0, 0, :, hh][:, None]
                 vlo = ((pv & 0x0F) - 8).astype(jnp.float32) * sv
                 vhi = ((pv >> 4) - 8).astype(jnp.float32) * sv
+                pb = ph.astype(jnp.bfloat16)
+                outs.append(jnp.concatenate(
+                    [jax.lax.dot(pb, vlo.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32),
+                     jax.lax.dot(pb, vhi.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)],
+                    axis=1))
+                continue
+            if quant == "nl4":
+                from .kv_quant import lut16_select
+                pv = v_ref[0, 0, :, hh, :].astype(jnp.int32) & 0xFF
+                sv = vs_ref[0, 0, :, hh][:, None]
+                vlo = lut16_select(pv & 0x0F) * sv
+                vhi = lut16_select((pv >> 4) & 0x0F) * sv
                 pb = ph.astype(jnp.bfloat16)
                 outs.append(jnp.concatenate(
                     [jax.lax.dot(pb, vlo.astype(jnp.bfloat16),
@@ -601,6 +641,11 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
         dv = 2 * dv             # v.shape[-1] is the packed width
         if d != dv or d % 2:
             return None
+    elif 2 * k.shape[4] == d:
+        qmode = "nl4"           # IQ4_NL nibbles: int8-stored D/2 bytes
+        dv = 2 * dv
+        if d != dv or d % 2:
+            return None
     else:
         qmode = "q8"
 
@@ -610,7 +655,8 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     # VMEM. Bigger tiles matter: each grid step costs ~8 us of fixed
     # overhead per layer, so at 4k context a 512-row tile spends more time
     # stepping than streaming (tg@4096 probe, PERF_NOTES round 4)
-    bytes_pp = {"none": 2, "q8": 1, "q4": 0.5, "q6": 0.75}[qmode]
+    bytes_pp = {"none": 2, "q8": 1, "q4": 0.5, "q6": 0.75,
+                "nl4": 0.5}[qmode]
     per_row = hkv * (dp0 + dvp0) * bytes_pp
     cap = block_kv
     while cap > 128 and cap * per_row * 2 > 24 * 2**20:
@@ -671,8 +717,8 @@ def _fa_decode_common(q, k, v, k_s, v_s, q_pos0, kv_len, *, scale, softcap,
     in_specs.append(pl.BlockSpec((1, rows_pad, dp), q_map))
     args.append(qr)
     # stored K/V width per row (packed codecs carry their packed width)
-    kd = {"q4": d // 2, "q6": 3 * d // 4}.get(qmode, dp)
-    vd = {"q4": dv // 2, "q6": 3 * dv // 4}.get(qmode, dvp)
+    kd = {"q4": d // 2, "nl4": d // 2, "q6": 3 * d // 4}.get(qmode, dp)
+    vd = {"q4": dv // 2, "nl4": dv // 2, "q6": 3 * dv // 4}.get(qmode, dvp)
     if qmode != "none":
         in_specs += [
             pl.BlockSpec((1, 1, ts, hkv, kd), kv_map),

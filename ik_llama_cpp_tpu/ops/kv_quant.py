@@ -108,3 +108,132 @@ def unpack_kv_q6(packed):
 def dequantize_kv_q6(packed, scale):
     """Inverse of quantize_kv_rows_q6 -> float32 (..., D)."""
     return unpack_kv_q6(packed).astype(jnp.float32) * scale[..., None]
+
+
+# ---------------------------------------------------------------------------
+# nl4: IQ4_NL-class non-linear 4-bit KV codec — the tail of the reference's
+# FA cache-type set (iqk_flash_attn.cpp:121-149 accepts IQ4_NL K/V behind
+# GGML_IQK_FA_ALL_QUANTS). Same packed-nibble layout and per-(token, head)
+# absmax scale as the q4 codec, but the 16 code points are the IQ4_NL
+# value table instead of the uniform [-8, 7] grid: the non-uniform grid
+# spends its levels where normally-distributed activations live, so nl4
+# is strictly tighter than q4 at identical memory.
+# Stored as **int8** of width D/2 (q4/q6 are uint8): every dispatch in the
+# framework tells KV codecs apart purely by (dtype, stored width), so nl4
+# needs a distinct signature — int8 @ D/2 vs q8's int8 @ D.
+# ---------------------------------------------------------------------------
+
+# the IQ4_NL level table — on-disk format constant (gguf spec,
+# reference ggml/src/ggml-quants.c kvalues_iq4nl)
+IQ4NL_VALUES = (-127, -104, -83, -65, -49, -35, -22, -10,
+                1, 13, 25, 38, 53, 69, 89, 113)
+# decision boundaries for nearest-value rounding (midpoints)
+_IQ4NL_MIDS = tuple((IQ4NL_VALUES[i] + IQ4NL_VALUES[i + 1]) / 2.0
+                    for i in range(15))
+
+
+def lut16_select(codes, table=IQ4NL_VALUES):
+    """codes int32 in [0, 16) -> float32 values via a binary select tree.
+
+    TPU Pallas has no small-array gather; 15 full-width VPU selects are
+    noise next to the HBM stream the FA kernel is bound by, and the same
+    expression works identically under jit/XLA."""
+    def rec(lo, hi):
+        if hi - lo == 1:
+            return jnp.float32(table[lo])
+        mid = (lo + hi) // 2
+        return jnp.where(codes < mid, rec(lo, mid), rec(mid, hi))
+    return rec(0, len(table))
+
+
+def quantize_kv_rows_nl4(x):
+    """x: (B, T, H, D) float -> (int8 packed (B, T, H, D//2),
+    f32 scales (B, T, H)). Nearest-IQ4_NL-value rounding; the scale is
+    SIGNED so the largest-|x| element maps exactly onto kvalues[0] = -127
+    (the reference's d = max/kvalues[0] trick, ggml-quants.c
+    quantize_row_iq4_nl_impl) — the asymmetric grid tops out at +113, so
+    an unsigned scale would waste up to 14 code units on the positive
+    extreme."""
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    pos = jnp.max(xf, axis=-1)
+    neg = jnp.min(xf, axis=-1)
+    m = jnp.where(pos >= -neg, pos, neg)          # signed extreme
+    scale = m / -127.0
+    nz = scale != 0
+    inv = jnp.where(nz, 1.0 / jnp.where(nz, scale, 1.0), 0.0)
+    t = xf * inv[..., None]                       # extreme -> -127
+    code = sum((t > m).astype(jnp.int32) for m in _IQ4NL_MIDS)
+    lo, hi = code[..., :d // 2], code[..., d // 2:]
+    packed = lo | (hi << 4)                       # [0, 255] bit pattern
+    return (packed - (packed & 0x80) * 2).astype(jnp.int8), scale
+
+
+def unpack_kv_nl4(packed):
+    """(..., D//2) int8 -> float32 LUT values (..., D) in [-127, 113]."""
+    p = packed.astype(jnp.int32) & 0xFF
+    return jnp.concatenate([lut16_select(p & 0x0F),
+                            lut16_select((p >> 4) & 0x0F)], axis=-1)
+
+
+def dequantize_kv_nl4(packed, scale):
+    """Inverse of quantize_kv_rows_nl4 -> float32 (..., D)."""
+    return unpack_kv_nl4(packed) * scale[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Codec registry — the single source of truth for telling KV codecs apart
+# by their stored (dtype, width) signature. Every consumer (cache write,
+# attention dequant, kshift requant, FA kernel mode pick) dispatches here.
+# ---------------------------------------------------------------------------
+
+KV_ENCODERS = {"q8": quantize_kv_rows, "q4": quantize_kv_rows_q4,
+               "q6": quantize_kv_rows_q6, "nl4": quantize_kv_rows_nl4}
+KV_DECODERS = {"q8": dequantize_kv, "q4": dequantize_kv_q4,
+               "q6": dequantize_kv_q6, "nl4": dequantize_kv_nl4}
+
+
+def kv_codec_of(codes, head_dim):
+    """Identify the codec of a cache codes array by dtype + stored width.
+
+    codes: (..., W) int8/uint8 cache array; head_dim: logical D."""
+    w = codes.shape[-1]
+    if codes.dtype == jnp.uint8:
+        return "q6" if 4 * w == 3 * head_dim else "q4"
+    return "nl4" if 2 * w == head_dim else "q8"
+
+
+# ---------------------------------------------------------------------------
+# K/V Hadamard rotation — the -khad/-vhad analogue (reference
+# ggml-cuda/hadamard.cu, GGML_OP_HADAMARD): rotate K (and q, so scores are
+# unchanged: Hq . Hk = q . k) and/or V (un-rotated after attention) by a
+# normalized Sylvester-Hadamard matrix before quantize-on-write. The
+# rotation spreads per-channel outliers across the whole head dim, taming
+# the absmax scales of the row codecs above. H is symmetric orthogonal
+# (H = H^T = H^-1), so the same matrix un-rotates.
+# ---------------------------------------------------------------------------
+
+_HADAMARD_CACHE: dict = {}
+
+
+def hadamard_matrix(d):
+    """Normalized d x d Sylvester-Hadamard (d must be a power of two)."""
+    m = _HADAMARD_CACHE.get(d)
+    if m is None:
+        assert d > 0 and (d & (d - 1)) == 0, \
+            f"Hadamard rotation needs a power-of-two head_dim, got {d}"
+        import numpy as np
+        h = np.array([[1.0]], dtype=np.float32)
+        while h.shape[0] < d:
+            h = np.block([[h, h], [h, -h]])
+        # cached as a HOST constant: a jnp array created under jit would be
+        # a leaked tracer when reused in a later trace
+        m = (h / np.sqrt(d)).astype(np.float32)
+        _HADAMARD_CACHE[d] = m
+    return m
+
+
+def hadamard_rotate(x):
+    """Rotate the trailing head-dim axis: (..., D) @ H_D, f32 internally."""
+    hm = hadamard_matrix(x.shape[-1])
+    return (x.astype(jnp.float32) @ hm).astype(x.dtype)

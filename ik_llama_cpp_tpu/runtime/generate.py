@@ -175,7 +175,8 @@ class Runtime:
     tokenizer: Tokenizer
     params: Any
     interpret: bool = False
-    kv_quant: "bool | str" = False  # KV codec: False | True/'q8' | 'q4' 
+    kv_quant: "bool | str" = False  # KV codec: False | True/'q8' | 'q4' |
+    #                                 'q6' | 'nl4'/'iq4_nl' | per-layer dict
     swa_compress: bool = False  # ring caches on SWA layers (--swa-compress)
     mesh: Any = None        # jax Mesh for tensor/expert-parallel serving
     pp_runner: Any = None   # -sm layer: PipelineRunner (parallel/pp.py)
@@ -187,7 +188,8 @@ class Runtime:
                   kv_quant: bool = False, fuse: bool = True,
                   swa_compress: bool = False, track_reload: bool = False,
                   tensor_parallel: int = 0, expert_parallel: int = 1,
-                  layer_split: int = 0):
+                  layer_split: int = 0,
+                  k_hadamard: bool = False, v_hadamard: bool = False):
         """``tensor_parallel`` > 1 shards the model over a (1[, ep], tp)
         device mesh — the reference's -sm graph, expressed as pjit shardings
         (parallel/mesh.py). 0/1 = single chip.
@@ -198,6 +200,12 @@ class Runtime:
         exclusive with tensor_parallel."""
         gg = load_gguf(path)
         cfg = config_from_gguf(gg.metadata)
+        if k_hadamard or v_hadamard:
+            # -khad/-vhad: outlier-taming rotation for quantized KV
+            # (hadamard.cu analogue; ops/kv_quant.hadamard_rotate)
+            from dataclasses import replace as _dc_replace
+            cfg = _dc_replace(cfg, k_hadamard=k_hadamard,
+                              v_hadamard=v_hadamard)
         tok = tokenizer_from_gguf(gg.metadata)
         loader = LOADERS.get(cfg.arch)
         if loader is None:

@@ -31,6 +31,9 @@ def can_shift(cfg: ModelConfig) -> bool:
     return (cfg.use_rope and cfg.n_lora_kv == 0 and cfg.alibi_max_bias == 0
             and cfg.attn_chunk == 0 and not cfg.nope_layer_mask
             and not cfg.no_rope_step
+            # -khad stores K Hadamard-ROTATED: rope is not a per-pair
+            # rotation in that basis, so shift falls back to re-prefill
+            and not cfg.k_hadamard
             and not (cfg.extra or {}).get("rope_sections")
             and not (cfg.extra or {}).get("rope_dim_arr")
             and cfg.arch not in ("mamba", "qwen3next", "qwen35", "qwen35moe",
@@ -45,8 +48,9 @@ def k_shift(kv: KVCache, cfg: ModelConfig, n_keep: int, n_discard: int,
     re-rotate the MOVED rows' roped dims by -n_discard (kept head rows
     stay untouched). Returns (kv, new_n_past).
 
-    kv.k: (L, B, S, Hkv, D) with RoPE'd keys."""
-    d = kv.k.shape[-1]
+    kv.k: (L, B, S, Hkv, D) with RoPE'd keys (packed codecs store width
+    != D; rope math always runs on the dequantized head_dim)."""
+    d = cfg.head_dim if kv.quantized else kv.k.shape[-1]
     rope_dims = cfg.rope_dim or cfg.head_dim
     tail_len = kv.k.shape[2] - (n_keep + n_discard)
     delta = jnp.full((1, tail_len), -n_discard, jnp.int32)
@@ -77,10 +81,12 @@ def k_shift(kv: KVCache, cfg: ModelConfig, n_keep: int, n_discard: int,
         c, s = (cos_swa, sin_swa) if is_swa else (cos, sin)
         tail = kv.k[i][:, n_keep + n_discard:]
         if kv.quantized:
-            from ..ops.kv_quant import quantize_kv_rows
+            from ..ops.kv_quant import (KV_ENCODERS, KV_DECODERS,
+                                        kv_codec_of)
+            codec = kv_codec_of(kv.k[i], d)
             ts = kv.k_scale[i][:, n_keep + n_discard:]
-            tf = tail.astype(jnp.float32) * ts[..., None]
-            tq, tqs = quantize_kv_rows(rotate(tf, c, s))
+            tf = KV_DECODERS[codec](tail, ts)
+            tq, tqs = KV_ENCODERS[codec](rotate(tf, c, s))
             new_k.append(move(kv.k[i], tq))
             new_ks.append(move(kv.k_scale[i], tqs))
         else:

@@ -1384,9 +1384,15 @@ def main(argv=None):
                          "states (0 = off, -1 = unlimited); the reference's "
                          "--cache-ram similarity-matched restore")
     ap.add_argument("--cache-type",
-                    choices=["bf16", "q8", "q6", "q4"],
+                    choices=["bf16", "q8", "q6", "q4", "iq4_nl"],
                     default="bf16",
                     help="KV cache type (-ctk/-ctv analogue)")
+    ap.add_argument("-khad", "--k-hadamard", action="store_true",
+                    help="Hadamard-rotate K (+q) before KV quantization "
+                         "(outlier taming; reference -khad)")
+    ap.add_argument("-vhad", "--v-hadamard", action="store_true",
+                    help="Hadamard-rotate V before KV quantization "
+                         "(reference -vhad)")
     ap.add_argument("--lora", action="append", default=[],
                     help="LoRA adapter GGUF (repeatable); PATH or PATH:SCALE")
     ap.add_argument("--mmproj", help="CLIP mmproj GGUF for image input")
@@ -1475,7 +1481,9 @@ def main(argv=None):
                            swa_compress=args.swa_compress,
                            tensor_parallel=args.tensor_parallel,
                            expert_parallel=args.expert_parallel,
-                           layer_split=args.layer_split)
+                           layer_split=args.layer_split,
+                           k_hadamard=args.k_hadamard,
+                           v_hadamard=args.v_hadamard)
     loras = []
     for spec in args.lora:
         from ..runtime.lora import apply_lora, load_lora_gguf

@@ -28,12 +28,18 @@ def main(argv=None):
     ap.add_argument("-s", "--seed", type=int, default=-1)
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-ctk", "--cache-type",
-                    choices=["bf16", "q8", "q6", "q4"], default="bf16")
+                    choices=["bf16", "q8", "q6", "q4", "iq4_nl"], default="bf16")
     ap.add_argument("--cache-type-first", metavar="CODEC:N",
                     help="override codec for the FIRST N layers, e.g. "
                          "'q8:1' (llama.h first/last KV-type overrides)")
     ap.add_argument("--cache-type-last", metavar="CODEC:N",
                     help="override codec for the LAST N layers")
+    ap.add_argument("-khad", "--k-hadamard", action="store_true",
+                    help="Hadamard-rotate K (+q) before KV quantization "
+                         "(outlier taming; reference -khad)")
+    ap.add_argument("-vhad", "--v-hadamard", action="store_true",
+                    help="Hadamard-rotate V before KV quantization "
+                         "(reference -vhad)")
     ap.add_argument("--swa-compress", action="store_true",
                     help="ring caches on sliding-window layers "
                          "(llama.cpp --swa-compress)")
@@ -72,7 +78,9 @@ def main(argv=None):
         kvq = spec
     rt = Runtime.from_gguf(args.model, kv_quant=kvq,
                            swa_compress=args.swa_compress,
-                           layer_split=args.layer_split)
+                           layer_split=args.layer_split,
+                           k_hadamard=args.k_hadamard,
+                           v_hadamard=args.v_hadamard)
     print(f"model loaded in {time.time() - t0:.1f}s "
           f"(arch={rt.cfg.arch}, n_layer={rt.cfg.n_layer}, "
           f"n_embd={rt.cfg.n_embd}, vocab={rt.cfg.n_vocab})", file=sys.stderr)
