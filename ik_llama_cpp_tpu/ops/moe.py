@@ -173,7 +173,8 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
         # -ooae analogue.  No sorting, static grid, exactly P expert slabs
         # streamed from HBM.
         from .moe_decode import (SUPERGROUP, moe_decode_down,
-                                 moe_decode_down_i8, moe_decode_gate_up,
+                                 moe_decode_down_i8, moe_decode_fused_i8,
+                                 moe_decode_gate_up,
                                  moe_decode_gate_up_i8, moe_decode_i8_ref,
                                  moe_decode_ref)
         i8 = (experts.gate_group == SUPERGROUP
@@ -193,16 +194,28 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             if weight_before_ffn:
                 xp = xp * w.reshape(-1)[:, None].astype(jnp.bfloat16)
             xq, xs = quantize_activations(xp)
-            h = moe_decode_gate_up_i8(
-                xq, xs.T, ids, experts.gate, experts.gate_s, experts.up,
-                experts.up_s, gate_b=experts.gate_b, up_b=experts.up_b,
+            # single-kernel fused path first (whole expert slabs per grid
+            # step, in-kernel h requant — no intermediate HBM round-trip);
+            # None when slabs exceed the VMEM budget (big-expert models)
+            wvec = (jnp.ones_like(w.reshape(-1)) if weight_before_ffn
+                    else w.reshape(-1).astype(jnp.float32))
+            out = moe_decode_fused_i8(
+                xq, xs.T, ids, wvec, experts.gate, experts.gate_s,
+                experts.up, experts.up_s, experts.down, experts.down_s,
+                gate_b=experts.gate_b, up_b=experts.up_b, top_k=k,
                 activation=activation, act_limit=act_limit)
-            if not weight_before_ffn:
-                h = (h.astype(jnp.float32)
-                     * w.reshape(-1)[:, None]).astype(jnp.bfloat16)
-            hq, hs = quantize_activations(h)
-            out = moe_decode_down_i8(hq, hs.T, ids, experts.down,
-                                     experts.down_s, top_k=k)
+            if out is None:
+                h = moe_decode_gate_up_i8(
+                    xq, xs.T, ids, experts.gate, experts.gate_s,
+                    experts.up, experts.up_s, gate_b=experts.gate_b,
+                    up_b=experts.up_b, activation=activation,
+                    act_limit=act_limit)
+                if not weight_before_ffn:
+                    h = (h.astype(jnp.float32)
+                         * w.reshape(-1)[:, None]).astype(jnp.bfloat16)
+                hq, hs = quantize_activations(h)
+                out = moe_decode_down_i8(hq, hs.T, ids, experts.down,
+                                         experts.down_s, top_k=k)
             if experts.down_b is not None:
                 db = experts.down_b[ids].reshape(t, k, -1).astype(
                     jnp.float32)

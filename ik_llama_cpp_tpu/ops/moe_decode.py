@@ -594,6 +594,180 @@ def moe_decode_down_i8(
     return out
 
 
+def _fused_kernel_i8(activation: str, act_limit: float, top_k: int,
+                     nsg_k: int, nsg_f: int, has_bias: bool):
+    """One grid step = one routed (token, expert) pair, whole expert slab.
+
+    Streams gate+up+down of pair p's expert in a single step, computes
+    h = act(x @ gate, x @ up) for all resident rows (M=8 keeps the int8
+    MXU fed; only row p is valid), requantizes h per supergroup IN-KERNEL,
+    runs the down matvec, and folds row p (routing weight already in h via
+    wts) into its token's accumulator row. No intermediate h round-trip to
+    HBM, no second pallas launch, no XLA glue between the halves — the
+    full iqk_moe_fused_up_gate analogue (ggml/src/ggml.c:18593) in one
+    kernel."""
+    def kernel(ids_ref, xq_ref, xst_ref, wts_ref, gc_ref, gs_ref, uc_ref,
+               us_ref, dc_ref, dsw_ref, *rest):
+        if has_bias:
+            gb_ref, ub_ref, out_ref, acc = rest
+        else:
+            out_ref, acc = rest
+        p_i = pl.program_id(0)
+        n_p = pl.num_programs(0)
+        pq = xq_ref.shape[0]
+
+        @pl.when(p_i == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        # ---- gate/up: supergroup int8 MXU dots over all resident rows ----
+        tf = gc_ref.shape[1]
+        accg = jnp.zeros((pq, tf), jnp.float32)
+        accu = jnp.zeros((pq, tf), jnp.float32)
+        for g in range(nsg_k):
+            xg = xq_ref[:, g * SUPERGROUP:(g + 1) * SUPERGROUP]
+            sx = xst_ref[g, :][:, None]                    # (pq, 1) f32
+            pg = jax.lax.dot_general(
+                xg, gc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accg += pg.astype(jnp.float32) * (sx * gs_ref[g, :][None, :])
+            pu = jax.lax.dot_general(
+                xg, uc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accu += pu.astype(jnp.float32) * (sx * us_ref[g, :][None, :])
+        g_, u_ = accg, accu
+        if has_bias:
+            g_ = g_ + gb_ref[...].astype(jnp.float32)
+            u_ = u_ + ub_ref[...].astype(jnp.float32)
+        h = _act(g_, u_, activation, act_limit)            # (pq, FF) f32
+        # routing weight folded BEFORE requantization, rounded through
+        # bf16 exactly like the two-kernel path (bf16 h -> f32 * w -> bf16
+        # -> quantize), so both paths and the i8 oracle agree bit-for-bit
+        h = (h.astype(jnp.bfloat16).astype(jnp.float32)
+             * wts_ref[0, :][:, None]).astype(jnp.bfloat16
+                                              ).astype(jnp.float32)
+
+        # ---- in-kernel per-supergroup requantization of h ----------------
+        te = dc_ref.shape[1]
+        dacc = jnp.zeros((pq, te), jnp.float32)
+        for g in range(nsg_f):
+            hg = h[:, g * SUPERGROUP:(g + 1) * SUPERGROUP]
+            amax = jnp.max(jnp.abs(hg), axis=1, keepdims=True)
+            sc = amax / 127.0
+            inv = jnp.where(sc > 0, 1.0 / jnp.where(sc > 0, sc, 1.0), 0.0)
+            hq = jnp.clip(jnp.round(hg * inv), -127, 127).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                hq, dc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (pq, te)
+            dacc += part.astype(jnp.float32) * (
+                sc * dsw_ref[g, :][None, :])
+
+        # ---- fold ONLY pair p's row into its token's accumulator row -----
+        rows = lax.broadcasted_iota(jnp.int32, (pq, 1), 0)
+        val = jnp.sum(jnp.where(rows == p_i, dacc, 0.0), axis=0,
+                      keepdims=True)                        # (1, te)
+        t_i = p_i // top_k
+        orows = lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+        acc[...] += jnp.where(orows == t_i, val, 0.0)
+
+        @pl.when(p_i == n_p - 1)
+        def _():
+            out_ref[...] = acc[...]
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "activation", "act_limit", "interpret"),
+)
+def moe_decode_fused_i8(
+    xq,            # int8 (P, K) quantized per-pair inputs
+    xst,           # f32 (K//256, P) activation scales TRANSPOSED
+    ids,           # i32 (P,) expert id per pair, P == T * top_k
+    wts,           # f32 (P,) routing weight per pair (1.0 if pre-folded)
+    gate_c, gate_sw,  # int8 (G, K, FF), f32 (G, K//256, FF)
+    up_c, up_sw,
+    down_c, down_sw,  # int8 (G, FF, E), f32 (G, FF//256, E)
+    gate_b=None, up_b=None,
+    *,
+    top_k: int,
+    activation: str = "silu",
+    act_limit: float = 0.0,
+    interpret: bool = False,
+):
+    """Single-kernel routed MoE FFN for decode: returns f32 (T, E).
+
+    Whole expert slabs per grid step — returns None (caller falls back to
+    the two-kernel path) when a slab set does not fit the VMEM budget or
+    shapes are not supergroup-aligned."""
+    p, k = xq.shape
+    g, k2, f = gate_c.shape
+    e = down_c.shape[2]
+    if not (k == k2 and down_c.shape[1] == f
+            and k % SUPERGROUP == 0 and f % SUPERGROUP == 0
+            and f % 128 == 0 and e % 128 == 0 and p % top_k == 0):
+        return None
+    # VMEM budget: 3 double-buffered int8 slabs + h/acc scratch under ~64 MB
+    slab = 2 * k * f + f * e
+    if 2 * slab > 64 * 2**20:
+        return None
+    t = p // top_k
+    pq = _round_up(p, 8)
+    tq = _round_up(t, 8)
+    if pq != p:
+        xq = jnp.pad(xq, ((0, pq - p), (0, 0)))
+        xst = jnp.pad(xst, ((0, 0), (0, pq - p)))
+        wts = jnp.pad(wts, (0, pq - p))
+    has_bias = gate_b is not None
+
+    nsg_k = k // SUPERGROUP
+    nsg_f = f // SUPERGROUP
+
+    in_specs = [
+        pl.BlockSpec((pq, k), lambda pi, ids: (0, 0)),
+        pl.BlockSpec((nsg_k, pq), lambda pi, ids: (0, 0)),
+        pl.BlockSpec((1, pq), lambda pi, ids: (0, 0)),
+        pl.BlockSpec((None, k, f), lambda pi, ids: (ids[pi], 0, 0)),
+        pl.BlockSpec((None, nsg_k, f), lambda pi, ids: (ids[pi], 0, 0)),
+        pl.BlockSpec((None, k, f), lambda pi, ids: (ids[pi], 0, 0)),
+        pl.BlockSpec((None, nsg_k, f), lambda pi, ids: (ids[pi], 0, 0)),
+        pl.BlockSpec((None, f, e), lambda pi, ids: (ids[pi], 0, 0)),
+        pl.BlockSpec((None, nsg_f, e), lambda pi, ids: (ids[pi], 0, 0)),
+    ]
+    args = [xq, xst, wts.astype(jnp.float32).reshape(1, pq),
+            gate_c, gate_sw, up_c, up_sw, down_c, down_sw]
+    if has_bias:
+        in_specs += [pl.BlockSpec((None, f), lambda pi, ids: (ids[pi], 0)),
+                     pl.BlockSpec((None, f), lambda pi, ids: (ids[pi], 0))]
+        args += [gate_b, up_b]
+
+    out = pl.pallas_call(
+        _fused_kernel_i8(activation, act_limit, top_k, nsg_k, nsg_f,
+                         has_bias),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tq, e), lambda pi, ids: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((tq, e), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((tq, e), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=pq * (4 * k * f + 2 * f * e),
+            bytes_accessed=p * (2 * k * f + f * e) + t * e * 4,
+            transcendentals=p * f,
+        ),
+        interpret=interpret,
+    )(ids.astype(jnp.int32), *args)
+    return out[:t]
+
+
 def moe_decode_i8_ref(x, w, idx, experts, *, activation="silu",
                       act_limit: float = 0.0, weight_before_ffn: bool = False):
     """jnp oracle for the int8 decode path: the SAME activation quantization

@@ -45,6 +45,71 @@ FTYPES: dict[str, dict] = {
     "Q6_K": {"default": GGMLType.Q6_K, "output": GGMLType.Q6_K},
     "IQ4_NL": {"default": GGMLType.IQ4_NL, "output": GGMLType.Q6_K},
     "IQ4_XS": {"default": GGMLType.IQ4_XS, "output": GGMLType.Q6_K},
+    "Q4_1": {"default": GGMLType.Q4_1},
+    "Q5_1": {"default": GGMLType.Q5_1},
+    "Q8_KV": {"default": GGMLType.Q8_KV, "output": GGMLType.Q8_0},
+    # k-quant low-bit mixes (llama-quantize.cpp:305+: attn_v/ffn_down of the
+    # first layers bumped a tier, output at Q6_K/Q5_K)
+    "Q2_K": {"default": GGMLType.Q2_K, "bump": GGMLType.Q4_K,
+             "output": GGMLType.Q6_K},
+    "Q2_K_S": {"default": GGMLType.Q2_K, "output": GGMLType.Q6_K},
+    "Q3_K_S": {"default": GGMLType.Q3_K, "output": GGMLType.Q6_K},
+    "Q3_K_M": {"default": GGMLType.Q3_K, "bump": GGMLType.Q5_K,
+               "output": GGMLType.Q6_K},
+    "Q3_K_L": {"default": GGMLType.Q3_K, "bump": GGMLType.Q6_K,
+               "output": GGMLType.Q6_K},
+    # i-quants (codebook) — sub-4-bit output heads stay at Q5_K like the
+    # reference's iq2/iq3 rules
+    "IQ1_S": {"default": GGMLType.IQ1_S, "bump": GGMLType.IQ3_S,
+              "output": GGMLType.Q5_K},
+    "IQ1_M": {"default": GGMLType.IQ1_M, "bump": GGMLType.IQ3_S,
+              "output": GGMLType.Q5_K},
+    "IQ2_XXS": {"default": GGMLType.IQ2_XXS, "bump": GGMLType.IQ3_S,
+                "output": GGMLType.Q5_K},
+    "IQ2_XS": {"default": GGMLType.IQ2_XS, "bump": GGMLType.IQ3_S,
+               "output": GGMLType.Q5_K},
+    "IQ2_S": {"default": GGMLType.IQ2_S, "bump": GGMLType.IQ3_S,
+              "output": GGMLType.Q5_K},
+    "IQ2_M": {"default": GGMLType.IQ2_S, "bump": GGMLType.IQ3_S,
+              "output": GGMLType.Q5_K},
+    "IQ3_XXS": {"default": GGMLType.IQ3_XXS, "bump": GGMLType.IQ3_S,
+                "output": GGMLType.Q5_K},
+    "IQ3_S": {"default": GGMLType.IQ3_S, "output": GGMLType.Q5_K},
+    "IQ3_M": {"default": GGMLType.IQ3_S, "bump": GGMLType.Q4_K,
+              "output": GGMLType.Q5_K},
+    # ik-quants (the fork's IQK family, llama-quantize.cpp ik rules:
+    # bump = next tier of the same family)
+    "IQ2_K": {"default": GGMLType.IQ2_K, "bump": GGMLType.IQ3_K,
+              "output": GGMLType.Q5_K},
+    "IQ2_KS": {"default": GGMLType.IQ2_KS, "bump": GGMLType.IQ3_K,
+               "output": GGMLType.Q5_K},
+    "IQ2_KL": {"default": GGMLType.IQ2_KL, "bump": GGMLType.IQ3_K,
+               "output": GGMLType.Q5_K},
+    "IQ3_K": {"default": GGMLType.IQ3_K, "bump": GGMLType.IQ4_K,
+              "output": GGMLType.Q5_K},
+    "IQ3_KS": {"default": GGMLType.IQ3_KS, "bump": GGMLType.IQ4_K,
+               "output": GGMLType.Q5_K},
+    "IQ4_K": {"default": GGMLType.IQ4_K, "bump": GGMLType.IQ5_K,
+              "output": GGMLType.Q6_K},
+    "IQ4_KS": {"default": GGMLType.IQ4_KS, "bump": GGMLType.IQ5_K,
+               "output": GGMLType.Q6_K},
+    "IQ4_KSS": {"default": GGMLType.IQ4_KSS, "bump": GGMLType.IQ5_K,
+                "output": GGMLType.Q6_K},
+    "IQ5_K": {"default": GGMLType.IQ5_K, "bump": GGMLType.IQ6_K,
+              "output": GGMLType.Q6_K},
+    "IQ5_KS": {"default": GGMLType.IQ5_KS, "bump": GGMLType.IQ6_K,
+               "output": GGMLType.Q6_K},
+    "IQ6_K": {"default": GGMLType.IQ6_K, "output": GGMLType.Q6_K},
+    # KT trellis quants (QTIP-style; numpy encoder is slow — minutes per
+    # Mweight — but complete)
+    "IQ1_KT": {"default": GGMLType.IQ1_KT, "bump": GGMLType.IQ3_K,
+               "output": GGMLType.Q5_K},
+    "IQ2_KT": {"default": GGMLType.IQ2_KT, "bump": GGMLType.IQ3_K,
+               "output": GGMLType.Q5_K},
+    "IQ3_KT": {"default": GGMLType.IQ3_KT, "bump": GGMLType.IQ4_K,
+               "output": GGMLType.Q5_K},
+    "IQ4_KT": {"default": GGMLType.IQ4_KT, "bump": GGMLType.IQ5_K,
+               "output": GGMLType.Q6_K},
 }
 
 FTYPE_IDS = {
@@ -55,6 +120,24 @@ FTYPE_IDS = {
     "Q5_K_S": LlamaFtype.MOSTLY_Q5_K_S, "Q5_K_M": LlamaFtype.MOSTLY_Q5_K_M,
     "Q6_K": LlamaFtype.MOSTLY_Q6_K, "IQ4_NL": LlamaFtype.MOSTLY_IQ4_NL,
     "IQ4_XS": LlamaFtype.MOSTLY_IQ4_XS,
+    "Q4_1": LlamaFtype.MOSTLY_Q4_1, "Q5_1": LlamaFtype.MOSTLY_Q5_1,
+    "Q8_KV": LlamaFtype.MOSTLY_Q8_KV,
+    "Q2_K": LlamaFtype.MOSTLY_Q2_K, "Q2_K_S": LlamaFtype.MOSTLY_Q2_K_S,
+    "Q3_K_S": LlamaFtype.MOSTLY_Q3_K_S, "Q3_K_M": LlamaFtype.MOSTLY_Q3_K_M,
+    "Q3_K_L": LlamaFtype.MOSTLY_Q3_K_L,
+    "IQ1_S": LlamaFtype.MOSTLY_IQ1_S, "IQ1_M": LlamaFtype.MOSTLY_IQ1_M,
+    "IQ2_XXS": LlamaFtype.MOSTLY_IQ2_XXS, "IQ2_XS": LlamaFtype.MOSTLY_IQ2_XS,
+    "IQ2_S": LlamaFtype.MOSTLY_IQ2_S, "IQ2_M": LlamaFtype.MOSTLY_IQ2_M,
+    "IQ3_XXS": LlamaFtype.MOSTLY_IQ3_XXS, "IQ3_S": LlamaFtype.MOSTLY_IQ3_S,
+    "IQ3_M": LlamaFtype.MOSTLY_IQ3_M,
+    "IQ2_K": LlamaFtype.MOSTLY_IQ2_K, "IQ2_KS": LlamaFtype.MOSTLY_IQ2_KS,
+    "IQ2_KL": LlamaFtype.MOSTLY_IQ2_KL, "IQ3_K": LlamaFtype.MOSTLY_IQ3_K,
+    "IQ3_KS": LlamaFtype.MOSTLY_IQ3_KS, "IQ4_K": LlamaFtype.MOSTLY_IQ4_K,
+    "IQ4_KS": LlamaFtype.MOSTLY_IQ4_KS,
+    "IQ4_KSS": LlamaFtype.MOSTLY_IQ4_KSS, "IQ5_K": LlamaFtype.MOSTLY_IQ5_K,
+    "IQ5_KS": LlamaFtype.MOSTLY_IQ5_KS, "IQ6_K": LlamaFtype.MOSTLY_IQ6_K,
+    "IQ1_KT": LlamaFtype.MOSTLY_IQ1_KT, "IQ2_KT": LlamaFtype.MOSTLY_IQ2_KT,
+    "IQ3_KT": LlamaFtype.MOSTLY_IQ3_KT, "IQ4_KT": LlamaFtype.MOSTLY_IQ4_KT,
 }
 
 # tensors never quantized (same exclusions as the reference)

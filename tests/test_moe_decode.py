@@ -296,3 +296,57 @@ def test_moe_ffn_i8_decode_matches_ragged_sg():
     # the same order as the reference's own Q8_K-activation error budget
     # (test-quantize-fns.cpp dot tolerance 0.02 ~ 4e-4 NMSE)
     assert nmse < 2e-3, nmse
+
+
+@pytest.mark.parametrize("t,bias,wbf", [(1, False, False), (2, True, False),
+                                        (2, False, True)])
+def test_fused_i8_matches_i8_ref(t, bias, wbf):
+    """Single-kernel fused decode path vs the i8 oracle (bit-level numerics:
+    same quantize chain, same bf16 rounding points)."""
+    from ik_llama_cpp_tpu.ops.moe_decode import moe_decode_fused_i8
+    topk, g, k, f = 3, 6, 256, 256
+    rng = np.random.default_rng(21)
+    ew = _mk_experts_sg(g, k, f, bias=bias)
+    x = jnp.asarray(rng.standard_normal((t, k)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.random((t, topk)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, g, (t, topk)), jnp.int32)
+    act = "swiglu_oai" if bias else "silu"
+
+    ref = moe_decode_i8_ref(x, w, idx, ew, activation=act,
+                            weight_before_ffn=wbf)
+
+    ids = idx.reshape(-1)
+    xp = jnp.repeat(x.astype(jnp.bfloat16), topk, axis=0)
+    if wbf:
+        xp = xp * w.reshape(-1)[:, None].astype(jnp.bfloat16)
+    xq, xs = quantize_activations(xp)
+    wvec = (jnp.ones((t * topk,), jnp.float32) if wbf
+            else w.reshape(-1).astype(jnp.float32))
+    out = moe_decode_fused_i8(xq, xs.T, ids, wvec, ew.gate, ew.gate_s,
+                              ew.up, ew.up_s, ew.down, ew.down_s,
+                              gate_b=ew.gate_b, up_b=ew.up_b, top_k=topk,
+                              activation=act, interpret=True)
+    assert out is not None
+    if ew.down_b is not None:
+        db = ew.down_b[ids].reshape(t, topk, -1).astype(jnp.float32)
+        out = out + (jnp.sum(db, axis=1) if wbf
+                     else jnp.sum(db * w[:, :, None], axis=1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_i8_falls_back_on_big_slabs():
+    """Slab sets beyond the VMEM budget return None (two-kernel fallback)."""
+    from ik_llama_cpp_tpu.ops.moe_decode import moe_decode_fused_i8
+    k, f, e = 4096, 14336, 4096   # mixtral-class expert: 56 MB gate alone
+    xq = jnp.zeros((2, k), jnp.int8)
+    xs = jnp.zeros((k // SUPERGROUP, 2), jnp.float32)
+    ids = jnp.zeros((2,), jnp.int32)
+    w = jnp.ones((2,), jnp.float32)
+    z = lambda *s: jnp.zeros(s, jnp.int8)
+    zs = lambda *s: jnp.zeros(s, jnp.float32)
+    out = moe_decode_fused_i8(
+        xq, xs, ids, w, z(1, k, f), zs(1, k // 256, f), z(1, k, f),
+        zs(1, k // 256, f), z(1, f, e), zs(1, f // 256, e), top_k=2,
+        interpret=True)
+    assert out is None

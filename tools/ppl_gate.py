@@ -257,6 +257,13 @@ FTYPES = ("Q8_0", "Q4_0", "Q4_K_M", "Q6_0", "IQ4_KS", "IQ2_K")
 
 def main():
     n_ctx = 256
+    # Gate rows compare OUR ENCODERS + the bit-exact planar engine path
+    # against the reference's exact dequant engine — the i8-MXU fast path
+    # (supergroup-256 activation/weight requant, the TPU perf default) is
+    # measured separately below with its own documented error budget, like
+    # the reference's MMQ-vs-dequant split (its CUDA MMQ also trades
+    # exactness for speed, but with finer per-32 requant blocks).
+    os.environ["IK_I8_MXU"] = "0"
     corpus = make_corpus(Path("/tmp/ppl_gate_corpus.txt"))
     f32 = trained_f32(corpus)
     kld_corpus = make_kld_corpus(corpus, n_ctx)
@@ -285,6 +292,29 @@ def main():
         print(f"ppl_gate {ftype:7s}: ppl ref {p_ref:.4f} ours {p_our:.4f} "
               f"|dln| {dln:.2e} (tol {LN_TOL:.1e}) | kld ref {k_ref:.6f} "
               f"ours {k_our:.6f} (tol {kld_tol:.1e})  {status}", flush=True)
+
+    # i8-MXU fast-path row: the TPU perf default (supergroup-256 requant)
+    # vs the same reference number — looser, documented budget (the speed/
+    # exactness trade the reference makes with MMQ's Q8_1 activations)
+    I8_TOL = 4e-3
+    os.environ["IK_I8_MXU"] = "1"
+    try:
+        model = Path("/tmp/ppl_gate_Q4_K_M.gguf")
+        p_our8 = our_ppl(model, corpus, n_ctx)
+        p_ref4 = rows["Q4_K_M"]["ppl_ref"]
+        dln8 = abs(math.log(p_our8) - math.log(p_ref4))
+        st8 = "OK" if dln8 <= I8_TOL else "FAIL"
+        ok &= st8 == "OK"
+        rows["Q4_K_M@i8mxu"] = {
+            "ppl_ref": p_ref4, "ppl_ours": round(p_our8, 4),
+            "abs_dln": round(dln8, 6), "ln_tol": I8_TOL, "status": st8,
+            "note": "supergroup-256 int8 fast path (TPU default, "
+                    "IK_I8_MXU=0 opts out)"}
+        print(f"ppl_gate Q4_K_M@i8mxu: ppl ref {p_ref4:.4f} ours "
+              f"{p_our8:.4f} |dln| {dln8:.2e} (tol {I8_TOL:.1e})  {st8}",
+              flush=True)
+    finally:
+        os.environ["IK_I8_MXU"] = "0"
     # committed artifact: bench.py folds this into its detail line so the
     # cross-engine PPL evidence survives environments without /tmp/refbuild
     import json
@@ -292,7 +322,9 @@ def main():
     art.write_text(json.dumps({
         "gate": "GGUF-for-GGUF perplexity + KLD-vs-f32 vs reference "
                 "llama-perplexity (perplexity.cpp:779 + kl_divergence "
-                "protocol), trained-in-repo 4-layer model, own encoders",
+                "protocol), trained-in-repo 4-layer model, own encoders; "
+                "exact planar engine path for encoder rows, i8-MXU TPU "
+                "fast path gated separately at its own budget",
         "ln_tol": LN_TOL, "kld_tol": "max(0.3*ref, 3e-4)",
         "train_steps": TRAIN_STEPS, "results": rows,
         "passed": ok}, indent=1) + "\n")
