@@ -135,6 +135,99 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _fused_prefill_try(xs, group_sizes, experts, activation, act_limit,
+                       interpret: bool = False):
+    """Capacity-bucketed whole-FFN fused prefill (moe_qmm.fused_moe_prefill_i8).
+
+    Returns y f32 (M, E) for the sorted rows, or None when the fused path
+    does not apply (CPU backend, non-supergroup experts, expert biases, or
+    slabs beyond the VMEM budget). Overflow rows past the per-expert
+    capacity R go through the ragged kernels, whose dynamic step count
+    makes an empty overflow pass nearly free."""
+    from .moe_qmm import (SUPERGROUP, fused_moe_prefill_i8,
+                          ragged_qmatmul_i8)
+    from .qmatmul import quantize_activations
+    if jax.default_backend() == "cpu" and not interpret:
+        return None
+    if not (isinstance(experts, QuantExpertWeights)
+            and experts.gate_group == SUPERGROUP
+            and experts.up_group == SUPERGROUP
+            and experts.down_group == SUPERGROUP):
+        return None
+    if experts.gate_b is not None or experts.up_b is not None:
+        return None                      # bias-in-activation: ragged path
+    m, k = xs.shape
+    g = experts.gate.shape[0]
+    # capacity ~1.25x the mean rows/expert, 8-aligned (megablox-style
+    # capacity factor); overflow handled exactly by the ragged pass below
+    r = min(512, max(8, -(-(m * 5) // (g * 4) + 7) // 8 * 8))
+
+    gs = group_sizes.astype(jnp.int32)
+    ends = jnp.cumsum(gs)
+    starts = ends - gs
+    xq, xsc = quantize_activations(xs)               # (M, K) i8, (M, nsg)
+
+    idx_mat = starts[:, None] + jnp.arange(r, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(r, dtype=jnp.int32)[None, :] < gs[:, None]
+    safe = jnp.clip(jnp.where(valid, idx_mat, 0), 0, m - 1)
+    xg = jnp.where(valid[..., None], xq[safe], 0)    # (G, R, K)
+    xst_g = jnp.where(valid[..., None], xsc[safe], 0.0).transpose(0, 2, 1)
+    key = jnp.where(gs > 0, jnp.arange(g, dtype=jnp.int32), 2 * g)
+    eids = jnp.argsort(key).astype(jnp.int32)
+    n_live = jnp.sum(gs > 0).astype(jnp.int32)
+
+    y1 = fused_moe_prefill_i8(
+        xg, xst_g, eids, n_live, experts.gate, experts.gate_s,
+        experts.up, experts.up_s, experts.down, experts.down_s,
+        capacity=r, activation=activation, act_limit=act_limit,
+        interpret=interpret)
+    if y1 is None:
+        return None
+    e = y1.shape[-1]
+
+    # map each sorted row to its pass-1 bucket slot
+    rid = jnp.repeat(jnp.arange(g, dtype=jnp.int32), gs,
+                     total_repeat_length=m)
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[rid]
+    from_p1 = rank < r
+    slot = jnp.clip(rid * r + rank, 0, g * r - 1)
+    y = y1.reshape(g * r, e)[slot]
+
+    # overflow pass: rows with rank >= R, compacted and re-grouped
+    leftover = jnp.maximum(gs - r, 0)
+    l_starts = jnp.cumsum(leftover) - leftover
+    rid2 = jnp.repeat(jnp.arange(g, dtype=jnp.int32), leftover,
+                      total_repeat_length=m)
+    src2 = jnp.clip(starts[rid2] + r
+                    + (jnp.arange(m, dtype=jnp.int32) - l_starts[rid2]),
+                    0, m - 1)
+    xq2, xsc2 = xq[src2], xsc[src2]
+    g2 = ragged_qmatmul_i8(xq2, xsc2.T, experts.gate, experts.gate_s,
+                           leftover, interpret=interpret)
+    u2 = ragged_qmatmul_i8(xq2, xsc2.T, experts.up, experts.up_s, leftover,
+                           interpret=interpret)
+    h2 = _apply_moe_act(g2, u2, activation, act_limit)
+    hq2, hs2 = quantize_activations(h2.astype(jnp.bfloat16))
+    y2 = ragged_qmatmul_i8(hq2, hs2.T, experts.down, experts.down_s,
+                           leftover, interpret=interpret)
+    pos2 = jnp.clip(l_starts[rid] + (rank - r), 0, m - 1)
+    return jnp.where(from_p1[:, None], y, y2[pos2])
+
+
+def _apply_moe_act(g, u, activation, act_limit):
+    if activation == "swiglu_oai":
+        alpha, limit = 1.702, 7.0
+        gc = jnp.minimum(g, limit)
+        uc = jnp.clip(u, -limit, limit)
+        return gc * jax.nn.sigmoid(alpha * gc) * (uc + 1.0)
+    if activation == "silu":
+        if act_limit > 0.0:
+            return (jnp.minimum(g * jax.nn.sigmoid(g), act_limit)
+                    * jnp.clip(u, -act_limit, act_limit))
+        return (g * jax.nn.sigmoid(g)) * u
+    return jax.nn.gelu(g, approximate=True) * u
+
+
 def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             gating: int = GATING_SOFTMAX, norm_topk: bool = False,
             scale: float = 1.0, selection_bias=None, activation="silu",
@@ -262,41 +355,41 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
     group_sizes = jnp.bincount(flat_ids, length=n_expert).astype(jnp.int32)
 
     sorted_ids = flat_ids[order]
+    y = None
     if quant:
         xs = xs.astype(jnp.bfloat16)
+        # capacity-bucketed fused whole-FFN prefill kernel first (one grid
+        # step per live expert; the ragged kernels' (tiles_m + G) steps per
+        # matmul measured 6.5% MFU at the Qwen3-30B shape)
+        y = _fused_prefill_try(xs, group_sizes, experts, activation,
+                               act_limit)
+    if y is not None:
+        pass
+    elif quant:
         g = _ragged_qmm(xs, experts.gate, experts.gate_s, group_sizes,
                         experts.gate_group)
         u = _ragged_qmm(xs, experts.up, experts.up_s, group_sizes,
                         experts.up_group)
+        if experts.gate_b is not None:
+            g = g + experts.gate_b[sorted_ids]
+        if experts.up_b is not None:
+            u = u + experts.up_b[sorted_ids]
+        # gpt-oss clamped glu (ggml_swiglu_oai) / step35 clamped swiglu
+        # (ggml.c:16966-16976) / gelu — _apply_moe_act
+        h = _apply_moe_act(g, u, activation, act_limit)
+        y = _ragged_qmm(h.astype(jnp.bfloat16), experts.down, experts.down_s,
+                        group_sizes, experts.down_group)  # (T*k, E)
     else:
         xs = xs.astype(experts.gate.dtype)
         g = jax.lax.ragged_dot(xs, experts.gate, group_sizes,
                                preferred_element_type=jnp.float32)
         u = jax.lax.ragged_dot(xs, experts.up, group_sizes,
                                preferred_element_type=jnp.float32)
-    if experts.gate_b is not None:
-        g = g + experts.gate_b[sorted_ids]
-    if experts.up_b is not None:
-        u = u + experts.up_b[sorted_ids]
-    if activation == "swiglu_oai":
-        # gpt-oss clamped glu (ggml_swiglu_oai: alpha=1.702, limit=7)
-        alpha, limit = 1.702, 7.0
-        gc = jnp.minimum(g, limit)
-        uc = jnp.clip(u, -limit, limit)
-        h = gc * jax.nn.sigmoid(alpha * gc) * (uc + 1.0)
-    elif activation == "silu":
-        if act_limit > 0.0:
-            # step35/deepseek4 per-layer clamped swiglu (ggml.c:16966-16976)
-            h = (jnp.minimum(g * jax.nn.sigmoid(g), act_limit)
-                 * jnp.clip(u, -act_limit, act_limit))
-        else:
-            h = (g * jax.nn.sigmoid(g)) * u
-    else:
-        h = jax.nn.gelu(g, approximate=True) * u
-    if quant:
-        y = _ragged_qmm(h.astype(jnp.bfloat16), experts.down, experts.down_s,
-                        group_sizes, experts.down_group)  # (T*k, E)
-    else:
+        if experts.gate_b is not None:
+            g = g + experts.gate_b[sorted_ids]
+        if experts.up_b is not None:
+            u = u + experts.up_b[sorted_ids]
+        h = _apply_moe_act(g, u, activation, act_limit)
         y = jax.lax.ragged_dot(h.astype(experts.down.dtype), experts.down,
                                group_sizes,
                                preferred_element_type=jnp.float32)  # (T*k, E)

@@ -359,3 +359,148 @@ def ragged_qmatmul(
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Capacity-bucketed fused MoE prefill (round 5)
+# ---------------------------------------------------------------------------
+# The megablox-style ragged kernels above pay (tiles_m + G) grid steps PER
+# MATMUL (x3 per layer), each doing full tm-row MXU work for the one group
+# that owns a fraction of the tile — at the Qwen3-30B shape (4096 routed
+# rows over 128 experts, ~32 rows each with tm=256) that is ~8x redundant
+# compute plus ~430 grid-step fixed costs per layer, measured at 6.5% MFU
+# (BENCH_r05 moe_pp_mfu_pct).  This kernel instead:
+#   * gathers the sorted rows into (G, R, K) capacity buckets (R ~ 1.25x
+#     the mean rows/expert, 8-aligned);
+#   * runs ONE grid step per NON-EMPTY expert (dynamic grid length via a
+#     scalar-prefetched expert-id list) streaming that expert's gate+up+
+#     down slabs exactly once;
+#   * computes the whole FFN in-kernel (supergroup int8 MXU dots, act,
+#     in-kernel h requantization, down dots) writing the (R, E) out block
+#     directly — no cross-step accumulator, no tile revisits;
+#   * leaves overflow rows (routing skew beyond R) to the ragged kernels,
+#     whose dynamic step count makes an empty overflow pass ~free.
+# The i8 numerics are identical to ragged_qmatmul_i8 + the XLA act chain
+# (same quantize points), so outputs are bit-compatible with the decode
+# fused kernel and the CPU oracle.
+# Reference analogue: iqk_moe_fused_up_gate (iqk_mul_mat.h:74) / mmq_id.cu.
+
+
+def _fused_prefill_kernel(activation: str, act_limit: float, nsg_k: int,
+                          nsg_f: int):
+    from .moe_decode import _act
+
+    def kernel(eids_ref, xg_ref, xst_ref, gc_ref, gs_ref, uc_ref, us_ref,
+               dc_ref, dsw_ref, out_ref):
+        del eids_ref
+        r = xg_ref.shape[0]
+        tf = gc_ref.shape[1]
+        accg = jnp.zeros((r, tf), jnp.float32)
+        accu = jnp.zeros((r, tf), jnp.float32)
+        for g in range(nsg_k):
+            xgs = xg_ref[:, g * SUPERGROUP:(g + 1) * SUPERGROUP]
+            sx = xst_ref[g, :][:, None]
+            pg = lax.dot_general(
+                xgs, gc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accg += pg.astype(jnp.float32) * (sx * gs_ref[g, :][None, :])
+            pu = lax.dot_general(
+                xgs, uc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accu += pu.astype(jnp.float32) * (sx * us_ref[g, :][None, :])
+        h = _act(accg, accu, activation, act_limit)
+        # same quantize points as the XLA chain: h rounds through bf16,
+        # then per-(row, supergroup) absmax int8
+        h = h.astype(jnp.bfloat16).astype(jnp.float32)
+
+        te = dc_ref.shape[1]
+        acc = jnp.zeros((r, te), jnp.float32)
+        for g in range(nsg_f):
+            hg = h[:, g * SUPERGROUP:(g + 1) * SUPERGROUP]
+            amax = jnp.max(jnp.abs(hg), axis=1, keepdims=True)
+            sc = amax / 127.0
+            inv = jnp.where(sc > 0, 1.0 / jnp.where(sc > 0, sc, 1.0), 0.0)
+            hq = jnp.clip(jnp.round(hg * inv), -127, 127).astype(jnp.int8)
+            part = lax.dot_general(
+                hq, dc_ref[g * SUPERGROUP:(g + 1) * SUPERGROUP, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc += part.astype(jnp.float32) * (sc * dsw_ref[g, :][None, :])
+        out_ref[...] = acc
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("capacity", "activation", "act_limit", "interpret"),
+)
+def fused_moe_prefill_i8(
+    xg,            # int8 (G, R, K) capacity-bucketed rows (zero-padded)
+    xst,           # f32 (G, K//256, R) activation scales, R on the lane dim
+    eids,          # i32 (G,) expert id per grid step (non-empty first)
+    n_live,        # i32 scalar: number of non-empty experts (grid length)
+    gate_c, gate_sw,  # int8 (G, K, FF), f32 (G, K//256, FF)
+    up_c, up_sw,
+    down_c, down_sw,  # int8 (G, FF, E), f32 (G, FF//256, E)
+    *,
+    capacity: int,
+    activation: str = "silu",
+    act_limit: float = 0.0,
+    interpret: bool = False,
+):
+    """Whole-FFN fused prefill over capacity buckets: returns f32 (G, R, E).
+
+    Only the first ``n_live`` eids are visited; out blocks of experts not
+    visited are UNDEFINED — callers must never read rows of empty experts.
+    Returns None when the expert slabs exceed the VMEM budget (the ragged
+    path handles those models)."""
+    g, r, k = xg.shape
+    f = gate_c.shape[2]
+    e = down_c.shape[2]
+    if not (r == capacity and k % SUPERGROUP == 0 and f % SUPERGROUP == 0
+            and r % 8 == 0 and f % 128 == 0 and e % 128 == 0
+            and k % 128 == 0):
+        return None
+    slab = 2 * k * f + f * e
+    if 2 * slab > 64 * 2**20:
+        return None
+    nsg_k = k // SUPERGROUP
+    nsg_f = f // SUPERGROUP
+
+    out = pl.pallas_call(
+        _fused_prefill_kernel(activation, act_limit, nsg_k, nsg_f),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_live,),
+            in_specs=[
+                pl.BlockSpec((None, r, k), lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, nsg_k, r),
+                             lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, k, f), lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, nsg_k, f),
+                             lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, k, f), lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, nsg_k, f),
+                             lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, f, e), lambda s, eids: (eids[s], 0, 0)),
+                pl.BlockSpec((None, nsg_f, e),
+                             lambda s, eids: (eids[s], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, r, e),
+                                   lambda s, eids: (eids[s], 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, r, e), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=g * r * (4 * k * f + 2 * f * e),
+            bytes_accessed=g * (2 * k * f + f * e) + g * r * (k + e * 4),
+            transcendentals=g * r * f,
+        ),
+        interpret=interpret,
+    )(eids.astype(jnp.int32), xg, xst, gate_c, gate_sw, up_c, up_sw,
+      down_c, down_sw)
+    return out

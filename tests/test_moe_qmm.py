@@ -183,3 +183,70 @@ def test_moe_ffn_quant_matches_dense():
     out_d = moe_ffn(x, logits, ew, k)
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Capacity-bucketed fused prefill (round 5)
+# ---------------------------------------------------------------------------
+
+def _mk_sg_experts(g, k, f, e, seed=0):
+    import numpy as np
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.ops.moe import QuantExpertWeights
+    rng = np.random.default_rng(seed)
+
+    def q(kk, nn):
+        codes = rng.integers(-127, 128, size=(g, kk, nn), dtype=np.int8)
+        scale = (np.abs(rng.standard_normal(
+            (g, kk // 256, nn))) * 0.02 + 1e-4).astype(np.float32)
+        return jnp.asarray(codes), jnp.asarray(scale)
+
+    gc, gs = q(k, f)
+    uc, us = q(k, f)
+    dc, ds = q(f, e)
+    return QuantExpertWeights(gc, gs, uc, us, dc, ds, gate_group=256,
+                              up_group=256, down_group=256)
+
+
+@pytest.mark.parametrize("sizes", [
+    [5, 0, 9, 2, 0, 8],          # empty experts + uneven
+    [24, 0, 0, 0, 0, 0],         # heavy skew: one expert overflows R
+    [4, 4, 4, 4, 4, 4],          # uniform
+])
+def test_fused_prefill_matches_ragged_chain(sizes):
+    """Capacity-bucketed fused prefill (+ overflow pass) vs the plain
+    3-call i8 ragged chain — identical numerics by construction."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.ops.moe import _fused_prefill_try, _apply_moe_act
+    from ik_llama_cpp_tpu.ops.moe_qmm import ragged_qmatmul_i8_ref
+    from ik_llama_cpp_tpu.ops.qmatmul import quantize_activations
+    g, k, f, e = 6, 256, 256, 256
+    m = sum(sizes)
+    rng = np.random.default_rng(31)
+    ew = _mk_sg_experts(g, k, f, e, seed=7)
+    xs = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.bfloat16)
+    gsz = jnp.asarray(sizes, jnp.int32)
+
+    got = _fused_prefill_try(xs, gsz, ew, "silu", 0.0, interpret=True)
+    assert got is not None
+
+    xq, xsc = quantize_activations(xs)
+    gg = ragged_qmatmul_i8_ref(xq, xsc, ew.gate, ew.gate_s, gsz)
+    uu = ragged_qmatmul_i8_ref(xq, xsc, ew.up, ew.up_s, gsz)
+    h = _apply_moe_act(gg, uu, "silu", 0.0)
+    hq, hs = quantize_activations(h.astype(jnp.bfloat16))
+    ref = ragged_qmatmul_i8_ref(hq, hs, ew.down, ew.down_s, gsz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_prefill_bails_on_big_slabs():
+    import numpy as np
+    import jax.numpy as jnp
+    from ik_llama_cpp_tpu.ops.moe import _fused_prefill_try
+    ew = _mk_sg_experts(1, 4096, 14336, 4096, seed=1)   # mixtral-class
+    xs = jnp.zeros((4, 4096), jnp.bfloat16)
+    out = _fused_prefill_try(xs, jnp.asarray([4], jnp.int32), ew,
+                             "silu", 0.0, interpret=True)
+    assert out is None

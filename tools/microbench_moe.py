@@ -23,13 +23,17 @@ import jax                                                    # noqa: E402
 import jax.numpy as jnp                                       # noqa: E402
 
 
-def timed_value(fn, *args, reps=5):
-    """min wall time of fn(*args) synchronized by a VALUE fetch."""
-    float(np.asarray(fn(*args)))          # warm/compile
+def timed_value(mkargs, fn, reps=5):
+    """min wall time of fn(*mkargs(i)), synchronized by a VALUE fetch.
+
+    mkargs must return DIFFERENT argument values per i: the tunnel
+    memoizes (executable, args) -> result, so identical calls return
+    cached results at RTT speed."""
+    float(np.asarray(fn(*mkargs(-1))))          # warm/compile
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        float(np.asarray(fn(*args)))
+        float(np.asarray(fn(*mkargs(i))))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -59,7 +63,8 @@ def main():
     x0 = jnp.asarray(rng.standard_normal((T, E)), jnp.bfloat16)
     wr = jnp.asarray(rng.standard_normal((E, NE)) * 0.05, jnp.bfloat16)
 
-    floor = timed_value(jax.jit(lambda s: s + 1.0), jnp.float32(0))
+    floor = timed_value(lambda i: (jnp.float32(i),),
+                        jax.jit(lambda s: s + 1.0))
     print(f"sync-fetch floor: {floor * 1e3:.2f} ms")
 
     per_layer = NE and (K * (2 * E * FF + FF * E)
@@ -73,7 +78,9 @@ def main():
             # sets passed as ARGS: closed-over arrays would be baked into
             # the HLO as constants (1.2 GB remote-compile upload -> the
             # axon tunnel's HTTP 413 limit)
-            x = x + s0.astype(jnp.bfloat16) * 0  # unique-arg seed
+            # unique-arg seed must actually FLOW into the result (a *0
+            # seed is folded out and the memoized result gets reused)
+            x = x + s0.astype(jnp.bfloat16) * 1e-3
             for i in range(r):
                 logits = (x @ wr).astype(jnp.float32)
                 out = moe_ffn(x, logits, sets[i % 2], K, norm_topk=True)
@@ -82,8 +89,8 @@ def main():
         return f
 
     f1, fR = chain(1), chain(R)
-    t1 = timed_value(f1, x0, jnp.float32(1), sets)
-    tR = timed_value(fR, x0, jnp.float32(1), sets)
+    t1 = timed_value(lambda i: (x0, jnp.float32(i), sets), f1)
+    tR = timed_value(lambda i: (x0, jnp.float32(i), sets), fR)
     per = (tR - t1) / (R - 1)
     print(f"chained moe_ffn: 1-layer {t1 * 1e3:.2f} ms, {R}-layer "
           f"{tR * 1e3:.2f} ms -> {per * 1e6:.1f} us/layer "
