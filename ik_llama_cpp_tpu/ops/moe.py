@@ -135,6 +135,26 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _fused_enabled() -> bool:
+    """IK_MOE_FUSED=0 opts out of the capacity-bucketed fused prefill kernel
+    in favor of the ragged chain. Default ON: measured 1.5x faster at the
+    Qwen3-30B bench shape (1043 vs 1568 us/layer, tools/microbench_moe.py
+    on v5e)."""
+    import os
+    return os.environ.get("IK_MOE_FUSED", "1") not in ("0", "false", "")
+
+
+def _fused_tg_enabled() -> bool:
+    """IK_MOE_FUSED_TG=1 opts INTO the single-kernel fused decode path.
+    Default OFF: the two-kernel chain measured 1.67x faster at decode
+    (85.3 vs 142.8 us/layer at the 128-expert top-8 bench shape — the
+    whole-FFN step serializes three dependent dots against one slab
+    stream, while the split kernels pipeline load/compute across their
+    16 smaller steps)."""
+    import os
+    return os.environ.get("IK_MOE_FUSED_TG", "0") not in ("0", "false", "")
+
+
 def _fused_prefill_try(xs, group_sizes, experts, activation, act_limit,
                        interpret: bool = False):
     """Capacity-bucketed whole-FFN fused prefill (moe_qmm.fused_moe_prefill_i8).
@@ -149,6 +169,8 @@ def _fused_prefill_try(xs, group_sizes, experts, activation, act_limit,
     from .qmatmul import quantize_activations
     if jax.default_backend() == "cpu" and not interpret:
         return None
+    if not _fused_enabled():
+        return None
     if not (isinstance(experts, QuantExpertWeights)
             and experts.gate_group == SUPERGROUP
             and experts.up_group == SUPERGROUP
@@ -160,7 +182,7 @@ def _fused_prefill_try(xs, group_sizes, experts, activation, act_limit,
     g = experts.gate.shape[0]
     # capacity ~1.25x the mean rows/expert, 8-aligned (megablox-style
     # capacity factor); overflow handled exactly by the ragged pass below
-    r = min(512, max(8, -(-(m * 5) // (g * 4) + 7) // 8 * 8))
+    r = min(512, max(8, (-(-(m * 5) // (g * 4)) + 7) // 8 * 8))
 
     gs = group_sizes.astype(jnp.int32)
     ends = jnp.cumsum(gs)
@@ -292,11 +314,13 @@ def moe_ffn(x, router_logits, experts: ExpertWeights, n_expert_used: int, *,
             # None when slabs exceed the VMEM budget (big-expert models)
             wvec = (jnp.ones_like(w.reshape(-1)) if weight_before_ffn
                     else w.reshape(-1).astype(jnp.float32))
-            out = moe_decode_fused_i8(
-                xq, xs.T, ids, wvec, experts.gate, experts.gate_s,
-                experts.up, experts.up_s, experts.down, experts.down_s,
-                gate_b=experts.gate_b, up_b=experts.up_b, top_k=k,
-                activation=activation, act_limit=act_limit)
+            out = None
+            if _fused_tg_enabled():
+                out = moe_decode_fused_i8(
+                    xq, xs.T, ids, wvec, experts.gate, experts.gate_s,
+                    experts.up, experts.up_s, experts.down, experts.down_s,
+                    gate_b=experts.gate_b, up_b=experts.up_b, top_k=k,
+                    activation=activation, act_limit=act_limit)
             if out is None:
                 h = moe_decode_gate_up_i8(
                     xq, xs.T, ids, experts.gate, experts.gate_s,

@@ -88,14 +88,60 @@ def main():
             return jnp.sum(x.astype(jnp.float32))
         return f
 
-    f1, fR = chain(1), chain(R)
-    t1 = timed_value(lambda i: (x0, jnp.float32(i), sets), f1)
-    tR = timed_value(lambda i: (x0, jnp.float32(i), sets), fR)
-    per = (tR - t1) / (R - 1)
-    print(f"chained moe_ffn: 1-layer {t1 * 1e3:.2f} ms, {R}-layer "
-          f"{tR * 1e3:.2f} ms -> {per * 1e6:.1f} us/layer "
-          f"({per_layer / per / 1e9:.0f} GB/s of expert bytes, "
-          f"{per_layer / 864e9 / per * 100:.1f}% of HBM roofline)")
+    def measure(tag):
+        f1, fR = chain(1), chain(R)
+        t1 = timed_value(lambda i: (x0, jnp.float32(i), sets), f1)
+        tR = timed_value(lambda i: (x0, jnp.float32(i), sets), fR)
+        per = (tR - t1) / (R - 1)
+        print(f"chained moe_ffn[{tag}]: 1-layer {t1 * 1e3:.2f} ms, "
+              f"{R}-layer {tR * 1e3:.2f} ms -> {per * 1e6:.1f} us/layer "
+              f"({per_layer / per / 1e9:.0f} GB/s of expert bytes, "
+              f"{per_layer / 864e9 / per * 100:.1f}% of HBM roofline)")
+        return per
+
+    # A/B: single-kernel fused decode vs two-kernel chain (new jit closure
+    # per setting -> the IK_MOE_FUSED trace-time branch re-evaluates)
+    import os
+    os.environ["IK_MOE_FUSED_TG"] = "1"
+    measure("tg fused")
+    os.environ["IK_MOE_FUSED_TG"] = "0"
+    measure("tg 2-kernel")
+    del os.environ["IK_MOE_FUSED_TG"]
+
+    # Prefill A/B at the bench shape: T rows, top-k pairs sorted+ragged
+    T_PP = 512
+    xp0 = jnp.asarray(rng.standard_normal((T_PP, E)), jnp.bfloat16)
+    pp_bytes = per_layer  # same expert slab traffic; activations extra
+
+    def chain_pp(r):
+        @jax.jit
+        def f(x, s0, sets):
+            x = x + s0.astype(jnp.bfloat16) * 1e-3
+            for i in range(r):
+                logits = (x @ wr).astype(jnp.float32)
+                out = moe_ffn(x, logits, sets[i % 2], K, norm_topk=True)
+                x = (x + out.astype(jnp.bfloat16) * 0.01)
+            return jnp.sum(x.astype(jnp.float32))
+        return f
+
+    def measure_pp(tag):
+        f1, fR = chain_pp(1), chain_pp(R)
+        t1 = timed_value(lambda i: (xp0, jnp.float32(i), sets), f1)
+        tR = timed_value(lambda i: (xp0, jnp.float32(i), sets), fR)
+        per = (tR - t1) / (R - 1)
+        # PP compute-bound metric: routed FLOPs/layer vs bf16 peak
+        flops = T_PP * K * 3 * 2 * E * FF
+        print(f"chained moe_ffn[{tag}]: {per * 1e6:.1f} us/layer "
+              f"({T_PP / per:.0f} tok/s-layer, "
+              f"{flops / per / 197e12 * 100:.1f}% bf16-MFU, "
+              f"{pp_bytes / per / 1e9:.0f} GB/s)")
+        return per
+
+    os.environ["IK_MOE_FUSED"] = "1"
+    measure_pp("pp fused")
+    os.environ["IK_MOE_FUSED"] = "0"
+    measure_pp("pp ragged")
+    del os.environ["IK_MOE_FUSED"]
 
 
 if __name__ == "__main__":
